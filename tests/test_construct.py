@@ -1,0 +1,129 @@
+import pytest
+from pyspark.sql import functions as F
+
+from parj_spark.construct import canonicalize, extract, linking
+from parj_spark.construct.pipeline import run_pipeline
+from parj_spark.fixtures import ontology as O
+
+
+def test_span_sequence_invariant(spark, tiny_corpus):
+    """BASELINE input_hint per-row invariant: exploded span sequence
+    (kind, text, media_ref, order) round-trips exactly."""
+    docs, _ = tiny_corpus
+    seq = extract.span_sequence(docs)
+    n_spans = docs.select(F.sum(F.size("spans"))).first()[0]
+    assert seq.count() == n_spans
+    rebuilt = (
+        seq.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "kind", "text", "media_ref"))
+            ).alias("sq")
+        )
+    )
+    orig = docs.select(
+        "doc_id",
+        F.transform(
+            "spans",
+            lambda sp, i: F.struct(
+                i.alias("pos"),
+                sp.kind.alias("kind"),
+                sp.text.alias("text"),
+                sp.media_ref.alias("media_ref"),
+            ),
+        ).alias("sq"),
+    )
+    joined = rebuilt.alias("a").join(orig.alias("b"), "doc_id")
+    mismatches = joined.filter(F.col("a.sq") != F.col("b.sq")).count()
+    assert mismatches == 0
+
+
+def test_extraction_covers_all_text_spans(spark, tiny_corpus):
+    docs, _ = tiny_corpus
+    n_text = (
+        extract.explode_spans(docs).filter(F.col("kind") == "text").count()
+    )
+    mentions = extract.extract_mentions(docs)
+    assert mentions.count() == n_text  # every sentence parses to exactly one mention
+
+
+def test_connected_components_shapes(spark):
+    # chain, star, clique, two-hop alias chain, singleton pair
+    edges = spark.createDataFrame(
+        [
+            ("a1", "a2"), ("a2", "a3"), ("a3", "a4"),         # chain
+            ("s0", "s1"), ("s0", "s2"), ("s0", "s3"),         # star
+            ("c1", "c2"), ("c2", "c3"), ("c1", "c3"),         # clique
+            ("x", "y"),                                        # pair
+        ],
+        ["src", "dst"],
+    )
+    labels, iters = canonicalize.connected_components(edges)
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    assert {got[n] for n in ["a1", "a2", "a3", "a4"]} == {"a1"}
+    assert {got[n] for n in ["s0", "s1", "s2", "s3"]} == {"s0"}
+    assert {got[n] for n in ["c1", "c2", "c3"]} == {"c1"}
+    assert got["x"] == got["y"] == "x"
+    assert iters <= 6
+
+
+def test_coref_edges_reach_canonical(spark):
+    surfaces = spark.createDataFrame(
+        [("Pr_0_1_2",), ("Crs_0_0_1",), ("FullProfessor_9_9_9",)], ["surface"]
+    )
+    edges = {(r.src, r.dst) for r in linking.coref_edges(surfaces).collect()}
+    assert ("Pr_0_1_2", "Prof_0_1_2") in edges
+    assert ("Prof_0_1_2", "FullProfessor_0_1_2") in edges
+    assert ("Crs_0_0_1", "Course_0_0_1") in edges
+    assert not any(s == "FullProfessor_9_9_9" for s, _ in edges)
+
+
+@pytest.fixture(scope="session")
+def tiny_graph(spark, tiny_corpus, tmp_path_factory):
+    docs, _ = tiny_corpus
+    out = str(tmp_path_factory.mktemp("graph"))
+    store = run_pipeline(spark, docs, out, resume=True)
+    return store
+
+
+def test_pipeline_precision_recall(spark, tiny_corpus, tiny_graph):
+    """North-rule gate: extracted canonical triples P/R >= 0.95 vs gold."""
+    _, gold = tiny_corpus
+    got = tiny_graph.triples_uri().select("s_uri", "p_uri", "o_uri").distinct()
+    gold_t = gold.select("s_uri", "p_uri", "o_uri").distinct()
+    tp = got.intersect(gold_t).count()
+    n_got, n_gold = got.count(), gold_t.count()
+    precision = tp / n_got
+    recall = tp / n_gold
+    assert precision >= 0.95, f"precision {precision} ({tp}/{n_got})"
+    assert recall >= 0.95, f"recall {recall} ({tp}/{n_gold})"
+
+
+def test_encoded_graph_consistency(spark, tiny_graph):
+    spo = tiny_graph.spo()
+    pos = tiny_graph.pos()
+    assert spo.count() == pos.count() == tiny_graph.triples_uri().count()
+    assert set(spo.columns) >= {"s", "o", "p", "salt"}
+    # dictionary is a bijection with dense ids
+    d = tiny_graph.dict()
+    n = d.count()
+    assert d.select("id").distinct().count() == n
+    assert d.select("uri").distinct().count() == n
+    mm = d.agg(F.min("id"), F.max("id")).first()
+    assert mm[0] == 0 and mm[1] == n - 1
+    # every encoded id decodes
+    ids_used = spo.select(F.col("s").alias("id")).union(
+        spo.select(F.col("o").alias("id"))
+    ).distinct()
+    assert ids_used.join(d, "id", "left_anti").count() == 0
+
+
+def test_pipeline_resume_skips_stages(spark, tiny_corpus, tiny_graph, tmp_path):
+    """Re-running over the same out_dir must not recompute (lineage stable)."""
+    from parj_spark.construct.lineage import read_lineage
+
+    docs, _ = tiny_corpus
+    before = len(read_lineage(tiny_graph.out_dir))
+    run_pipeline(spark, docs, tiny_graph.out_dir, resume=True)
+    after = len(read_lineage(tiny_graph.out_dir))
+    assert before == after
