@@ -15,3 +15,12 @@ def tiny_corpus(spark):
 
     docs, gold = gen_corpus(spark, n_depts=8, seed=42)
     return docs.cache(), gold.cache()
+
+
+@pytest.fixture(scope="session")
+def tiny_graph(spark, tiny_corpus, tmp_path_factory):
+    from parj_spark.construct.pipeline import run_pipeline
+
+    docs, _ = tiny_corpus
+    out = str(tmp_path_factory.mktemp("graph"))
+    return run_pipeline(spark, docs, out, resume=True)

@@ -78,14 +78,6 @@ def test_coref_edges_reach_canonical(spark):
     assert not any(s == "FullProfessor_9_9_9" for s, _ in edges)
 
 
-@pytest.fixture(scope="session")
-def tiny_graph(spark, tiny_corpus, tmp_path_factory):
-    docs, _ = tiny_corpus
-    out = str(tmp_path_factory.mktemp("graph"))
-    store = run_pipeline(spark, docs, out, resume=True)
-    return store
-
-
 def test_pipeline_precision_recall(spark, tiny_corpus, tiny_graph):
     """North-rule gate: extracted canonical triples P/R >= 0.95 vs gold."""
     _, gold = tiny_corpus
