@@ -1,0 +1,687 @@
+"""Driver contract: named queries over /root/testdata parquet + DuckDB oracles.
+
+Each entry exercises one operator family from SURVEY.md §2 (noted inline) or
+a training-data-pipeline operator. Column names are aliased identically on
+both sides; doubles are rounded on both sides; money sums round to 2dp after
+summation (double-sum reorder error ~1e-7 << 0.005).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parj_spark.operators import dedup, multimodal, similarity, text
+
+CUTOFF = "1998-09-02"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# TPC-H-ish relational operator coverage (SURVEY §2.1-2.6)
+# --------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    """Scan+filter+groupBy/agg (S3, P3, A1/A2 analogs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= CUTOFF)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def q02_filter_scan(spark, sf_dir):
+    """Predicate-pushdown scan (S4/S5, P1/P3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") >= 48) & (F.col("l_discount") <= 0.02)).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+def q03_top_revenue_orders(spark, sf_dir):
+    """Multi-way join + agg + order/limit (J1, O1/O2)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+
+
+def q04_region_customer_counts(spark, sf_dir):
+    """Broadcast dimension join chain (J1 + J4 decode analog)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q05_semijoin(spark, sf_dir):
+    """EXISTS / left-semi (J7)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select("o_orderkey")
+
+
+def q06_antijoin(spark, sf_dir):
+    """NOT EXISTS / left-anti (J7)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def q07_left_join_agg(spark, sf_dir):
+    """LEFT OUTER JOIN (J5) + grouped count."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_big_items"))
+    )
+
+
+def q08_distinct(spark, sf_dir):
+    """DISTINCT projection (P4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+def q09_topk_events(spark, sf_dir):
+    """ORDER BY + LIMIT (O1/O2)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(20)
+        .select("event_id", "event_type", F.round("value", 6).alias("value_r"))
+    )
+
+
+def q10_window_topk(spark, sf_dir):
+    """Window function: top-3 per group (W1)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "event_id", "rk")
+    )
+
+
+def q11_union_distinct(spark, sf_dir):
+    """UNION with dedup (U1/U3)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+def q12_groupby_having(spark, sf_dir):
+    """GROUP BY + HAVING (A2)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .filter(F.col("n") >= 50)
+    )
+
+
+def q13_sessionize(spark, sf_dir):
+    """Sessionization: gap>30min cut via lag + running sum (W1 composite)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer microseconds (timestamps are NTZ; session TZ pinned UTC)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    with_cut = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    ).withColumn("us", us)
+    with_sess = with_cut.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        with_sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.min("us") / 1_000_000).cast("long").alias("sess_start"),
+        )
+    )
+
+
+def q14_json_extract(spark, sf_dir):
+    """JSON field extraction (F-layer scalar functions)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select("event_id", k.alias("k_val")).filter(F.col("k_val") > 50)
+
+
+# --------------------------------------------------------------------------
+# KG derivation + BGP joins over testdata (SURVEY §2.3 J1 shapes)
+# --------------------------------------------------------------------------
+
+def _derived_triples(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cust = F.concat(F.lit("urn:cust:"), F.col("c_custkey"))
+    nat = F.concat(F.lit("urn:nation:"), F.col("n_nationkey"))
+    reg = F.concat(F.lit("urn:region:"), F.col("r_regionkey"))
+    nat_of_c = F.concat(F.lit("urn:nation:"), F.col("c_nationkey"))
+    reg_of_n = F.concat(F.lit("urn:region:"), F.col("n_regionkey"))
+    parts = [
+        c.select(cust.alias("s"), F.lit("urn:memberOf").alias("p"), nat_of_c.alias("o")),
+        n.select(nat.alias("s"), F.lit("urn:partOf").alias("p"), reg_of_n.alias("o")),
+        c.select(cust.alias("s"), F.lit("urn:type").alias("p"), F.lit("urn:Customer").alias("o")),
+        n.select(nat.alias("s"), F.lit("urn:type").alias("p"), F.lit("urn:Nation").alias("o")),
+        r.select(reg.alias("s"), F.lit("urn:type").alias("p"), F.lit("urn:Region").alias("o")),
+        c.select(cust.alias("s"), F.lit("urn:name").alias("p"), F.col("c_name").alias("o")),
+        n.select(nat.alias("s"), F.lit("urn:name").alias("p"), F.col("n_name").alias("o")),
+        r.select(reg.alias("s"), F.lit("urn:name").alias("p"), F.col("r_name").alias("o")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+_TRIPLES_SQL = """
+    SELECT 'urn:cust:' || c_custkey AS s, 'urn:memberOf' AS p,
+           'urn:nation:' || c_nationkey AS o FROM customer
+    UNION ALL SELECT 'urn:nation:' || n_nationkey, 'urn:partOf',
+           'urn:region:' || n_regionkey FROM nation
+    UNION ALL SELECT 'urn:cust:' || c_custkey, 'urn:type', 'urn:Customer' FROM customer
+    UNION ALL SELECT 'urn:nation:' || n_nationkey, 'urn:type', 'urn:Nation' FROM nation
+    UNION ALL SELECT 'urn:region:' || r_regionkey, 'urn:type', 'urn:Region' FROM region
+    UNION ALL SELECT 'urn:cust:' || c_custkey, 'urn:name', c_name FROM customer
+    UNION ALL SELECT 'urn:nation:' || n_nationkey, 'urn:name', n_name FROM nation
+    UNION ALL SELECT 'urn:region:' || r_regionkey, 'urn:name', r_name FROM region
+"""
+
+
+def kg_triples_derive(spark, sf_dir):
+    """Relational -> RDF triple derivation (construction output shape, S7)."""
+    return _derived_triples(spark, sf_dir)
+
+
+def kg_bgp_chain(spark, sf_dir):
+    """BGP chain: ?c memberOf ?n . ?n partOf ?r . ?r name 'ASIA' (J1)."""
+    t = _derived_triples(spark, sf_dir).cache()
+    member = t.filter(F.col("p") == "urn:memberOf").select(
+        F.col("s").alias("c"), F.col("o").alias("n")
+    )
+    part = t.filter(F.col("p") == "urn:partOf").select(
+        F.col("s").alias("n"), F.col("o").alias("r")
+    )
+    asia = t.filter((F.col("p") == "urn:name") & (F.col("o") == "ASIA")).select(
+        F.col("s").alias("r")
+    )
+    return member.join(part, "n").join(F.broadcast(asia), "r").select("c", "n")
+
+
+def kg_bgp_star(spark, sf_dir):
+    """BGP star: ?c type Customer . ?c memberOf urn:nation:5 . ?c name ?nm."""
+    t = _derived_triples(spark, sf_dir).cache()
+    typ = t.filter((F.col("p") == "urn:type") & (F.col("o") == "urn:Customer")).select(
+        F.col("s").alias("c")
+    )
+    mem = t.filter((F.col("p") == "urn:memberOf") & (F.col("o") == "urn:nation:5")).select(
+        F.col("s").alias("c")
+    )
+    nm = t.filter(F.col("p") == "urn:name").select(
+        F.col("s").alias("c"), F.col("o").alias("nm")
+    )
+    return mem.join(typ, "c").join(nm, "c").select("c", "nm")
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / similarity / text / multimodal)
+# --------------------------------------------------------------------------
+
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+def dedup_minhash(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        n_hashes=8,
+        bands=4,
+        shingle_n=1,
+        jaccard_threshold=0.8,
+    )
+
+
+def dedup_jaccard_bigram(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_n=2, threshold=0.3
+    )
+
+
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash32(_t(spark, sf_dir, "documents"))
+
+
+def sim_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+def sim_neardup_pairs(spark, sf_dir):
+    return dedup.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.8
+    )
+
+
+def sim_lsh_topk(spark, sf_dir):
+    # approximate scale path: rows-only check (no SQL oracle by design)
+    return similarity.cosine_lsh_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_planes=8
+    )
+
+
+def text_stats_q(spark, sf_dir):
+    return text.text_stats(_t(spark, sf_dir, "documents"))
+
+
+def text_langid(spark, sf_dir):
+    return text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def text_fingerprint(spark, sf_dir):
+    return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def text_winnow(spark, sf_dir):
+    # rolling-hash winnowing (pandas stage): rows-only check
+    return text.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def mm_binary_meta(spark, sf_dir):
+    return multimodal.attach_binary(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "kind", "n_bytes", "digest"
+    )
+
+
+def mm_frame_sample(spark, sf_dir):
+    media = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(media, every_n=10)
+
+
+def mm_decode_stub(spark, sf_dir):
+    # deterministic fake decode; plumbing-only -> rows-only check
+    media = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_images(media)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_filter_scan": q02_filter_scan,
+    "q03_top_revenue_orders": q03_top_revenue_orders,
+    "q04_region_customer_counts": q04_region_customer_counts,
+    "q05_semijoin": q05_semijoin,
+    "q06_antijoin": q06_antijoin,
+    "q07_left_join_agg": q07_left_join_agg,
+    "q08_distinct": q08_distinct,
+    "q09_topk_events": q09_topk_events,
+    "q10_window_topk": q10_window_topk,
+    "q11_union_distinct": q11_union_distinct,
+    "q12_groupby_having": q12_groupby_having,
+    "q13_sessionize": q13_sessionize,
+    "q14_json_extract": q14_json_extract,
+    "kg_triples_derive": kg_triples_derive,
+    "kg_bgp_chain": kg_bgp_chain,
+    "kg_bgp_star": kg_bgp_star,
+    "dedup_exact": dedup_exact,
+    "dedup_minhash": dedup_minhash,
+    "dedup_jaccard_bigram": dedup_jaccard_bigram,
+    "dedup_simhash": dedup_simhash,
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_neardup_pairs": sim_neardup_pairs,
+    "sim_lsh_topk": sim_lsh_topk,
+    "text_stats": text_stats_q,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "text_winnow": text_winnow,
+    "mm_binary_meta": mm_binary_meta,
+    "mm_frame_sample": mm_frame_sample,
+    "mm_decode_stub": mm_decode_stub,
+}
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles (ANSI-ish SQL over pre-registered views)
+# --------------------------------------------------------------------------
+
+def _simhash_sql() -> str:
+    votes = ",\n        ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(32)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)" for b in range(32)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ), hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+    ), votes AS (
+      SELECT doc_id,
+        {votes}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, {fp} AS simhash FROM votes
+    """
+
+
+def _minhash_sql() -> str:
+    hs = ",\n        ".join(
+        f"min(md5('{j}|' || sh)) AS h{j}" for j in range(8)
+    )
+    bands = ",\n        ".join(
+        f"md5(concat_ws('|', {b}, h{2*b}, h{2*b+1})) AS band{b}" for b in range(4)
+    )
+    return f"""
+    WITH shing AS (
+      SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS sh
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+        {hs}
+      FROM shing GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id,
+        {bands}
+      FROM sig
+    ), stacked AS (
+      SELECT doc_id, unnest([band0, band1, band2, band3]) AS bucket FROM banded
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM stacked a JOIN stacked b USING (bucket)
+      WHERE a.doc_id < b.doc_id
+    ), sets AS (
+      SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+      FROM documents
+    )
+    SELECT id_a, id_b,
+      round(len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+            len(list_distinct(list_concat(sa.toks, sb.toks))), 6) AS jaccard
+    FROM cand
+    JOIN sets sa ON sa.doc_id = cand.id_a
+    JOIN sets sb ON sb.doc_id = cand.id_b
+    WHERE round(len(list_intersect(sa.toks, sb.toks))::DOUBLE /
+                len(list_distinct(list_concat(sa.toks, sb.toks))), 6) >= 0.8
+    """
+
+
+_BIGRAMS = (
+    "list_distinct(list_transform(range(1, len(string_split(lower(text),' '))), "
+    "i -> string_split(lower(text),' ')[i] || ' ' || string_split(lower(text),' ')[i+1]))"
+)
+
+
+_STOPLIST = "['the','a','of','and','in','to','is','on','for','with']"
+
+
+def _lang_sql() -> str:
+    markers = {
+        "en": "['the','and','of','with']",
+        "de": "['der','die','das','und']",
+        "fr": "['le','les','une','et']",
+        "es": "['el','los','una','y']",
+    }
+    cnt = {
+        lang: f"len(list_filter(string_split(lower(text),' '), t -> list_contains({lst}, t)))"
+        for lang, lst in markers.items()
+    }
+    return f"""
+    WITH c AS (
+      SELECT doc_id, {cnt['en']} AS c_en, {cnt['de']} AS c_de,
+             {cnt['fr']} AS c_fr, {cnt['es']} AS c_es
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE
+        WHEN c_en > 0 AND c_en >= greatest(c_de, c_fr, c_es) THEN 'en'
+        WHEN c_de > 0 AND c_de >= greatest(c_en, c_fr, c_es) THEN 'de'
+        WHEN c_fr > 0 AND c_fr >= greatest(c_en, c_de, c_es) THEN 'fr'
+        WHEN c_es > 0 AND c_es >= greatest(c_en, c_de, c_fr) THEN 'es'
+        ELSE 'und'
+      END AS lang_guess
+    FROM c
+    """
+
+
+ORACLES: dict[str, str] = {
+    "q01_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+          round(sum(l_quantity), 2) AS sum_qty,
+          round(sum(l_extendedprice), 2) AS sum_base,
+          round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+          round(avg(l_quantity), 4) AS avg_qty,
+          count(*) AS n
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '{CUTOFF} 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q02_filter_scan": """
+        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE l_quantity >= 48 AND l_discount <= 0.02
+    """,
+    "q03_top_revenue_orders": """
+        SELECT o_orderkey,
+          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """,
+    "q04_region_customer_counts": """
+        SELECT r_name, n_name, count(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "q05_semijoin": """
+        SELECT o_orderkey FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+    """,
+    "q06_antijoin": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "q07_left_join_agg": """
+        SELECT o_orderkey, count(l_orderkey) AS n_big_items
+        FROM orders LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity >= 40) li
+          ON o_orderkey = li.l_orderkey
+        GROUP BY o_orderkey
+    """,
+    "q08_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q09_topk_events": """
+        SELECT event_id, event_type, round(value, 6) AS value_r
+        FROM events ORDER BY value DESC, event_id ASC LIMIT 20
+    """,
+    "q10_window_topk": """
+        SELECT user_id, event_id, rk FROM (
+          SELECT user_id, event_id,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY value DESC, event_id ASC) AS rk
+          FROM events
+        ) WHERE rk <= 3
+    """,
+    "q11_union_distinct": """
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION SELECT s_nationkey FROM supplier
+    """,
+    "q12_groupby_having": """
+        SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events GROUP BY event_type HAVING count(*) >= 50
+    """,
+    "q13_sessionize": """
+        WITH gaps AS (
+          SELECT user_id, ts, event_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, ts,
+            CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS session_id
+          FROM gaps
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               (min(epoch_us(ts)) // 1000000)::BIGINT AS sess_start
+        FROM sess GROUP BY user_id, session_id
+    """,
+    "q14_json_extract": """
+        SELECT event_id, CAST(props->>'k' AS INTEGER) AS k_val
+        FROM events WHERE CAST(props->>'k' AS INTEGER) > 50
+    """,
+    "kg_triples_derive": _TRIPLES_SQL,
+    "kg_bgp_chain": f"""
+        WITH triples AS ({_TRIPLES_SQL})
+        SELECT m.s AS c, m.o AS n
+        FROM triples m
+        JOIN triples pt ON pt.p = 'urn:partOf' AND pt.s = m.o
+        JOIN triples nm ON nm.p = 'urn:name' AND nm.s = pt.o AND nm.o = 'ASIA'
+        WHERE m.p = 'urn:memberOf'
+    """,
+    "kg_bgp_star": f"""
+        WITH triples AS ({_TRIPLES_SQL})
+        SELECT ty.s AS c, nm.o AS nm
+        FROM triples ty
+        JOIN triples mem ON mem.p = 'urn:memberOf' AND mem.o = 'urn:nation:5'
+             AND mem.s = ty.s
+        JOIN triples nm ON nm.p = 'urn:name' AND nm.s = ty.s
+        WHERE ty.p = 'urn:type' AND ty.o = 'urn:Customer'
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS content_key, min(doc_id) AS canonical_id,
+               count(*) AS n_dups
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_minhash": _minhash_sql(),
+    "dedup_jaccard_bigram": f"""
+        WITH sh AS (
+          SELECT doc_id, unnest({_BIGRAMS}) AS sh FROM documents
+        ), sizes AS (
+          SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b USING (sh)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+          round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 6) >= 0.3
+    """,
+    "dedup_simhash": _simhash_sql(),
+    "sim_cosine_topk": """
+        WITH q AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0
+        ), scored AS (
+          SELECT vec_id,
+            list_aggregate(list_transform(
+              list_zip(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv),
+              p -> p[1] * p[2]), 'sum')
+            / (sqrt(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+               * sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum')))
+            AS sim
+          FROM embeddings, q WHERE vec_id <> 0
+        )
+        SELECT vec_id, round(sim, 6) AS cosine FROM scored
+        ORDER BY round(sim, 6) DESC, vec_id ASC LIMIT 10
+    """,
+    "sim_neardup_pairs": """
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          round(
+            list_aggregate(list_transform(list_zip(a.e, b.e), p -> p[1]*p[2]), 'sum')
+            / (sqrt(list_aggregate(list_transform(a.e, x -> x*x), 'sum'))
+               * sqrt(list_aggregate(list_transform(b.e, x -> x*x), 'sum'))), 6)
+          AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE round(
+            list_aggregate(list_transform(list_zip(a.e, b.e), p -> p[1]*p[2]), 'sum')
+            / (sqrt(list_aggregate(list_transform(a.e, x -> x*x), 'sum'))
+               * sqrt(list_aggregate(list_transform(b.e, x -> x*x), 'sum'))), 6) >= 0.8
+    """,
+    "text_stats": f"""
+        WITH t AS (
+          SELECT doc_id, text,
+            string_split(lower(text), ' ') AS toks,
+            length(text) AS n_chars,
+            length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+          FROM documents
+        )
+        SELECT doc_id,
+          len(toks) AS n_tokens,
+          n_chars,
+          round(n_punct::DOUBLE / n_chars, 6) AS punct_ratio,
+          round(len(list_filter(toks, x -> list_contains({_STOPLIST}, x)))::DOUBLE
+                / len(toks), 6) AS stopword_ratio,
+          round(least(len(toks) / 50.0, 1.0)
+                * (0.5 + round(len(list_filter(toks, x -> list_contains({_STOPLIST}, x)))::DOUBLE
+                               / len(toks), 6))
+                - round(n_punct::DOUBLE / n_chars, 6), 6) AS quality
+        FROM t
+    """,
+    "text_langid": _lang_sql(),
+    "text_fingerprint": """
+        SELECT doc_id,
+          md5(trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'),
+                                  ' +', ' ', 'g'))) AS fingerprint
+        FROM documents
+    """,
+    "mm_binary_meta": """
+        SELECT doc_id, 'blob' AS kind,
+          octet_length(encode(text))::BIGINT AS n_bytes,
+          md5(text) AS digest
+        FROM documents
+    """,
+    "mm_frame_sample": """
+        WITH m AS (
+          SELECT doc_id,
+            ('0x' || substr(md5(text), 1, 6))::BIGINT % 300 + 1 AS n_frames
+          FROM documents
+        )
+        SELECT doc_id, n_frames, unnest(range(0, n_frames, 10))::BIGINT AS frame_idx
+        FROM m
+    """,
+}

@@ -1,0 +1,204 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hash choices are *portable* (md5 over strings) so every operator has an
+exact DuckDB oracle; at production scale you'd swap md5 for xxhash64 (one
+line) — the shapes (shingle -> minhash -> band -> bucket-join; bit-vote
+simhash) are the scale-relevant part:
+
+- exact:    one groupBy on the content key (map-side partial agg).
+- MinHash+LSH: banding turns O(n^2) pair search into equi-join on band keys;
+  candidate pairs then verified with exact Jaccard. Shuffle volume is
+  O(n * bands), never O(n^2).
+- SimHash:  32-bit bit-vote fingerprint; near-dup = small Hamming distance.
+- n-gram Jaccard: exact verification primitive (also standalone for small n).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_MINHASH_HASHES = 8
+DEFAULT_BANDS = 4
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace tokens, lowercased (portable: split on single spaces)."""
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per distinct content: canonical (min) id + duplicate count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_key"))
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def word_shingles(text_col: str = "text", n: int = 3):
+    """n-word shingle array (distinct), built with JVM-side array functions."""
+    toks = tokens_col(text_col)
+    # shingle i = tokens[i..i+n-1] joined by space, for i in 0..len-n
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+    # guard: shorter than n tokens -> empty shingle set (sequence would descend)
+    return F.when(F.size(toks) >= n, shingles).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature(df: DataFrame, id_col: str, shingles_col: str, n_hashes: int) -> DataFrame:
+    """(id, h0..h{n-1}): min over shingles of md5(j || '|' || shingle).
+
+    min-over-md5-hex is a valid minhash family (each salted md5 induces an
+    independent pseudo-random total order on the shingle universe).
+    """
+    ex = df.select(id_col, F.explode(shingles_col).alias("sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("sh")))).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = DEFAULT_MINHASH_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard) via MinHash banding.
+
+    Pipeline: shingle -> minhash -> band keys -> self-equi-join on band
+    bucket -> exact Jaccard verification on the candidate pairs only.
+    """
+    rows_per_band = n_hashes // bands
+    with_sh = df.select(id_col, word_shingles(text_col, shingle_n).alias("shingles"))
+    sig = minhash_signature(with_sh, id_col, "shingles", n_hashes)
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", F.lit(b), *[f"h{b * rows_per_band + r}" for r in range(rows_per_band)])
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, *band_cols)
+    stacked = banded.select(
+        id_col,
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
+    )
+    a = stacked.select(F.col(id_col).alias("id_a"), "bucket")
+    b = stacked.select(F.col(id_col).alias("id_b"), "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_a = with_sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = with_sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact Jaccard pairs via shared-shingle inverted index (no LSH).
+
+    Scale shape: |intersection| computed distributively from the exploded
+    shingle index (groupBy pair), union via inclusion-exclusion — never
+    materializes per-doc sets on the join path.
+    """
+    sh = df.select(id_col, F.explode(word_shingles(text_col, shingle_n)).alias("sh"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard", F.round(F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i")), 6)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per document (portable arithmetic; exact SQL oracle).
+
+    token hash = first 8 hex chars of md5 as uint32; per bit, vote +1/-1
+    over tokens; fingerprint bit b set iff vote > 0.
+    """
+    toks = df.select(id_col, F.explode(tokens_col(text_col)).alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    toks = toks.select(id_col, h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(32)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(32):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else (fp + bit)
+    return agg.select(id_col, fp.alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact cosine near-dup pairs (brute self-join) — correctness baseline.
+
+    The scale path is LSH bucketing (similarity.cosine_lsh_buckets); this
+    operator is the oracle-checkable reference for it.
+    """
+    from parj_spark.operators.similarity import cosine_sim
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_sim("va", "vb"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
