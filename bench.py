@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + KG construction throughput.
+
+Prints ONE JSON line:
+  {"metric": "suite_wall_sec", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "triples_per_sec": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  BENCH_DEPTS         KG corpus scale in departments (default 400)
+  BENCH_OUT           graph materialization dir (default tmp)
+
+Timing protocol mirrors the reference harness (README.md:66): one warm-up
+execution of the suite's first query, then each query timed to completion
+(count() action). Construction reported as docs/sec + triples/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
+from parj_spark.session import get_spark  # noqa: E402
+from parj_spark import contract  # noqa: E402
+from parj_spark.fixtures import gen_corpus  # noqa: E402
+from parj_spark.construct import run_pipeline  # noqa: E402
+from parj_spark.query import BGPEngine, parse_bgp  # noqa: E402
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_revenue_orders",
+    "q05_semijoin",
+    "q07_left_join_agg",
+    "q10_window_topk",
+    "q13_sessionize",
+    "kg_bgp_chain",
+    "dedup_exact",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "text_stats",
+    "text_fingerprint",
+]
+
+# Bench-scale dedup variants: discriminative 3-word shingles + bucket-size
+# skew guard. The contract's unigram variants are correctness fixtures; on
+# this synthetic near-identical corpus they intentionally degenerate to
+# O(n^2) pairs, which is the wrong workload shape to time at sf>=0.1.
+BENCH_EXTRA = {
+    "dedup_minhash_3sh": lambda spark, sf_dir: contract.dedup.minhash_lsh_pairs(
+        contract._t(spark, sf_dir, "documents"),
+        n_hashes=8,
+        bands=4,
+        shingle_n=3,
+        jaccard_threshold=0.4,
+        max_bucket=200,
+    ),
+    "dedup_jaccard_3gram": lambda spark, sf_dir: contract.dedup.ngram_jaccard_pairs(
+        contract._t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.2
+    ),
+}
+
+BGP_QUERIES = {
+    "bgp_triangle": """
+        ?s ub:advisor ?p .
+        ?s ub:takesCourse ?c .
+        ?p ub:teacherOf ?c .
+    """,
+    "bgp_star_prof": """
+        ?x rdf:type ub:FullProfessor .
+        ?x ub:worksFor ?d .
+        ?x ub:name ?n .
+        ?x ub:emailAddress ?e .
+    """,
+    "bgp_chain_member": """
+        ?x ub:memberOf ?d .
+        ?d ub:subOrganizationOf ?u .
+        ?u rdf:type ub:University .
+    """,
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_depts = int(os.environ.get("BENCH_DEPTS", "400"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark(app="parj_spark_bench", cpus=cpus)
+    timings: dict[str, float] = {}
+
+    # warm-up (JVM + parquet footer caches), not recorded
+    contract.QUERIES[HEADLINE[0]](spark, sf_dir).count()
+
+    for name in HEADLINE:
+        t0 = time.time()
+        contract.QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    for name, fn in BENCH_EXTRA.items():
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    # KG construction throughput on the interleaved-docs corpus
+    out_dir = os.environ.get("BENCH_OUT") or tempfile.mkdtemp(prefix="bench_kg_")
+    cleanup = "BENCH_OUT" not in os.environ
+    docs, _ = gen_corpus(spark, n_depts=n_depts, seed=42)
+    docs = docs.cache()
+    n_docs = docs.count()  # materialize corpus outside the timed window
+    t0 = time.time()
+    store = run_pipeline(spark, docs, out_dir, resume=False)
+    n_triples = store.spo().count()
+    t_construct = time.time() - t0
+    timings["kg_construct"] = round(t_construct, 3)
+
+    # BGP suite over the materialized graph
+    engine = BGPEngine(store)
+    for name, q in BGP_QUERIES.items():
+        t0 = time.time()
+        engine.count(parse_bgp(q))
+        timings[name] = round(time.time() - t0, 3)
+
+    if cleanup:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "kg_docs": n_docs,
+                "kg_triples": n_triples,
+                "docs_per_sec": round(n_docs / t_construct, 1),
+                "triples_per_sec": round(n_triples / t_construct, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

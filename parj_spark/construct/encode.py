@@ -58,18 +58,46 @@ def assemble_triples(mentions: DataFrame, canon: DataFrame) -> DataFrame:
 
 
 def _dense_ids(terms: DataFrame, col: str) -> DataFrame:
-    """(id, <col>) with dense deterministic ids via sorted zipWithIndex."""
-    spark = terms.sparkSession
-    sorted_terms = terms.select(col).distinct().orderBy(col)
-    rdd = sorted_terms.rdd.map(lambda r: r[0]).zipWithIndex()
-    return spark.createDataFrame(
-        rdd.map(lambda t: (t[1], t[0])),
-        T.StructType(
-            [
-                T.StructField("id", T.LongType(), False),
-                T.StructField("uri", T.StringType(), False),
-            ]
-        ),
+    """(id, uri) with dense deterministic ids, fully JVM-side + distributed.
+
+    Range-partition the sorted distinct terms, rank locally per partition,
+    then add the (tiny, broadcast) per-partition cumulative offsets — the
+    classic distributed zipWithIndex, with no Python row path and no
+    single-partition window bottleneck.
+    """
+    from pyspark.sql import Window
+
+    distinct = (
+        terms.select(F.col(col).alias("uri"))
+        .distinct()
+        .repartitionByRange(F.col("uri"))
+        .sortWithinPartitions("uri")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    distinct = distinct.localCheckpoint()  # pin partition ids
+    counts = (
+        distinct.groupBy("pid").count().orderBy("pid").collect()
+    )
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["pid"]] = acc
+        acc += r["count"]
+    off_df = F.broadcast(
+        distinct.sparkSession.createDataFrame(
+            [(int(pid), int(off)) for pid, off in offsets.items()],
+            T.StructType(
+                [
+                    T.StructField("pid", T.IntegerType(), False),
+                    T.StructField("offset", T.LongType(), False),
+                ]
+            ),
+        )
+    )
+    local_rn = F.row_number().over(Window.partitionBy("pid").orderBy("uri"))
+    return (
+        distinct.withColumn("rn", local_rn)
+        .join(off_df, "pid")
+        .select((F.col("offset") + F.col("rn") - 1).alias("id"), "uri")
     )
 
 
