@@ -27,15 +27,27 @@ def connected_components(
 
     ``edges`` must have columns (src, dst); undirected semantics.
     Returns (labels_df, iterations_run).
+
+    Engineered for minimum job count: the loop runs exactly ONE Spark action
+    per iteration (the changed-count, which also materializes the new label
+    cache), because on short coref chains the iteration cost is pure
+    scheduling overhead, not compute. AQE handles shuffle partition sizing;
+    lineage is cut every 5 iterations for adversarially deep components.
     """
+    # duplicates in sym are harmless under min-aggregation -> skip distinct
+    # (saves a full shuffle of the edge set)
     sym = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
+        .persist()
     )
-    nodes = sym.select(F.col("src").alias("node")).distinct()
-    labels = nodes.select("node", F.col("node").alias("component")).localCheckpoint()
-    sym = sym.localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .persist()
+    )
+    labels.count()
 
     it = 0
     for it in range(1, max_iter + 1):
@@ -48,17 +60,24 @@ def connected_components(
             .union(prop)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
+            .persist()
         )
+        # one action per iteration: the changed-count materializes new_labels
+        # into the cache as a side effect (no separate checkpoint job)
         changed = (
             labels.alias("a")
             .join(new_labels.alias("b"), "node")
             .filter(F.col("a.component") != F.col("b.component"))
             .count()
         )
+        labels.unpersist()
         labels = new_labels
+        if it % 5 == 0:
+            # cut logical lineage for adversarially deep components
+            labels = labels.localCheckpoint()
         if changed == 0:
             break
+    sym.unpersist()
     return labels, it
 
 

@@ -85,7 +85,9 @@ def run_pipeline(
         spark, out_dir, "mentions", resume, lambda: extract.extract_mentions(docs)
     )
 
-    surfaces = linking.mention_surfaces(mentions)
+    # distinct surfaces feed both the links and canon stages — persist the
+    # one distinct-shuffle instead of recomputing it per downstream action
+    surfaces = linking.mention_surfaces(mentions).persist()
     links = _run_stage(
         spark,
         out_dir,
@@ -95,8 +97,12 @@ def run_pipeline(
     )
 
     def build_canon() -> DataFrame:
-        edges = linking.coref_edges(surfaces)
+        t0 = time.time()
+        edges = linking.coref_edges(surfaces).persist()
+        n_edges = edges.count()
+        t_edges = time.time()
         labels, iters = canonicalize.connected_components(edges)
+        t_cc = time.time()
         priority = labels.select(
             "node",
             F.when(
@@ -106,10 +112,20 @@ def run_pipeline(
             .alias("rank"),
         )
         cmap = canonicalize.canonical_map(labels, priority)
-        lineage.record_stage(out_dir, "canonicalize_iters", None, None, 0.0, iters=iters)
+        lineage.record_stage(
+            out_dir,
+            "canonicalize_iters",
+            n_edges,
+            None,
+            0.0,
+            iters=iters,
+            edges_sec=round(t_edges - t0, 3),
+            cc_sec=round(t_cc - t_edges, 3),
+        )
         return cmap
 
     canon = _run_stage(spark, out_dir, "canon_map", resume, build_canon)
+    surfaces.unpersist()
 
     triples_uri = _run_stage(
         spark,

@@ -299,7 +299,7 @@ def sim_neardup_pairs(spark, sf_dir):
 def sim_lsh_topk(spark, sf_dir):
     # approximate scale path: rows-only check (no SQL oracle by design)
     return similarity.cosine_lsh_topk(
-        _t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_planes=8
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_planes=6
     )
 
 

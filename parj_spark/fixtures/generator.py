@@ -134,7 +134,9 @@ def _dept_docs(g: int, n_depts: int, seed: int) -> list[dict]:
     return docs
 
 
-def documents_kg_df(spark: SparkSession, n_depts: int, seed: int = 42) -> DataFrame:
+def documents_kg_df(
+    spark: SparkSession, n_depts: int, seed: int = 42, num_partitions: int | None = None
+) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -142,7 +144,7 @@ def documents_kg_df(spark: SparkSession, n_depts: int, seed: int = 42) -> DataFr
                 rows.extend(_dept_docs(int(g), n_depts, seed))
             yield pd.DataFrame(rows, columns=["doc_id", "spans"])
 
-    n_part = max(1, min(n_depts, spark.sparkContext.defaultParallelism))
+    n_part = num_partitions or max(1, min(n_depts, spark.sparkContext.defaultParallelism))
     return spark.range(n_depts, numPartitions=n_part).mapInPandas(gen, DOCS_SCHEMA)
 
 
@@ -165,6 +167,11 @@ def gold_triples_df(spark: SparkSession, n_depts: int) -> DataFrame:
     return spark.range(n_depts, numPartitions=n_part).mapInPandas(gen, GOLD_SCHEMA)
 
 
-def gen_corpus(spark: SparkSession, n_depts: int, seed: int = 42) -> tuple[DataFrame, DataFrame]:
+def gen_corpus(
+    spark: SparkSession, n_depts: int, seed: int = 42, num_partitions: int | None = None
+) -> tuple[DataFrame, DataFrame]:
     """(documents_kg, gold_triples) at the given scale. tiny=8, small=160, bench=2000."""
-    return documents_kg_df(spark, n_depts, seed), gold_triples_df(spark, n_depts)
+    return (
+        documents_kg_df(spark, n_depts, seed, num_partitions),
+        gold_triples_df(spark, n_depts),
+    )

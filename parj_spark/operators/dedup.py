@@ -99,7 +99,9 @@ def minhash_lsh_pairs(
     frequent-bucket skip from the LSH literature.
     """
     rows_per_band = n_hashes // bands
-    with_sh = with_shingles(df, id_col, text_col, shingle_n)
+    # shingle arrays are read three times (signature + both sides of the
+    # verification join) — persist instead of recomputing the tokenization
+    with_sh = with_shingles(df, id_col, text_col, shingle_n).persist()
     sig = minhash_signature(with_sh, id_col, "shingles", n_hashes)
     band_cols = [
         F.md5(
@@ -217,7 +219,12 @@ def embedding_neardup_pairs(
     """
     from parj_spark.operators.similarity import cosine_sim
 
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    # a small input file arrives as one scan partition; the cross-join work
+    # is O(n^2) regardless, so spread the probe side over all task slots
+    slots = emb.sparkSession.sparkContext.defaultParallelism * 2
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")).repartition(
+        slots
+    )
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.crossJoin(b)

@@ -81,15 +81,18 @@ def cosine_lsh_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int = 6,
     seed: int = 7,
+    probe_bits: int = 2,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-sign bucket join, exact re-rank in-bucket.
 
-    Recall < 1 by construction (bucket boundary losses) — for guaranteed
-    recall use multi-probe (flip one bit) which multiplies candidates by
-    (1 + n_planes); implemented here because at 10^9 vectors the brute
-    cross-join is not an option.
+    Recall < 1 by construction (bucket boundary losses); ``probe_bits``
+    enables multi-probe — the query also inspects every bucket within
+    Hamming distance <= probe_bits of its own signature, trading candidate
+    volume (1 + C(p,1) + C(p,2) buckets) for recall. At 10^9 vectors the
+    brute cross-join is not an option; this prunes the exact re-rank to the
+    probed buckets only.
     """
     spark = emb.sparkSession
     dim = len(emb.select(vec_col).first()[0])
@@ -113,16 +116,19 @@ def cosine_lsh_topk(
     q = with_b.filter(F.col(id_col) == query_id).select(
         F.col("bucket").alias("qbucket"), F.col(vec_col).alias("qvec")
     )
-    # multi-probe: query bucket plus all 1-bit flips
+    # multi-probe: query bucket plus all <=probe_bits-bit flips
+    flips = [0]
+    if probe_bits >= 1:
+        flips += [1 << b for b in range(n_planes)]
+    if probe_bits >= 2:
+        flips += [
+            (1 << a) | (1 << b)
+            for a in range(n_planes)
+            for b in range(a + 1, n_planes)
+        ]
     probe = q.select(
         F.explode(
-            F.array(
-                F.col("qbucket"),
-                *[
-                    F.col("qbucket").bitwiseXOR(F.lit(1 << b))
-                    for b in range(n_planes)
-                ],
-            )
+            F.array(*[F.col("qbucket").bitwiseXOR(F.lit(x)) for x in flips])
         ).alias("bucket"),
         "qvec",
     )

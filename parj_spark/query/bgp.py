@@ -50,17 +50,18 @@ def parse_bgp(text: str) -> list[Pattern]:
     """Parse whitespace-separated triple patterns, one per line, optional
     trailing '.'; terms are '?var' or constant URIs/literals (quote literals
     containing spaces with double quotes)."""
+    import shlex
+
     pats = []
     for line in text.strip().splitlines():
-        line = line.strip().rstrip(".").strip()
-        if not line:
-            continue
-        import shlex
-
-        parts = shlex.split(line)
-        if len(parts) != 3:
-            raise ValueError(f"bad pattern line: {line!r}")
-        pats.append(Pattern(*parts))
+        for chunk in line.split(" . "):  # allow several patterns per line
+            chunk = chunk.strip().rstrip(".").strip()
+            if not chunk:
+                continue
+            parts = shlex.split(chunk)
+            if len(parts) != 3:
+                raise ValueError(f"bad pattern line: {chunk!r}")
+            pats.append(Pattern(*parts))
     return pats
 
 
