@@ -180,6 +180,100 @@ def q14_json_extract(spark, sf_dir):
     return e.select("event_id", k.alias("k_val")).filter(F.col("k_val") > 50)
 
 
+def q15_rollup(spark, sf_dir):
+    """ROLLUP hierarchical aggregation (A3 family)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+def q16_pivot(spark, sf_dir):
+    """Pivot via conditional aggregation (portable form)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0)), 2).alias("qty_o"),
+        F.round(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0)), 2).alias("qty_f"),
+    )
+
+
+def q17_cube(spark, sf_dir):
+    """CUBE grouping sets (A3 family)."""
+    e = _t(spark, sf_dir, "events")
+    return e.cube("event_type").agg(F.count("*").alias("n"))
+
+
+def q18_scalar_subquery(spark, sf_dir):
+    """Scalar-subquery filter: orders above global average price."""
+    o = _t(spark, sf_dir, "orders")
+    avg_p = o.agg(F.avg("o_totalprice").alias("ap"))
+    return (
+        o.crossJoin(F.broadcast(avg_p))
+        .filter(F.col("o_totalprice") > F.col("ap"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price_r"))
+    )
+
+
+def q19_except(spark, sf_dir):
+    """EXCEPT set op (U3): nations with customers but no suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.distinct().exceptAll(s.distinct())
+
+
+def q20_intersect(spark, sf_dir):
+    """INTERSECT set op (U3)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+def q21_date_parts(spark, sf_dir):
+    """Date-part extraction + grouping (scalar function layer)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.year("l_shipdate").alias("ship_year"),
+            F.month("l_shipdate").alias("ship_month"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+def q22_string_funcs(spark, sf_dir):
+    """String scalar functions: upper/substr/length/concat/like."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_name").like("%1%"))
+        .select(
+            "c_custkey",
+            F.upper("c_name").alias("name_u"),
+            F.substring("c_name", 1, 8).alias("name_pre"),
+            F.length("c_name").alias("name_len"),
+            F.concat(F.col("c_mktsegment"), F.lit("#"), F.col("c_name")).alias("tagged"),
+        )
+    )
+
+
+def q23_distinct_count(spark, sf_dir):
+    """Exact multi-column distinct aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_parts"),
+        F.countDistinct("l_suppkey").alias("nd_supps"),
+    )
+
+
+def q24_correlated_semi(spark, sf_dir):
+    """Correlated EXISTS across dimensions: suppliers sharing a nation with
+    at least one BUILDING-segment customer."""
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return s.join(
+        c, s.s_nationkey == c.c_nationkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
 # --------------------------------------------------------------------------
 # KG derivation + BGP joins over testdata (SURVEY §2.3 J1 shapes)
 # --------------------------------------------------------------------------
@@ -241,6 +335,17 @@ def kg_bgp_chain(spark, sf_dir):
         F.col("s").alias("r")
     )
     return member.join(part, "n").join(F.broadcast(asia), "r").select("c", "n")
+
+
+def kg_type_stats(spark, sf_dir):
+    """Per-predicate statistics table — reference stat vtab mode 0 analog
+    (parj.c:311-337): count + exact distinct subjects/objects per predicate."""
+    t = _derived_triples(spark, sf_dir)
+    return t.groupBy("p").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("s").alias("nd_s"),
+        F.countDistinct("o").alias("nd_o"),
+    )
 
 
 def kg_bgp_star(spark, sf_dir):
@@ -352,9 +457,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q12_groupby_having": q12_groupby_having,
     "q13_sessionize": q13_sessionize,
     "q14_json_extract": q14_json_extract,
+    "q15_rollup": q15_rollup,
+    "q16_pivot": q16_pivot,
+    "q17_cube": q17_cube,
+    "q18_scalar_subquery": q18_scalar_subquery,
+    "q19_except": q19_except,
+    "q20_intersect": q20_intersect,
+    "q21_date_parts": q21_date_parts,
+    "q22_string_funcs": q22_string_funcs,
+    "q23_distinct_count": q23_distinct_count,
+    "q24_correlated_semi": q24_correlated_semi,
     "kg_triples_derive": kg_triples_derive,
     "kg_bgp_chain": kg_bgp_chain,
     "kg_bgp_star": kg_bgp_star,
+    "kg_type_stats": kg_type_stats,
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_jaccard_bigram": dedup_jaccard_bigram,
@@ -563,6 +679,59 @@ ORACLES: dict[str, str] = {
     "q14_json_extract": """
         SELECT event_id, CAST(props->>'k' AS INTEGER) AS k_val
         FROM events WHERE CAST(props->>'k' AS INTEGER) > 50
+    """,
+    "q15_rollup": """
+        SELECT l_returnflag, l_linestatus,
+          round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q16_pivot": """
+        SELECT l_returnflag,
+          round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END), 2) AS qty_o,
+          round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END), 2) AS qty_f
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q17_cube": """
+        SELECT event_type, count(*) AS n FROM events GROUP BY CUBE (event_type)
+    """,
+    "q18_scalar_subquery": """
+        SELECT o_orderkey, round(o_totalprice, 2) AS price_r FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+    "q19_except": """
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT DISTINCT s_nationkey FROM supplier
+    """,
+    "q20_intersect": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+    """,
+    "q21_date_parts": """
+        SELECT year(l_shipdate)::INT AS ship_year, month(l_shipdate)::INT AS ship_month,
+          count(*) AS n, round(sum(l_quantity), 2) AS qty
+        FROM lineitem GROUP BY 1, 2
+    """,
+    "q22_string_funcs": """
+        SELECT c_custkey, upper(c_name) AS name_u, substr(c_name, 1, 8) AS name_pre,
+          length(c_name)::INT AS name_len, c_mktsegment || '#' || c_name AS tagged
+        FROM customer WHERE c_name LIKE '%1%'
+    """,
+    "q23_distinct_count": """
+        SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts,
+          count(DISTINCT l_suppkey) AS nd_supps
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q24_correlated_semi": """
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE EXISTS (SELECT 1 FROM customer
+                      WHERE c_nationkey = s_nationkey AND c_mktsegment = 'BUILDING')
+    """,
+    "kg_type_stats": f"""
+        WITH triples AS ({_TRIPLES_SQL})
+        SELECT p, count(*) AS n, count(DISTINCT s) AS nd_s, count(DISTINCT o) AS nd_o
+        FROM triples GROUP BY p
     """,
     "kg_triples_derive": _TRIPLES_SQL,
     "kg_bgp_chain": f"""
