@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the KG construction pipeline.
+
+Cluster usage (north_rule: "runs via spark-submit --py-files"):
+
+    python scripts/package.py                       # builds dist/parj_spark.zip
+    spark-submit --master <cluster> \\
+        --py-files dist/parj_spark.zip \\
+        scripts/submit_pipeline.py \\
+        --input  s3://bucket/docs/   \\
+        --output s3://bucket/graph/  [--resume]
+
+Local smoke (generates a synthetic corpus instead of reading one):
+
+    python scripts/submit_pipeline.py --gen-depts 200 --output /tmp/kg
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="parquet dir of (doc_id, spans) documents")
+    ap.add_argument("--output", required=True, help="graph output dir")
+    ap.add_argument("--gen-depts", type=int, help="generate synthetic corpus instead")
+    ap.add_argument("--resume", action="store_true", default=True)
+    ap.add_argument("--no-resume", dest="resume", action="store_false")
+    ap.add_argument("--salt-buckets", type=int, default=8)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from parj_spark.construct import run_pipeline
+    from parj_spark.construct.lineage import read_lineage
+
+    # under spark-submit the session config comes from the submit command;
+    # builder.getOrCreate() attaches to it (local fallback for smoke runs)
+    spark = SparkSession.builder.appName("parj_spark_pipeline").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.gen_depts:
+        from parj_spark.fixtures import gen_corpus
+
+        docs, _ = gen_corpus(spark, n_depts=args.gen_depts, seed=42)
+    elif args.input:
+        docs = spark.read.parquet(args.input)
+    else:
+        ap.error("one of --input / --gen-depts is required")
+
+    store = run_pipeline(spark, docs, args.output, resume=args.resume,
+                         salt_buckets=args.salt_buckets)
+    n = store.spo().count()
+    print(f"graph materialized at {args.output}: {n} triples")
+    for rec in read_lineage(args.output):
+        print("  lineage:", rec)
+
+
+if __name__ == "__main__":
+    main()
