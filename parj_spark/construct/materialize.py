@@ -52,28 +52,51 @@ def write_graph(
     out_dir: str,
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
 ) -> None:
+    from concurrent.futures import ThreadPoolExecutor
+
     triples_enc = triples_enc.cache()
-    _write_permutation(triples_enc, os.path.join(out_dir, "spo"), ["s", "o"], salt_buckets)
-    _write_permutation(triples_enc, os.path.join(out_dir, "pos"), ["o", "s"], salt_buckets)
-    # OSP: object-first global order for variable-predicate access paths
-    (
-        triples_enc.repartitionByRange(F.col("o"))
-        .sortWithinPartitions("o", "s", "p")
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "osp"))
-    )
-    stats = triples_enc.groupBy("p").agg(
-        F.count("*").alias("n"),
-        F.approx_count_distinct("s").alias("ndv_s"),
-        F.approx_count_distinct("o").alias("ndv_o"),
-        F.min("s").alias("min_s"),
-        F.max("s").alias("max_s"),
-        F.min("o").alias("min_o"),
-        F.max("o").alias("max_o"),
-    )
-    stats.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
-    dict_df.write.mode("overwrite").parquet(os.path.join(out_dir, "dict"))
-    props_df.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "properties")
-    )
+    triples_enc.count()  # materialize once; all six writers read the cache
+
+    def w_spo():
+        _write_permutation(triples_enc, os.path.join(out_dir, "spo"), ["s", "o"], salt_buckets)
+
+    def w_pos():
+        _write_permutation(triples_enc, os.path.join(out_dir, "pos"), ["o", "s"], salt_buckets)
+
+    def w_osp():
+        # OSP: object-first global order for variable-predicate access paths
+        (
+            triples_enc.repartitionByRange(F.col("o"))
+            .sortWithinPartitions("o", "s", "p")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "osp"))
+        )
+
+    def w_stats():
+        stats = triples_enc.groupBy("p").agg(
+            F.count("*").alias("n"),
+            F.approx_count_distinct("s").alias("ndv_s"),
+            F.approx_count_distinct("o").alias("ndv_o"),
+            F.min("s").alias("min_s"),
+            F.max("s").alias("max_s"),
+            F.min("o").alias("min_o"),
+            F.max("o").alias("max_o"),
+        )
+        stats.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
+
+    def w_dict():
+        dict_df.write.mode("overwrite").parquet(os.path.join(out_dir, "dict"))
+
+    def w_props():
+        props_df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "properties")
+        )
+
+    # the six writers are independent Spark jobs over the cached triples —
+    # submit them concurrently so the scheduler interleaves their stages
+    # (hides per-job latency; same pattern works on a real cluster)
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        futures = [pool.submit(f) for f in (w_spo, w_pos, w_osp, w_stats, w_dict, w_props)]
+        for fut in futures:
+            fut.result()
     triples_enc.unpersist()

@@ -96,12 +96,16 @@ def run_pipeline(
         lambda: linking.best_links(linking.candidate_links(surfaces)),
     )
 
+    canon_frames: dict[str, DataFrame] = {}
+
     def build_canon() -> DataFrame:
         t0 = time.time()
         edges = linking.coref_edges(surfaces).persist()
         n_edges = edges.count()
         t_edges = time.time()
         labels, iters = canonicalize.connected_components(edges)
+        canon_frames["labels"] = labels
+        canon_frames["edges"] = edges
         t_cc = time.time()
         priority = labels.select(
             "node",
@@ -126,6 +130,8 @@ def run_pipeline(
 
     canon = _run_stage(spark, out_dir, "canon_map", resume, build_canon)
     surfaces.unpersist()
+    for df in canon_frames.values():  # release CC working caches
+        df.unpersist()
 
     triples_uri = _run_stage(
         spark,

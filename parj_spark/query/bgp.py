@@ -147,10 +147,18 @@ class BGPEngine:
         select: list[str] | None = None,
         distinct: bool = False,
         decode: bool = True,
+        optional: list[Pattern] | str | None = None,
+        order_by: list[str] | None = None,
+        limit: int | None = None,
     ) -> DataFrame:
+        """Answer a BGP. ``optional`` patterns join LEFT OUTER (SPARQL
+        OPTIONAL — the reference carries the opcode but never constructs it,
+        Node.java:43 / SURVEY.md §2.3 J5); ``order_by``/``limit`` complete
+        the O1/O2 surface."""
         if isinstance(patterns, str):
             patterns = parse_bgp(patterns)
-        terms = self._resolve_terms(patterns)
+        opt_patterns = parse_bgp(optional) if isinstance(optional, str) else (optional or [])
+        terms = self._resolve_terms(list(patterns) + opt_patterns)
         ordered = self._order(patterns)
 
         result: DataFrame | None = None
@@ -175,7 +183,18 @@ class BGPEngine:
         if "__exists" in result.columns:
             result = result.drop("__exists")
 
-        out_vars = select or sorted({v for p in patterns for v in p.vars()})
+        for pat in opt_patterns:  # OPTIONAL: left outer join, after the BGP core
+            scan = self._scan(pat, terms)
+            if scan is None:
+                for v in pat.vars():
+                    if v not in result.columns:
+                        result = result.withColumn(v, F.lit(None).cast("long"))
+                continue
+            shared = sorted(set(result.columns) & set(scan.columns))
+            result = result.join(scan, on=shared, how="left") if shared else result.crossJoin(scan)
+
+        all_pats = list(patterns) + opt_patterns
+        out_vars = select or sorted({v for p in all_pats for v in p.vars()})
         result = result.select(*[c for c in out_vars if c in result.columns])
         if distinct:
             result = result.distinct()
@@ -188,6 +207,10 @@ class BGPEngine:
                 )
                 result = result.join(d, v, "left").drop(v).withColumnRenamed(f"{v}_uri", v)
             result = result.select(*out_vars)
+        if order_by:
+            result = result.orderBy(*order_by)
+        if limit is not None:
+            result = result.limit(limit)
         return result
 
     def count(self, patterns: list[Pattern] | str) -> int:

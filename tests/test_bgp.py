@@ -126,3 +126,35 @@ def test_fully_bound_existence(engine, tiny_corpus):
         ]
     )
     assert res.count() > 0
+
+
+def test_optional_left_join(engine, tiny_corpus):
+    """OPTIONAL: every student row survives; email only bound for profs."""
+    _, gold = tiny_corpus
+    res = engine.query(
+        [Pattern("?x", "rdf:type", "ub:UndergraduateStudent")],
+        optional=[Pattern("?x", "ub:emailAddress", "?e")],
+    )
+    n_students = gold.filter(
+        (F.col("p_uri") == "rdf:type")
+        & (F.col("o_uri") == "ub:UndergraduateStudent")
+    ).count()
+    rows = res.collect()
+    assert len(rows) == n_students
+    assert all(r["e"] is None for r in rows)  # students have no email in fixture
+    # and a binding case: professors all have emails
+    res2 = engine.query(
+        [Pattern("?x", "rdf:type", "ub:FullProfessor")],
+        optional=[Pattern("?x", "ub:emailAddress", "?e")],
+    )
+    assert all(r["e"] is not None for r in res2.collect())
+
+
+def test_order_by_limit(engine):
+    res = engine.query(
+        [Pattern("?x", "rdf:type", "ub:Course"), Pattern("?x", "ub:name", "?y")],
+        order_by=["y"],
+        limit=5,
+    )
+    rows = [r["y"] for r in res.collect()]
+    assert len(rows) == 5 and rows == sorted(rows)
