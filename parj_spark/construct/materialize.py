@@ -25,6 +25,47 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_SALT_BUCKETS = 8
+DEFAULT_JOIN_BUCKETS = 16
+
+
+def write_bucketed_tables(
+    triples_enc: DataFrame,
+    prefix: str,
+    n_buckets: int = DEFAULT_JOIN_BUCKETS,
+) -> tuple[str, str]:
+    """Materialize bucketed managed tables for shuffle-free BGP self-joins.
+
+    PARJ's access-path rule makes every join column the *first* (sorted)
+    column of the chosen orientation (SURVEY.md §4.1), so bucketing SPO by
+    ``s`` and POS by ``o`` with the same bucket count lets Spark's bucketed
+    sort-merge join skip BOTH the shuffle and the sort on any
+    first-column-to-first-column join — the distributed equivalent of the
+    reference's adjacent sorted-array lookups (parj.c:1421-1505). At 100 TB
+    this is the difference between O(data) shuffle per query and none.
+
+    Returns the two table names (``<prefix>_spo_b``, ``<prefix>_pos_b``).
+    """
+    import shutil
+
+    spark = triples_enc.sparkSession
+    spo_name, pos_name = f"{prefix}_spo_b", f"{prefix}_pos_b"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for name in (spo_name, pos_name):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+    (
+        triples_enc.write.mode("overwrite")
+        .bucketBy(n_buckets, "s")
+        .sortBy("s", "o")
+        .saveAsTable(spo_name)
+    )
+    (
+        triples_enc.write.mode("overwrite")
+        .bucketBy(n_buckets, "o")
+        .sortBy("o", "s")
+        .saveAsTable(pos_name)
+    )
+    return spo_name, pos_name
 
 
 def _write_permutation(
@@ -92,11 +133,17 @@ def write_graph(
             os.path.join(out_dir, "properties")
         )
 
-    # the six writers are independent Spark jobs over the cached triples —
+    def w_join_stats():
+        from parj_spark.construct.stats import write_join_stats
+
+        write_join_stats(triples_enc, out_dir)
+
+    # the writers are independent Spark jobs over the cached triples —
     # submit them concurrently so the scheduler interleaves their stages
     # (hides per-job latency; same pattern works on a real cluster)
-    with ThreadPoolExecutor(max_workers=6) as pool:
-        futures = [pool.submit(f) for f in (w_spo, w_pos, w_osp, w_stats, w_dict, w_props)]
+    writers = (w_spo, w_pos, w_osp, w_stats, w_dict, w_props, w_join_stats)
+    with ThreadPoolExecutor(max_workers=len(writers)) as pool:
+        futures = [pool.submit(f) for f in writers]
         for fut in futures:
             fut.result()
     triples_enc.unpersist()

@@ -53,6 +53,12 @@ class GraphStore:
     def stats(self) -> DataFrame:
         return self._read("stats")
 
+    def join_stats(self) -> DataFrame | None:
+        path = os.path.join(self.out_dir, "join_stats")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            return None
+        return self.spark.read.parquet(path)
+
     def triples_uri(self) -> DataFrame:
         return self._read("triples_uri")
 

@@ -1,0 +1,70 @@
+"""Join-cardinality statistics — reference stat vtab mode 2 re-expressed.
+
+PARJ samples pairwise predicate join cardinalities with a capped
+merge-intersection walk over sorted arrays (parj.c:365-501, STATLIMIT cap,
+32-thread driver MemoryStat.java:324-428). The Spark-first equivalent is one
+aggregation job: per (predicate, join-column) key histograms, joined and
+summed — exact, distributed, and O(|triples|) instead of O(pairs x walk).
+
+Orientations follow the reference encoding (parj.c:447-466):
+  SS: subject of p1 = subject of p2     SO: subject of p1 = object  of p2
+  OS: object  of p1 = subject of p2     OO: object  of p1 = object  of p2
+
+Output: (p1, p2, orientation, card) — consumed by the BGP planner's greedy
+join ordering to score candidate next-patterns by *joined* size rather than
+scan size alone.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ORIENTATIONS = {
+    "SS": ("s", "s"),
+    "SO": ("s", "o"),
+    "OS": ("o", "s"),
+    "OO": ("o", "o"),
+}
+
+
+def pairwise_join_cardinalities(
+    triples_enc: DataFrame, per_key_cap: int | None = None
+) -> DataFrame:
+    """Exact join cardinality for every predicate pair and orientation.
+
+    ``per_key_cap``: optional per-key frequency cap mirroring the
+    reference's STATLIMIT sampling guard — with a cap the result is a
+    lower-bound estimate but immune to degenerate hub keys.
+    """
+    hists = {}
+    for col in ("s", "o"):
+        h = triples_enc.groupBy("p", F.col(col).alias("k")).agg(
+            F.count("*").alias("n")
+        )
+        if per_key_cap is not None:
+            h = h.withColumn("n", F.least(F.col("n"), F.lit(per_key_cap)))
+        hists[col] = h.persist()
+
+    parts = []
+    for name, (c1, c2) in ORIENTATIONS.items():
+        a = hists[c1].select(F.col("p").alias("p1"), "k", F.col("n").alias("n1"))
+        b = hists[c2].select(F.col("p").alias("p2"), "k", F.col("n").alias("n2"))
+        parts.append(
+            a.join(b, "k")
+            .groupBy("p1", "p2")
+            .agg(F.sum(F.col("n1") * F.col("n2")).alias("card"))
+            .select("p1", "p2", F.lit(name).alias("orientation"), "card")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def write_join_stats(triples_enc: DataFrame, out_dir: str, **kw) -> None:
+    pairwise_join_cardinalities(triples_enc, **kw).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "join_stats"))

@@ -66,12 +66,41 @@ def parse_bgp(text: str) -> list[Pattern]:
 
 
 class BGPEngine:
-    def __init__(self, store: GraphStore):
+    """BGP executor over a GraphStore.
+
+    ``bucketed_prefix``: read the bucketed managed tables written by
+    ``materialize.write_bucketed_tables`` instead of the p-partitioned
+    parquet — first-column-to-first-column joins then run as bucketed
+    sort-merge joins with no shuffle exchange (the 100 TB join path).
+    ``broadcast_rows``: scans estimated below this broadcast (set 0 to
+    force shuffle joins, e.g. to observe the bucketed plan).
+    """
+
+    def __init__(
+        self,
+        store: GraphStore,
+        bucketed_prefix: str | None = None,
+        broadcast_rows: int = BROADCAST_ROWS,
+    ):
         self.store = store
         self.spark = store.spark
+        self.bucketed_prefix = bucketed_prefix
+        self.broadcast_rows = broadcast_rows
         self._props = {r["uri"]: r["id"] for r in store.properties().collect()}
         self._stats = {r["p"]: r.asDict() for r in store.stats().collect()}
+        js = store.join_stats()
+        # (p1, p2, orientation) -> exact join cardinality (stat vtab T3)
+        self._join_stats = (
+            {(r["p1"], r["p2"], r["orientation"]): r["card"] for r in js.collect()}
+            if js is not None
+            else {}
+        )
         self._dict = store.dict()
+
+    def _table(self, orientation: str) -> DataFrame:
+        if self.bucketed_prefix:
+            return self.spark.table(f"{self.bucketed_prefix}_{orientation}_b")
+        return self.store.spo() if orientation == "spo" else self.store.pos()
 
     # --- term resolution -----------------------------------------------
     def _resolve_terms(self, patterns: list[Pattern]) -> dict[str, int]:
@@ -94,8 +123,15 @@ class BGPEngine:
             n /= max(1.0, float(st["ndv_o"]))
         return n
 
-    def _scan(self, pat: Pattern, terms: dict[str, int]) -> DataFrame | None:
-        """One filtered permutation-table scan, columns renamed to var names."""
+    def _scan(
+        self, pat: Pattern, terms: dict[str, int], orient_hint: str | None = None
+    ) -> DataFrame | None:
+        """One filtered permutation-table scan, columns renamed to var names.
+
+        ``orient_hint``: which column the enclosing join touches ("spo" if
+        the subject var joins, "pos" if the object var joins) — reading the
+        matching sort order gives the bucketed/sorted join path (reference
+        J2 access-path choice, DagCreator.java:94-122)."""
         pid = self._props.get(pat.p)
         if pid is None:
             return None
@@ -105,8 +141,14 @@ class BGPEngine:
             not _is_var(pat.o) and o_const is None
         ):
             return None  # constant not in dictionary -> empty result
-        # access-path choice: object-bound reads POS (sorted by o), else SPO
-        table = self.store.pos() if o_const is not None and s_const is None else self.store.spo()
+        # access-path choice: constant binding wins, then the join hint
+        if o_const is not None and s_const is None:
+            orientation = "pos"
+        elif s_const is not None:
+            orientation = "spo"
+        else:
+            orientation = orient_hint or "spo"
+        table = self._table(orientation)
         df = table.filter(F.col("p") == pid)
         if s_const is not None:
             df = df.filter(F.col("s") == s_const)
@@ -125,16 +167,49 @@ class BGPEngine:
             df = df.limit(1)
         return df.select(*cols)
 
+    def _join_card(self, prev: Pattern, cand: Pattern) -> float | None:
+        """Exact pairwise join cardinality from the T3 stats, if the two
+        patterns share a variable (orientation per parj.c:447-466)."""
+        p1, p2 = self._props.get(prev.p), self._props.get(cand.p)
+        if p1 is None or p2 is None or not self._join_stats:
+            return None
+        best = None
+        for v in prev.vars() & cand.vars():
+            side1 = "S" if (_is_var(prev.s) and prev.s[1:] == v) else "O"
+            side2 = "S" if (_is_var(cand.s) and cand.s[1:] == v) else "O"
+            card = self._join_stats.get((p1, p2, side1 + side2))
+            if card is not None:
+                best = card if best is None else min(best, card)
+        return best
+
     def _order(self, patterns: list[Pattern]) -> list[Pattern]:
-        """Greedy: cheapest first, then cheapest *connected* next (avoids
-        accidental cartesians; the reference's DP does the same for left-deep
-        trees, DPSubLinear.java:46-113)."""
+        """Greedy: cheapest first, then the *connected* pattern minimizing
+        the estimated joined size — scored by the exact pairwise join
+        cardinalities (T3 stats) scaled by the candidate's own constant
+        selectivity, falling back to scan size. (The reference runs a full
+        left-deep DP, DPSubLinear.java:46-113; greedy over exact pairwise
+        cards reproduces its choices on chain/star/triangle shapes.)"""
         remaining = sorted(patterns, key=self._estimate)
         ordered = [remaining.pop(0)]
         bound = set(ordered[0].vars())
+
+        def score(cand: Pattern) -> float:
+            est = self._estimate(cand)
+            pid = self._props.get(cand.p)
+            st = self._stats.get(pid) if pid is not None else None
+            sel = est / max(float(st["n"]), 1.0) if st else 1.0
+            cards = [
+                c
+                for prev in ordered
+                if prev.vars() & cand.vars()
+                for c in [self._join_card(prev, cand)]
+                if c is not None
+            ]
+            return min(cards) * sel if cards else est
+
         while remaining:
             connected = [p for p in remaining if p.vars() & bound]
-            pick = min(connected or remaining, key=self._estimate)
+            pick = min(connected, key=score) if connected else min(remaining, key=self._estimate)
             remaining.remove(pick)
             ordered.append(pick)
             bound |= pick.vars()
@@ -163,7 +238,15 @@ class BGPEngine:
 
         result: DataFrame | None = None
         for pat in ordered:
-            scan = self._scan(pat, terms)
+            hint = None
+            if result is not None:
+                s_var = pat.s[1:] if _is_var(pat.s) else None
+                o_var = pat.o[1:] if _is_var(pat.o) else None
+                if s_var and s_var in result.columns:
+                    hint = "spo"
+                elif o_var and o_var in result.columns:
+                    hint = "pos"
+            scan = self._scan(pat, terms, orient_hint=hint)
             if scan is None:
                 # unknown predicate/constant: empty result with right columns
                 all_vars = sorted({v for p in patterns for v in p.vars()})
@@ -172,7 +255,7 @@ class BGPEngine:
                 )
                 result = empty
                 break
-            if self._estimate(pat) <= BROADCAST_ROWS:
+            if 0 < self.broadcast_rows >= self._estimate(pat):
                 scan = F.broadcast(scan)
             if result is None:
                 result = scan

@@ -1,0 +1,52 @@
+"""Bucketed permutation tables: shuffle-free sort-merge self-joins (the
+100 TB join path — both sides too big to broadcast)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from parj_spark.construct import materialize
+from parj_spark.query import BGPEngine, Pattern
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, tiny_graph):
+    enc = tiny_graph.spo().select("s", "p", "o")
+    return materialize.write_bucketed_tables(enc, "t1", n_buckets=4)
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_bucketed_join_has_no_shuffle(spark, tiny_graph, bucketed):
+    # force shuffle-join planning (no broadcast) to observe bucket reuse
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        eng = BGPEngine(tiny_graph, bucketed_prefix="t1", broadcast_rows=0)
+        df = eng.query(
+            [Pattern("?x", "ub:memberOf", "?d"), Pattern("?x", "ub:advisor", "?p")],
+            decode=False,
+        )
+        plan = _plan(df)
+        assert "SortMergeJoin" in plan
+        # both scans bucketed by s and joined on x(=s): no exchange needed
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_results_match_partitioned(spark, tiny_graph, bucketed):
+    pats = [
+        Pattern("?s", "ub:advisor", "?p"),
+        Pattern("?s", "ub:takesCourse", "?c"),
+        Pattern("?p", "ub:teacherOf", "?c"),
+    ]
+    a = BGPEngine(tiny_graph).query(pats, decode=False)
+    b = BGPEngine(tiny_graph, bucketed_prefix="t1", broadcast_rows=0).query(
+        pats, decode=False
+    )
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
