@@ -408,6 +408,13 @@ def sim_lsh_topk(spark, sf_dir):
     )
 
 
+def sim_ivf_topk(spark, sf_dir):
+    # IVF-Flat scale path: rows-only check (approximate by design)
+    return similarity.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_centroids=16, n_probe=4
+    )
+
+
 def text_stats_q(spark, sf_dir):
     return text.text_stats(_t(spark, sf_dir, "documents"))
 
@@ -478,6 +485,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_neardup_pairs": sim_neardup_pairs,
     "sim_lsh_topk": sim_lsh_topk,
+    "sim_ivf_topk": sim_ivf_topk,
     "text_stats": text_stats_q,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,

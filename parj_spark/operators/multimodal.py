@@ -28,6 +28,29 @@ except ImportError:
 MEDIA_SCHEMA = "doc_id long, kind string, payload binary, n_bytes long, digest string"
 
 
+def media_table(docs: DataFrame) -> DataFrame:
+    """Extract the media spans of an interleaved-docs corpus into the
+    multimodal table shape: (doc_id, pos, kind, media_ref, payload, n_bytes,
+    digest). Payload is a deterministic fake derived from the media_ref
+    (real systems resolve media:// refs against object storage); all
+    derivation is JVM-side."""
+    from pyspark.sql import functions as F
+
+    spans = docs.select("doc_id", F.posexplode("spans").alias("pos", "sp")).filter(
+        F.col("sp.kind") != "text"
+    )
+    payload = F.encode(F.concat(F.col("sp.media_ref"), F.lit("|"), F.col("sp.text")), "utf-8")
+    return spans.select(
+        "doc_id",
+        "pos",
+        F.col("sp.kind").alias("kind"),
+        F.col("sp.media_ref").alias("media_ref"),
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("digest"),
+    )
+
+
 def attach_binary(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Demo media table: utf-8 payload bytes + metadata (JVM-side only)."""
     payload = F.encode(F.col(text_col), "utf-8")
@@ -48,7 +71,8 @@ def _fake_dims(digest: str) -> tuple[int, int]:
 def decode_images(media: DataFrame, batch_hint: int = 1000) -> DataFrame:
     """payload -> (doc_id, width, height, mode). Deterministic fake unless a
     real codec is installed; the Arrow plumbing is identical either way."""
-    schema = "doc_id long, width int, height int, mode string"
+    id_type = dict(media.dtypes)["doc_id"]  # works for long or string ids
+    schema = f"doc_id {id_type}, width int, height int, mode string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -69,6 +69,62 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize to data-sampled centroids, probe the
+    ``n_probe`` closest cells, exact re-rank inside them.
+
+    Centroids are deterministic (the n_centroids vectors with the smallest
+    md5(vec_id) — a seeded sample of real points); assignment is one
+    Arrow-batched numpy matmul. At 10^9 vectors this is the standard
+    IVF-Flat shape: scan cost drops from n to ~n*(n_probe/n_centroids).
+    """
+    spark = emb.sparkSession
+    cent_rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(n_centroids)
+        .collect()
+    )
+    C = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    bC = spark.sparkContext.broadcast(C)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cm = bC.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.stack(pdf[vec_col].apply(lambda v: np.asarray(v, dtype=np.float64)))
+            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            cell = (M @ cm.T).argmax(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].values, "cell": cell.astype(np.int32)})
+
+    cells = emb.select(id_col, vec_col).mapInPandas(assign, f"{id_col} long, cell int")
+    with_cell = emb.join(cells, id_col)
+
+    qvec_row = emb.filter(F.col(id_col) == query_id).select(vec_col).first()
+    q = np.asarray(qvec_row[0], dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe_cells = [int(c) for c in (C @ qn).argsort()[::-1][:n_probe]]
+
+    qdf = spark.createDataFrame([(list(map(float, q)),)], f"qvec array<double>")
+    cands = with_cell.filter(
+        (F.col("cell").isin(probe_cells)) & (F.col(id_col) != query_id)
+    ).crossJoin(F.broadcast(qdf))
+    scored = cands.select(
+        id_col, F.round(cosine_sim(vec_col, "qvec"), 6).alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
 def signature_bits(n_planes: int = 16, dim: int = 64, seed: int = 7) -> np.ndarray:
     """Deterministic random-hyperplane matrix (n_planes x dim)."""
     rng = np.random.default_rng(seed)

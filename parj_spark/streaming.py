@@ -57,6 +57,35 @@ def mentions_to_parquet(
     )
 
 
+def stateful_entity_counts(docs_stream: DataFrame):
+    """Custom stateful streaming operator: running mention count per entity
+    surface across micro-batches via ``applyInPandasWithState``.
+
+    Demonstrates the arbitrary-state path (GroupState + Arrow batches) the
+    built-in windowed aggregations can't express: the state is a running
+    counter keyed by entity surface that survives across triggers and
+    emits the updated total every time the entity is seen again.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    mentions = streaming_mentions(docs_stream).select("s_surf")
+
+    def update(key, batches, state: GroupState):
+        n = sum(len(pdf) for pdf in batches)
+        total = (state.get[0] if state.exists else 0) + n
+        state.update((total,))
+        yield pd.DataFrame({"s_surf": [key[0]], "mentions": [total]})
+
+    return mentions.groupBy("s_surf").applyInPandasWithState(
+        update,
+        outputStructType="s_surf string, mentions long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_span_counts(docs_stream: DataFrame) -> DataFrame:
     """Watermarked sliding-window aggregation over span kinds.
 

@@ -121,3 +121,16 @@ def test_multimodal_plumbing_shapes(spark, planted_docs):
     frames = multimodal.sample_frames(media, every_n=10)
     f1 = frames.filter(F.col("doc_id") == 1).collect()
     assert all(r.frame_idx % 10 == 0 and r.frame_idx < r.n_frames for r in f1)
+
+
+def test_ivf_topk_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {r.vec_id for r in similarity.cosine_topk(emb, query_id=0, k=10).collect()}
+    approx = {
+        r.vec_id
+        for r in similarity.ivf_topk(
+            emb, query_id=0, k=10, n_centroids=16, n_probe=6
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"

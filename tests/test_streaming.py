@@ -76,3 +76,53 @@ def test_windowed_span_counts(spark, tiny_corpus, tmp_path):
         .count()
     )
     assert total > 0
+
+
+def test_stateful_entity_counts(spark, tiny_corpus, tmp_path):
+    """applyInPandasWithState: running per-entity mention counts accumulate
+    across micro-batches and match the batch groupBy total."""
+    from parj_spark.construct import extract
+
+    in_dir = str(tmp_path / "in")
+    _stage_docs(spark, tiny_corpus, in_dir)
+    counts = streaming.stateful_entity_counts(
+        streaming.read_docs_stream(spark, in_dir, max_files=1)
+    )
+    q = (
+        counts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("entity_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # "update" emits one row per (entity, trigger); the max per entity is the
+    # final running total -> must equal the batch count
+    got = (
+        spark.sql("SELECT s_surf, max(mentions) AS m FROM entity_counts GROUP BY s_surf")
+        .collect()
+    )
+    docs, _ = tiny_corpus
+    batch = {
+        r["s_surf"]: r["n"]
+        for r in extract.extract_mentions(docs).groupBy("s_surf").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    got_d = {r["s_surf"]: r["m"] for r in got}
+    assert got_d == batch
+
+
+def test_media_table_from_spans(spark, tiny_corpus):
+    from parj_spark.operators import multimodal
+
+    docs, _ = tiny_corpus
+    media = multimodal.media_table(docs)
+    n_media = docs.select(F.explode("spans").alias("sp")).filter(
+        F.col("sp.kind") != "text"
+    ).count()
+    assert media.count() == n_media
+    assert dict(media.dtypes)["payload"] == "binary"
+    decoded = multimodal.decode_images(media)
+    assert decoded.count() == n_media
+    assert dict(decoded.dtypes)["doc_id"] == "string"
