@@ -397,7 +397,7 @@ def sim_cosine_topk(spark, sf_dir):
 
 def sim_neardup_pairs(spark, sf_dir):
     return dedup.embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.8
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
     )
 
 
@@ -817,7 +817,7 @@ ORACLES: dict[str, str] = {
         WHERE round(
             list_aggregate(list_transform(list_zip(a.e, b.e), p -> p[1]*p[2]), 'sum')
             / (sqrt(list_aggregate(list_transform(a.e, x -> x*x), 'sum'))
-               * sqrt(list_aggregate(list_transform(b.e, x -> x*x), 'sum'))), 6) >= 0.8
+               * sqrt(list_aggregate(list_transform(b.e, x -> x*x), 'sum'))), 6) >= 0.4
     """,
     "text_stats": f"""
         WITH t AS (
