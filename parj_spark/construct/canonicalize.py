@@ -15,7 +15,7 @@ The reference has no equivalent (its dictionary is built offline by
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

@@ -14,7 +14,7 @@ sort is a bottleneck; the documented alternative is xxhash64 content IDs
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 

@@ -2,7 +2,6 @@
 100 TB join path — both sides too big to broadcast)."""
 
 import pytest
-from pyspark.sql import functions as F
 
 from parj_spark.construct import materialize
 from parj_spark.query import BGPEngine, Pattern

@@ -1,9 +1,7 @@
-import pytest
 from pyspark.sql import functions as F
 
 from parj_spark.construct import canonicalize, extract, linking
 from parj_spark.construct.pipeline import run_pipeline
-from parj_spark.fixtures import ontology as O
 
 
 def test_span_sequence_invariant(spark, tiny_corpus):

@@ -1,6 +1,5 @@
 """Extra encoding-path tests: hash-id alternative and dictionary scale notes."""
 
-from pyspark.sql import functions as F
 
 from parj_spark.construct import encode
 

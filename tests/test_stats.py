@@ -1,7 +1,6 @@
 """T3 pairwise join-cardinality stats: exact DataFrame job vs hand-computed
 truth on a tiny graph, plus planner wiring."""
 
-from pyspark.sql import functions as F
 
 from parj_spark.construct.stats import pairwise_join_cardinalities
 from parj_spark.query import BGPEngine, Pattern
