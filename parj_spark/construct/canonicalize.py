@@ -7,7 +7,7 @@ diameter <= ~3, so 2-4 rounds in practice. For adversarial long-chain
 components at 10^12-doc scale the published fix is hash-to-min / alternating
 large-star+small-star (Kiveris et al., "Connected Components in MapReduce"),
 which drops rounds to O(log n); the loop below is structured so that swap is
-a local change (see ``_propagate``).
+a local change (replace the ``prop`` propagation expression).
 
 The reference has no equivalent (its dictionary is built offline by
 `rdf-exp`); this stage is mandated by BASELINE.json north_rule.
