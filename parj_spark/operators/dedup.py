@@ -151,17 +151,30 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 2,
     threshold: float = 0.3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard pairs via shared-shingle inverted index (no LSH).
 
     Scale shape: |intersection| computed distributively from the exploded
     shingle index (groupBy pair), union via inclusion-exclusion — never
     materializes per-doc sets on the join path.
+
+    ``max_df``: document-frequency cap on the inverted index (prefix
+    filtering) — a shingle shared by m docs contributes m²/2 join rows, so
+    one stop-bigram at corpus scale is O(n²); shingles with df > max_df are
+    dropped from the index as non-discriminative (same skew guard as
+    minhash's ``max_bucket``). Intersections then undercount by the dropped
+    shingles, making the reported jaccard a lower bound — pairs whose
+    overlap is *only* stopword shingles are (intentionally) not candidates.
+    Denominators keep the full set sizes. None = exact (oracle mode).
     """
     sh = with_shingles(df, id_col, text_col, shingle_n).select(
         id_col, F.explode("shingles").alias("sh")
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    if max_df is not None:
+        dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+        sh = sh.join(dfreq, "sh").filter(F.col("df") <= max_df).drop("df")
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), "sh")
     inter = (

@@ -25,6 +25,20 @@ try:  # codec gate: real decoders when available
 except ImportError:
     HAVE_PIL = False
 
+
+def _pil_decode(payload: bytes) -> tuple[int, int, str] | None:
+    """Real image decode via PIL; None when the payload isn't a decodable
+    image (caller falls back to the deterministic fake)."""
+    import io
+
+    try:
+        from PIL import Image as _Image
+
+        with _Image.open(io.BytesIO(payload)) as im:
+            return int(im.width), int(im.height), str(im.mode)
+    except Exception:
+        return None
+
 MEDIA_SCHEMA = "doc_id long, kind string, payload binary, n_bytes long, digest string"
 
 
@@ -68,28 +82,39 @@ def _fake_dims(digest: str) -> tuple[int, int]:
     return 64 + h % 1920, 64 + (h >> 8) % 1080
 
 
-def decode_images(media: DataFrame, batch_hint: int = 1000) -> DataFrame:
-    """payload -> (doc_id, width, height, mode). Deterministic fake unless a
-    real codec is installed; the Arrow plumbing is identical either way."""
+def decode_images(media: DataFrame, batch_hint: int = 1000, codec=None) -> DataFrame:
+    """payload -> (doc_id, width, height, mode).
+
+    Real decode when a codec is available (PIL by default, or an injected
+    ``codec(payload) -> (w, h, mode) | None``); any payload the codec cannot
+    decode — and every payload when no codec is installed — falls back to the
+    deterministic md5-derived fake, so the operator never raises and the
+    Arrow plumbing is identical on both branches."""
     id_type = dict(media.dtypes)["doc_id"]  # works for long or string ids
     schema = f"doc_id {id_type}, width int, height int, mode string"
+    # resolve the branch driver-side so the closure captures the decision
+    decode_fn = codec if codec is not None else (_pil_decode if HAVE_PIL else None)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            if HAVE_PIL:
-                raise NotImplementedError(
-                    "real image decode: wire PIL.Image.open over io.BytesIO here"
-                )
-            dig = pdf["payload"].apply(lambda b: hashlib.md5(bytes(b)).hexdigest())
-            dims = dig.apply(_fake_dims)
+            widths, heights, modes = [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                real = decode_fn(raw) if decode_fn is not None else None
+                if real is None:
+                    w, h = _fake_dims(hashlib.md5(raw).hexdigest())
+                    real = (w, h, "RGB")
+                widths.append(real[0])
+                heights.append(real[1])
+                modes.append(real[2])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
-                    "width": dims.apply(lambda t: t[0]).astype("int32"),
-                    "height": dims.apply(lambda t: t[1]).astype("int32"),
-                    "mode": "RGB",
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "mode": modes,
                 }
             )
 

@@ -82,6 +82,23 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return df.select(id_col, F.md5(norm).alias("fingerprint"))
 
 
+def _winnow_mulmod_small(x, b):
+    """(x * b) mod 2^61-1 for uint64 arrays, b < 2^20 scalar — exact, no
+    overflow: split x at bit 41; x_hi*b*2^41 reduces via 2^61 ≡ 1 (mod M)."""
+    import numpy as np
+
+    M = np.uint64((1 << 61) - 1)
+    b = np.uint64(b)
+    x_hi = x >> np.uint64(41)  # < 2^20
+    x_lo = x & np.uint64((1 << 41) - 1)  # < 2^41
+    y = x_hi * b  # < 2^40
+    t = (y >> np.uint64(20)) + ((y & np.uint64((1 << 20) - 1)) << np.uint64(41)) + x_lo * b
+    # t < 2^63: Mersenne fold (2^61 ≡ 1 mod M) twice beats uint64 '%'
+    t = (t & M) + (t >> np.uint64(61))  # < 2^61 + 4
+    t = (t & M) + (t >> np.uint64(61))  # <= M
+    return np.where(t == M, np.uint64(0), t)
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -89,13 +106,18 @@ def winnow_fingerprints(
     k: int = 5,
     window: int = 4,
 ) -> DataFrame:
-    """Winnowing (Schleimer et al. MOSS): k-gram rolling hashes, min per
-    sliding window -> sparse fingerprint set per doc. Pandas/Arrow batched;
+    """Winnowing (Schleimer et al. MOSS): k-gram polynomial hashes, leftmost
+    min per sliding window -> sparse fingerprint set per doc. Pandas/Arrow
+    batched, numpy-vectorized per doc (k Horner passes over the codepoint
+    array + sliding_window_view argmin — no per-character Python loop);
     output exploded (id, pos, fp) for downstream overlap joins."""
     schema = f"{id_col} long, pos int, fp long"
     B, MOD = 1_000_003, (1 << 61) - 1
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        M = np.uint64(MOD)
         for pdf in batches:
             out_id, out_pos, out_fp = [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
@@ -103,25 +125,28 @@ def winnow_fingerprints(
                 n = len(s)
                 if n < k:
                     continue
-                # rolling polynomial hash over k-grams
-                h = 0
-                top = pow(B, k - 1, MOD)
-                hashes = []
-                for i, ch in enumerate(s):
-                    h = (h * B + ord(ch)) % MOD
-                    if i >= k - 1:
-                        hashes.append(h)
-                        h = (h - ord(s[i - k + 1]) * top) % MOD
-                prev = -1
-                for w in range(max(1, len(hashes) - window + 1)):
-                    win = hashes[w : w + window]
-                    m = min(win)
-                    pos = w + win.index(m)
-                    if pos != prev:
-                        out_id.append(did)
-                        out_pos.append(pos)
-                        out_fp.append(m)
-                        prev = pos
+                # codepoints (utf-32-le = one uint32 per char), then Horner
+                # over the k gram positions: H = ((c0*B + c1)*B + ...) mod M
+                cps = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+                    np.uint64
+                )
+                L = n - k + 1
+                hashes = np.zeros(L, dtype=np.uint64)
+                for j in range(k):
+                    h = _winnow_mulmod_small(hashes, B) + cps[j : j + L]  # < M + 2^21
+                    h = (h & M) + (h >> np.uint64(61))
+                    hashes = np.where(h == M, np.uint64(0), h)
+                if L <= window:
+                    pos = np.array([int(np.argmin(hashes))])
+                else:
+                    wins = np.lib.stride_tricks.sliding_window_view(hashes, window)
+                    # argmin = leftmost minimum, matching the reference scan
+                    pos = np.argmin(wins, axis=1) + np.arange(len(wins))
+                keep = np.concatenate([[True], pos[1:] != pos[:-1]])
+                sel = pos[keep]
+                out_id.extend([did] * len(sel))
+                out_pos.extend(sel.tolist())
+                out_fp.extend(hashes[sel].astype(np.int64).tolist())
             yield pd.DataFrame({id_col: out_id, "pos": out_pos, "fp": out_fp})
 
     return df.select(id_col, text_col).mapInPandas(run, schema)

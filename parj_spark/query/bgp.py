@@ -96,6 +96,22 @@ class BGPEngine:
             else {}
         )
         self._dict = store.dict()
+        self._dict_rows: int | None = None  # lazy: counted on first decode
+
+    def _decode_dict(self) -> DataFrame:
+        """The (id, uri) dictionary, broadcast only when it fits.
+
+        At sandbox scale the dict always broadcasts; at 100 TB it is the
+        distinct-term set (billions of rows) and an unconditional broadcast
+        exceeds Spark's 8 GB limit and dies — so gate on the row count
+        (a metadata-only parquet count) and fall back to a shuffle join,
+        which AQE can still convert per-query when the result side is small.
+        """
+        if self._dict_rows is None:
+            self._dict_rows = self._dict.count()
+        if 0 < self.broadcast_rows >= self._dict_rows:
+            return F.broadcast(self._dict)
+        return self._dict
 
     def _table(self, orientation: str) -> DataFrame:
         if self.bucketed_prefix:
@@ -278,15 +294,16 @@ class BGPEngine:
 
         all_pats = list(patterns) + opt_patterns
         out_vars = select or sorted({v for p in all_pats for v in p.vars()})
-        result = result.select(*[c for c in out_vars if c in result.columns])
+        # a select var not bound by any pattern is dropped (consistently for
+        # decode=True and decode=False) rather than failing at decode time
+        out_vars = [c for c in out_vars if c in result.columns]
+        result = result.select(*out_vars)
         if distinct:
             result = result.distinct()
         if decode and result.columns:
             for v in list(result.columns):
-                d = F.broadcast(
-                    self._dict.select(
-                        F.col("id").alias(v), F.col("uri").alias(f"{v}_uri")
-                    )
+                d = self._decode_dict().select(
+                    F.col("id").alias(v), F.col("uri").alias(f"{v}_uri")
                 )
                 result = result.join(d, v, "left").drop(v).withColumnRenamed(f"{v}_uri", v)
             result = result.select(*out_vars)

@@ -158,3 +158,11 @@ def test_order_by_limit(engine):
     )
     rows = [r["y"] for r in res.collect()]
     assert len(rows) == 5 and rows == sorted(rows)
+
+
+def test_select_unbound_var_dropped(engine):
+    """A select var bound by no pattern is dropped consistently for both
+    decode branches (round-1: decode=True raised AnalysisException)."""
+    pats = [Pattern("?x", "rdf:type", "ub:Course")]
+    assert engine.query(pats, select=["x", "nope"], decode=True).columns == ["x"]
+    assert engine.query(pats, select=["x", "nope"], decode=False).columns == ["x"]

@@ -134,3 +134,82 @@ def test_ivf_topk_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_decode_images_codec_injection(spark, planted_docs):
+    """Real-codec branch: injected codec decodes what it can, everything it
+    can't falls back to the deterministic fake — never raises (the round-1
+    gate raised when a codec was present)."""
+    media = multimodal.attach_binary(planted_docs)
+
+    def codec(payload: bytes):
+        return (7, 9, "L") if payload[0] % 2 == 0 else None
+
+    rows = multimodal.decode_images(media, codec=codec).collect()
+    assert len(rows) == planted_docs.count()
+    reals = [r for r in rows if (r.width, r.height, r.mode) == (7, 9, "L")]
+    fakes = [r for r in rows if r.mode == "RGB"]
+    assert reals and fakes and len(reals) + len(fakes) == len(rows)
+    # fake rows keep the md5-derived dims (same as the no-codec branch)
+    assert all(64 <= r.width < 64 + 1920 for r in fakes)
+
+
+def test_ngram_jaccard_max_df(spark, planted_docs):
+    """Document-frequency cap: a cap above the fixture's max df is a no-op;
+    cap=1 drops every shared shingle (no candidate pairs survive)."""
+    def pairs(df):
+        return sorted((r.id_a, r.id_b, r.jaccard) for r in df.collect())
+
+    uncapped = dedup.ngram_jaccard_pairs(planted_docs, shingle_n=2, threshold=0.1)
+    capped = dedup.ngram_jaccard_pairs(
+        planted_docs, shingle_n=2, threshold=0.1, max_df=50
+    )
+    assert pairs(capped) == pairs(uncapped)
+    capped1 = dedup.ngram_jaccard_pairs(
+        planted_docs, shingle_n=2, threshold=0.01, max_df=1
+    )
+    assert capped1.count() == 0
+
+
+def test_winnow_matches_reference_scan(spark):
+    """Vectorized winnowing must emit exactly the rolling-hash reference
+    scan's (pos, fp) rows (same polynomial hash, leftmost window min)."""
+    k, window = 5, 4
+    B, MOD = 1_000_003, (1 << 61) - 1
+
+    def reference(s):
+        s = s.lower()
+        if len(s) < k:
+            return []
+        h, top, hashes = 0, pow(B, k - 1, MOD), []
+        for i, ch in enumerate(s):
+            h = (h * B + ord(ch)) % MOD
+            if i >= k - 1:
+                hashes.append(h)
+                h = (h - ord(s[i - k + 1]) * top) % MOD
+        out, prev = [], -1
+        for w in range(max(1, len(hashes) - window + 1)):
+            win = hashes[w : w + window]
+            m = min(win)
+            pos = w + win.index(m)
+            if pos != prev:
+                out.append((pos, m))
+                prev = pos
+        return out
+
+    texts = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "abcd"),  # shorter than k: no rows
+        (3, "aaaaaaaaaaaaaaaa"),  # degenerate equal hashes
+        (4, "zyxwvutsrqponmlkjihgfedcba 0123456789"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {
+        did: sorted((r.pos, r.fp) for r in rows)
+        for did, rows in (
+            (d, [r for r in text.winnow_fingerprints(df, k=k, window=window).collect() if r.doc_id == d])
+            for d, _ in texts
+        )
+    }
+    for did, s in texts:
+        assert got[did] == sorted(reference(s)), f"doc {did}"

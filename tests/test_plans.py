@@ -48,3 +48,22 @@ def test_dict_decode_is_broadcast(spark, tiny_graph):
     df = eng.query([Pattern("?x", "rdf:type", "ub:Course")], decode=True)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_dict_decode_size_gated(spark, tiny_graph):
+    """broadcast_rows=0 forces the non-broadcast decode path: the decode
+    join plans as a shuffle join (no broadcast hint) and returns the same
+    rows as the broadcast path — the 100 TB dictionary fallback."""
+    from parj_spark.query import BGPEngine, Pattern
+
+    pats = [Pattern("?x", "rdf:type", "ub:Course")]
+    df_b = BGPEngine(tiny_graph).query(pats, decode=True)
+    df_s = BGPEngine(tiny_graph, broadcast_rows=0).query(pats, decode=True)
+    # gated: no broadcast hint injected (Catalyst/AQE stays free to pick a
+    # strategy from its own size estimates — at 100 TB the dict won't fit,
+    # so no hint means no guaranteed-fatal 8 GB broadcast build)
+    assert "ResolvedHint" not in df_s._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in df_b._jdf.queryExecution().analyzed().toString()
+    assert sorted(r["x"] for r in df_b.collect()) == sorted(
+        r["x"] for r in df_s.collect()
+    )
