@@ -348,6 +348,72 @@ def kg_type_stats(spark, sf_dir):
     )
 
 
+_SPARQL_CHAIN = """
+    PREFIX urn: <urn:>
+    SELECT ?c ?n WHERE {
+        ?c urn:memberOf ?n .
+        ?n urn:partOf ?r .
+        ?r urn:name "ASIA" .
+    }
+"""
+
+_SPARQL_STAR = """
+    PREFIX urn: <urn:>
+    SELECT ?c ?nm WHERE {
+        ?c urn:type urn:Customer ;
+           urn:memberOf <urn:nation:5> ;
+           urn:name ?nm .
+    }
+"""
+
+_SPARQL_OPTIONAL = """
+    PREFIX urn: <urn:>
+    SELECT ?e ?nm ?r WHERE {
+        ?e urn:name ?nm .
+        OPTIONAL { ?e urn:partOf ?r }
+    }
+"""
+
+_SPARQL_DISTINCT_LIMIT = """
+    PREFIX urn: <urn:>
+    SELECT DISTINCT ?nm WHERE { ?x urn:name ?nm } ORDER BY ?nm LIMIT 7
+"""
+
+
+def kg_sparql_chain(spark, sf_dir):
+    """SPARQL text front-end, chain shape — the reference's actual entry
+    point (SPARQL string -> parsed BGP -> join plan; QueryTester.java:152,
+    DagCreator.java:55-154). Same result as kg_bgp_chain, reached through
+    parse_sparql + execute_on_triples instead of hand-built Patterns."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    return execute_on_triples(_derived_triples(spark, sf_dir), _SPARQL_CHAIN)
+
+
+def kg_sparql_star(spark, sf_dir):
+    """SPARQL star shape with ';' predicate-object lists and an <iri> term
+    (compacted against the query's PREFIX declarations)."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    return execute_on_triples(_derived_triples(spark, sf_dir), _SPARQL_STAR)
+
+
+def kg_sparql_optional(spark, sf_dir):
+    """SPARQL OPTIONAL -> left outer join (J5) through the text front-end."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    return execute_on_triples(_derived_triples(spark, sf_dir), _SPARQL_OPTIONAL)
+
+
+def kg_sparql_distinct_limit(spark, sf_dir):
+    """SPARQL DISTINCT + ORDER BY + LIMIT solution modifiers (P4/O1/O2)."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    return execute_on_triples(
+        _derived_triples(spark, sf_dir), _SPARQL_DISTINCT_LIMIT
+    )
+
+
 def kg_bgp_star(spark, sf_dir):
     """BGP star: ?c type Customer . ?c memberOf urn:nation:5 . ?c name ?nm."""
     t = _derived_triples(spark, sf_dir).cache()
@@ -477,6 +543,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triples_derive": kg_triples_derive,
     "kg_bgp_chain": kg_bgp_chain,
     "kg_bgp_star": kg_bgp_star,
+    "kg_sparql_chain": kg_sparql_chain,
+    "kg_sparql_star": kg_sparql_star,
+    "kg_sparql_optional": kg_sparql_optional,
+    "kg_sparql_distinct_limit": kg_sparql_distinct_limit,
     "kg_type_stats": kg_type_stats,
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
@@ -758,6 +828,35 @@ ORACLES: dict[str, str] = {
              AND mem.s = ty.s
         JOIN triples nm ON nm.p = 'urn:name' AND nm.s = ty.s
         WHERE ty.p = 'urn:type' AND ty.o = 'urn:Customer'
+    """,
+    "kg_sparql_chain": f"""
+        WITH triples AS ({_TRIPLES_SQL})
+        SELECT m.s AS c, m.o AS n
+        FROM triples m
+        JOIN triples pt ON pt.p = 'urn:partOf' AND pt.s = m.o
+        JOIN triples nm ON nm.p = 'urn:name' AND nm.s = pt.o AND nm.o = 'ASIA'
+        WHERE m.p = 'urn:memberOf'
+    """,
+    "kg_sparql_star": f"""
+        WITH triples AS ({_TRIPLES_SQL})
+        SELECT ty.s AS c, nm.o AS nm
+        FROM triples ty
+        JOIN triples mem ON mem.p = 'urn:memberOf' AND mem.o = 'urn:nation:5'
+             AND mem.s = ty.s
+        JOIN triples nm ON nm.p = 'urn:name' AND nm.s = ty.s
+        WHERE ty.p = 'urn:type' AND ty.o = 'urn:Customer'
+    """,
+    "kg_sparql_optional": f"""
+        WITH triples AS ({_TRIPLES_SQL})
+        SELECT nm.s AS e, nm.o AS nm, pt.o AS r
+        FROM triples nm
+        LEFT JOIN triples pt ON pt.p = 'urn:partOf' AND pt.s = nm.s
+        WHERE nm.p = 'urn:name'
+    """,
+    "kg_sparql_distinct_limit": f"""
+        WITH triples AS ({_TRIPLES_SQL})
+        SELECT DISTINCT o AS nm FROM triples WHERE p = 'urn:name'
+        ORDER BY nm LIMIT 7
     """,
     "dedup_exact": """
         SELECT md5(text) AS content_key, min(doc_id) AS canonical_id,

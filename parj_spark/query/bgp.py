@@ -313,6 +313,26 @@ class BGPEngine:
             result = result.limit(limit)
         return result
 
+    def sparql(self, text: str, decode: bool = True) -> DataFrame:
+        """Execute a SPARQL BGP SELECT string — the reference's actual entry
+        point (QueryTester.java:152 parses SPARQL text; DagCreator.java:55-154
+        lowers it to the join DAG). Our lowering target is :meth:`query`."""
+        from parj_spark.query.sparql import parse_sparql
+
+        q = parse_sparql(text)
+        order_cols = [
+            F.desc(v[1:]) if v.startswith("-") else F.asc(v) for v in q.order_by
+        ] or None
+        return self.query(
+            q.patterns,
+            select=q.select,
+            distinct=q.distinct,
+            decode=decode,
+            optional=q.optional or None,
+            order_by=order_cols,
+            limit=q.limit,
+        )
+
     def count(self, patterns: list[Pattern] | str) -> int:
         """count(*) result counting (reference A1, SQLiteLocalExecutor.java:152)."""
         return self.query(patterns, decode=False).count()

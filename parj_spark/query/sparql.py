@@ -1,0 +1,355 @@
+"""SPARQL text front-end: parse BGP SELECT queries into Pattern lists.
+
+The reference's only live entry point is a SPARQL string parsed by RDF4J
+(QueryTester.java:152, 176) and lowered to a join DAG (DagCreator.java:55-154).
+This module is the from-scratch Spark-side analog: a hand-rolled tokenizer +
+recursive-descent parser for exactly the SPARQL subset the reference executes —
+
+  PREFIX declarations, SELECT [DISTINCT] ?vars | *, WHERE { triple patterns }
+  with '.' separators, ';' predicate-object lists, ',' object lists, the 'a'
+  keyword, OPTIONAL { ... } blocks (SPARQL OPTIONAL -> left outer join, J5),
+  ORDER BY / LIMIT modifiers.
+
+Anything beyond a BGP (FILTER, UNION, GRAPH, subqueries, property paths,
+variable predicates) is rejected with a clear error — the same contract as
+the reference, which rejects non-StatementPattern nodes and variable
+predicates outright (DagCreator.java:170-171, 269-271).
+
+Term canonicalization: the engine's dictionary stores *prefixed names*
+("ub:Course_0_0_0", "rdf:type"), so pnames pass through verbatim and full
+IRIs in <angle brackets> are compacted against the query's PREFIX
+declarations (longest-namespace match); an IRI matching no declared prefix
+is kept raw. Literals lose their quotes (and any @lang / ^^type suffix,
+which the fixture vocabulary does not use).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from parj_spark.query.bgp import Pattern
+
+_UNSUPPORTED = {
+    "FILTER", "UNION", "GRAPH", "MINUS", "SERVICE", "BIND", "VALUES",
+    "CONSTRUCT", "ASK", "DESCRIBE", "EXISTS", "GROUP", "HAVING", "OFFSET",
+}
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<iri>      <[^<>\s]*> )
+    | (?P<literal>  "(?:[^"\\]|\\.)*"(?:@[\w-]+|\^\^\S+)? )
+    | (?P<var>      [?$][A-Za-z_][A-Za-z0-9_]* )
+    | (?P<pname>    [A-Za-z_][\w-]*:[\w:-]*(?:\.[\w:-]+)* )
+    | (?P<word>     \*|[A-Za-z_][A-Za-z0-9_]* )
+    | (?P<num>      [0-9]+ )
+    | (?P<punct>    [{}.;,()] )
+    | (?P<ws>       \s+ )
+    | (?P<comment>  \#[^\n]* )
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(text: str) -> list[str]:
+    toks, i = [], 0
+    while i < len(text):
+        m = _TOKEN_RE.match(text, i)
+        if m is None:
+            raise ValueError(f"SPARQL tokenizer: unexpected input at {text[i:i+20]!r}")
+        i = m.end()
+        if m.lastgroup in ("ws", "comment"):
+            continue
+        toks.append(m.group())
+    return toks
+
+
+@dataclass
+class SparqlQuery:
+    """Parsed BGP SELECT query (the executable subset)."""
+
+    select: list[str] | None  # None = SELECT *
+    distinct: bool
+    patterns: list[Pattern]
+    optional: list[Pattern] = field(default_factory=list)
+    order_by: list[str] = field(default_factory=list)
+    limit: int | None = None
+    prefixes: dict[str, str] = field(default_factory=dict)
+
+
+class _Parser:
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        if self.i >= len(self.toks):
+            raise ValueError("SPARQL parser: unexpected end of query")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, want: str) -> None:
+        got = self.next()
+        if got.upper() != want.upper():
+            raise ValueError(f"SPARQL parser: expected {want!r}, got {got!r}")
+
+    def _kw(self, tok: str | None, word: str) -> bool:
+        return tok is not None and tok.upper() == word
+
+    # --- terms ----------------------------------------------------------
+    def term(self, allow_a: bool = False) -> str:
+        t = self.next()
+        if t.upper() in _UNSUPPORTED:
+            raise ValueError(
+                f"non-BGP SPARQL construct {t!r} not supported "
+                "(parity with the reference: DagCreator.java:269-271)"
+            )
+        if t.startswith("?") or t.startswith("$"):
+            return "?" + t[1:]
+        if t == "a":
+            if not allow_a:
+                raise ValueError("'a' keyword only valid in predicate position")
+            return "rdf:type"
+        if t.startswith("<") and t.endswith(">"):
+            return self._compact_iri(t[1:-1])
+        if t.startswith('"'):
+            body = re.match(r'"((?:[^"\\]|\\.)*)"', t).group(1)
+            return body.replace('\\"', '"').replace("\\\\", "\\")
+        if ":" in t:
+            return t  # prefixed name, stored verbatim in the dictionary
+        raise ValueError(f"SPARQL parser: cannot interpret term {t!r}")
+
+    def _compact_iri(self, iri: str) -> str:
+        best_pfx, best_ns = None, ""
+        for pfx, ns in self.prefixes.items():
+            if iri.startswith(ns) and len(ns) > len(best_ns):
+                best_pfx, best_ns = pfx, ns
+        if best_pfx is not None:
+            return f"{best_pfx}:{iri[len(best_ns):]}"
+        return iri
+
+    # --- grammar ----------------------------------------------------------
+    def parse(self) -> SparqlQuery:
+        while self._kw(self.peek(), "PREFIX"):
+            self.next()
+            pname = self.next()
+            if not pname.endswith(":"):
+                # tokenizer may split "ub:" from "<iri>"; also accept "ub" ":"
+                raise ValueError(f"PREFIX: expected 'pfx:', got {pname!r}")
+            iri = self.next()
+            if not (iri.startswith("<") and iri.endswith(">")):
+                raise ValueError(f"PREFIX: expected <iri>, got {iri!r}")
+            self.prefixes[pname[:-1]] = iri[1:-1]
+
+        self.expect("SELECT")
+        distinct = False
+        if self._kw(self.peek(), "DISTINCT"):
+            self.next()
+            distinct = True
+        select: list[str] | None
+        if self.peek() == "*":
+            self.next()
+            select = None
+        else:
+            select = []
+            while self.peek() is not None and self.peek().startswith(("?", "$")):
+                select.append(self.next()[1:])
+            if not select:
+                raise ValueError("SELECT: expected ?vars or *")
+
+        if self._kw(self.peek(), "WHERE"):
+            self.next()
+        self.expect("{")
+        patterns: list[Pattern] = []
+        optional: list[Pattern] = []
+        while True:
+            t = self.peek()
+            if t is None:
+                raise ValueError("SPARQL parser: missing closing '}'")
+            if t == "}":
+                self.next()
+                break
+            if t == ".":
+                self.next()
+                continue
+            if self._kw(t, "OPTIONAL"):
+                self.next()
+                self.expect("{")
+                self._triples_block(optional, stop="}")
+                self.expect("}")
+                continue
+            if t.upper() in _UNSUPPORTED:
+                raise ValueError(
+                    f"non-BGP SPARQL construct {t!r} not supported "
+                    "(parity with the reference: DagCreator.java:269-271)"
+                )
+            self._triples_same_subject(patterns)
+
+        order_by: list[str] = []
+        limit: int | None = None
+        while self.peek() is not None:
+            t = self.peek()
+            if self._kw(t, "ORDER"):
+                self.next()
+                self.expect("BY")
+                while self.peek() is not None and (
+                    self.peek().startswith(("?", "$"))
+                    or self.peek().upper() in ("ASC", "DESC")
+                ):
+                    tok = self.next()
+                    if tok.upper() in ("ASC", "DESC"):
+                        self.expect("(")
+                        v = self.next()[1:]
+                        self.expect(")")
+                        order_by.append(v if tok.upper() == "ASC" else f"-{v}")
+                    else:
+                        order_by.append(tok[1:])
+                continue
+            if self._kw(t, "LIMIT"):
+                self.next()
+                limit = int(self.next())
+                continue
+            if t.upper() in _UNSUPPORTED:
+                raise ValueError(f"non-BGP SPARQL construct {t!r} not supported")
+            raise ValueError(f"SPARQL parser: unexpected trailing token {t!r}")
+
+        q = SparqlQuery(
+            select=select,
+            distinct=distinct,
+            patterns=patterns,
+            optional=optional,
+            order_by=order_by,
+            limit=limit,
+            prefixes=dict(self.prefixes),
+        )
+        self._validate(q)
+        return q
+
+    def _triples_block(self, out: list[Pattern], stop: str) -> None:
+        while self.peek() is not None and self.peek() != stop:
+            if self.peek() == ".":
+                self.next()
+                continue
+            self._triples_same_subject(out)
+
+    def _triples_same_subject(self, out: list[Pattern]) -> None:
+        s = self.term()
+        while True:
+            p = self.term(allow_a=True)
+            if p.startswith("?"):
+                # parity: the reference rejects predicate variables
+                # (DagCreator.java:170-171); ours would need the OSP order
+                raise ValueError("variable predicates are not supported")
+            while True:
+                o = self.term()
+                out.append(Pattern(s, p, o))
+                if self.peek() == ",":
+                    self.next()
+                    continue
+                break
+            if self.peek() == ";":
+                self.next()
+                if self.peek() in (".", "}", None):  # dangling ';'
+                    break
+                continue
+            break
+
+    @staticmethod
+    def _validate(q: SparqlQuery) -> None:
+        if not q.patterns:
+            raise ValueError("SPARQL parser: empty basic graph pattern")
+        bound = {v for p in q.patterns + q.optional for v in p.vars()}
+        if q.select:
+            unknown = [v for v in q.select if v not in bound]
+            if unknown:
+                raise ValueError(
+                    f"SELECT vars not bound by any pattern: {unknown} (bound: {sorted(bound)})"
+                )
+
+
+def parse_sparql(text: str) -> SparqlQuery:
+    """Parse a SPARQL BGP SELECT query string (see module docstring for the
+    accepted subset; everything the reference rejects, we reject)."""
+    return _Parser(_tokenize(text)).parse()
+
+
+def execute_on_triples(triples, text: str):
+    """Execute a SPARQL BGP SELECT directly over a (s, p, o) string-typed
+    triples DataFrame — no dictionary encoding or stats required.
+
+    This is the parser's oracle-checkable execution path (used by the
+    driver-contract kg_sparql_* queries); :meth:`BGPEngine.sparql` is the
+    stats-driven path over the materialized permutation tables. Join order:
+    most-constant-bound pattern first, then connected patterns — each scan
+    is a predicate-filtered projection, so Catalyst pushes the constant
+    filters into the scan and AQE picks the join strategy.
+    """
+    from pyspark.sql import functions as F
+
+    q = parse_sparql(text)
+
+    def _is_var(t: str) -> bool:
+        return t.startswith("?")
+
+    def scan(pat: Pattern):
+        df = triples.filter(F.col("p") == pat.p)
+        cols = []
+        if _is_var(pat.s):
+            cols.append(F.col("s").alias(pat.s[1:]))
+        else:
+            df = df.filter(F.col("s") == pat.s)
+        if _is_var(pat.o):
+            cols.append(F.col("o").alias(pat.o[1:]))
+        else:
+            df = df.filter(F.col("o") == pat.o)
+        if _is_var(pat.s) and pat.s == pat.o:
+            df = df.filter(F.col("s") == F.col("o"))
+            cols = [F.col("s").alias(pat.s[1:])]
+        if not cols:  # fully bound: existence probe
+            cols = [F.lit(1).alias("__exists")]
+            df = df.limit(1)
+        return df.select(*cols)
+
+    def n_consts(p: Pattern) -> int:
+        return sum(not _is_var(t) for t in (p.s, p.o))
+
+    remaining = sorted(q.patterns, key=lambda p: -n_consts(p))
+    ordered = [remaining.pop(0)]
+    bound = set(ordered[0].vars())
+    while remaining:
+        nxt = next((p for p in remaining if p.vars() & bound), remaining[0])
+        remaining.remove(nxt)
+        ordered.append(nxt)
+        bound |= nxt.vars()
+
+    result = None
+    for pat in ordered:
+        sc = scan(pat)
+        if result is None:
+            result = sc
+        else:
+            shared = sorted(set(result.columns) & set(sc.columns) - {"__exists"})
+            result = result.join(sc, on=shared) if shared else result.crossJoin(sc)
+    if "__exists" in result.columns:
+        result = result.drop("__exists")
+    for pat in q.optional:
+        sc = scan(pat)
+        shared = sorted(set(result.columns) & set(sc.columns))
+        result = result.join(sc, on=shared, how="left") if shared else result.crossJoin(sc)
+
+    out_vars = q.select or sorted({v for p in q.patterns + q.optional for v in p.vars()})
+    result = result.select(*out_vars)
+    if q.distinct:
+        result = result.distinct()
+    if q.order_by:
+        result = result.orderBy(
+            *[F.desc(v[1:]) if v.startswith("-") else F.asc(v) for v in q.order_by]
+        )
+    if q.limit is not None:
+        result = result.limit(q.limit)
+    return result
