@@ -1,13 +1,19 @@
 """Per-stage lineage + counters: the resume/checkpoint contract.
 
 Every pipeline stage writes its output as a parquet table (the checkpoint)
-and appends one JSON line to ``<out>/_lineage.jsonl`` with row counters and
-wall time. Resume = skip stages whose parquet already committed
-(`_SUCCESS` marker — Spark's atomic commit protocol), mirroring the
-north_rule's "resumable from per-partition checkpoints with lineage +
-metrics". On a cluster the same layout works on any Hadoop-compatible FS;
-the lineage file would become an Iceberg/Delta table, kept as JSONL here
-because the sandbox has no lakehouse jars (SURVEY.md §7.0).
+and records one JSON line with row counters and wall time. Resume = skip
+stages whose parquet already committed (`_SUCCESS` marker — Spark's atomic
+commit protocol), mirroring the north_rule's "resumable from per-partition
+checkpoints with lineage + metrics".
+
+Paths are resolved through the Hadoop FileSystem API whenever they carry a
+scheme (s3://, hdfs://, ...), so resume and lineage work on the cluster
+layouts scripts/submit_pipeline.py documents — not only on the local FS.
+Object stores have no append, so remote lineage records are written as one
+small JSON file per event under ``<out>/_lineage/`` instead of a JSONL; on
+the local FS the single ``_lineage.jsonl`` is kept (and read_lineage merges
+both forms). On a lakehouse deployment this becomes an Iceberg/Delta table;
+kept as JSON here because the sandbox has no lakehouse jars (SURVEY.md §7.0).
 """
 
 from __future__ import annotations
@@ -18,12 +24,50 @@ import time
 from typing import Any
 
 
+def _is_local(path: str) -> bool:
+    return "://" not in path or path.startswith("file:")
+
+
+def _strip_file_scheme(path: str) -> str:
+    return path.removeprefix("file://").removeprefix("file:")
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def path_exists(path: str, spark=None) -> bool:
+    if _is_local(path):
+        return os.path.exists(_strip_file_scheme(path))
+    if spark is None:
+        raise ValueError(f"checking {path!r} needs a SparkSession (Hadoop FS)")
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    return fs.exists(hpath)
+
+
+def touch(path: str, spark=None) -> None:
+    """Create an empty marker file (atomic-enough commit witness)."""
+    if _is_local(path):
+        local = _strip_file_scheme(path)
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        with open(local, "w"):
+            pass
+        return
+    if spark is None:
+        raise ValueError(f"touching {path!r} needs a SparkSession (Hadoop FS)")
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    out = fs.create(hpath, True)
+    out.close()
+
+
 def lineage_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_lineage.jsonl")
 
 
-def stage_done(stage_dir: str) -> bool:
-    return os.path.exists(os.path.join(stage_dir, "_SUCCESS"))
+def stage_done(stage_dir: str, spark=None) -> bool:
+    return path_exists(os.path.join(stage_dir, "_SUCCESS"), spark)
 
 
 def record_stage(
@@ -32,9 +76,9 @@ def record_stage(
     rows_in: int | None,
     rows_out: int | None,
     wall_sec: float,
+    spark=None,
     **extra: Any,
 ) -> None:
-    os.makedirs(out_dir, exist_ok=True)
     row = {
         "stage": stage,
         "rows_in": rows_in,
@@ -43,13 +87,41 @@ def record_stage(
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         **extra,
     }
-    with open(lineage_path(out_dir), "a") as f:
-        f.write(json.dumps(row) + "\n")
+    payload = json.dumps(row)
+    if _is_local(out_dir):
+        local = _strip_file_scheme(out_dir)
+        os.makedirs(local, exist_ok=True)
+        with open(lineage_path(local), "a") as f:
+            f.write(payload + "\n")
+        return
+    if spark is None:
+        raise ValueError(f"lineage for {out_dir!r} needs a SparkSession (Hadoop FS)")
+    # no append on object stores: one file per record
+    name = f"{stage}_{time.strftime('%Y%m%dT%H%M%SZ', time.gmtime())}_{os.getpid()}.json"
+    fs, hpath, jvm = _hadoop_fs(spark, os.path.join(out_dir, "_lineage", name))
+    out = fs.create(hpath, True)
+    out.write(bytearray(payload.encode("utf-8")))
+    out.close()
 
 
-def read_lineage(out_dir: str) -> list[dict]:
-    path = lineage_path(out_dir)
-    if not os.path.exists(path):
+def read_lineage(out_dir: str, spark=None) -> list[dict]:
+    if _is_local(out_dir):
+        path = lineage_path(_strip_file_scheme(out_dir))
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+    if spark is None:
+        raise ValueError(f"lineage for {out_dir!r} needs a SparkSession (Hadoop FS)")
+    fs, hdir, jvm = _hadoop_fs(spark, os.path.join(out_dir, "_lineage"))
+    if not fs.exists(hdir):
         return []
-    with open(path) as f:
-        return [json.loads(line) for line in f if line.strip()]
+    records = []
+    for status in fs.listStatus(hdir):
+        stream = fs.open(status.getPath())
+        try:
+            data = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        records.append(json.loads(data))
+    return sorted(records, key=lambda r: r.get("ts", ""))

@@ -125,6 +125,24 @@ def write_graph(
         )
         stats.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
 
+    def w_class_stats():
+        # T2: per-class instance counts from the rdf:type partition
+        # (reference parj.c:338-364, MemoryStat.java:248-315) — lets the
+        # planner cost `?x rdf:type C` by the actual class size instead of
+        # the uniform n/ndv_o estimate (classes are skewed by construction)
+        rows = props_df.filter(F.col("uri") == "rdf:type").collect()
+        if rows:
+            cs = (
+                triples_enc.filter(F.col("p") == rows[0]["id"])
+                .groupBy("o")
+                .agg(F.count("*").alias("n"))
+            )
+        else:
+            cs = triples_enc.sparkSession.createDataFrame([], "o long, n long")
+        cs.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "class_stats")
+        )
+
     def w_dict():
         dict_df.write.mode("overwrite").parquet(os.path.join(out_dir, "dict"))
 
@@ -141,7 +159,7 @@ def write_graph(
     # the writers are independent Spark jobs over the cached triples —
     # submit them concurrently so the scheduler interleaves their stages
     # (hides per-job latency; same pattern works on a real cluster)
-    writers = (w_spo, w_pos, w_osp, w_stats, w_dict, w_props, w_join_stats)
+    writers = (w_spo, w_pos, w_osp, w_stats, w_class_stats, w_dict, w_props, w_join_stats)
     with ThreadPoolExecutor(max_workers=len(writers)) as pool:
         futures = [pool.submit(f) for f in writers]
         for fut in futures:

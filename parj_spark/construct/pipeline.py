@@ -55,7 +55,15 @@ class GraphStore:
 
     def join_stats(self) -> DataFrame | None:
         path = os.path.join(self.out_dir, "join_stats")
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        if not lineage.stage_done(path, self.spark):
+            return None
+        return self.spark.read.parquet(path)
+
+    def class_stats(self) -> DataFrame | None:
+        """Per-class instance counts (reference T2: per-rdf:type stats,
+        parj.c:338-364, MemoryStat.java:248-315); None on pre-T2 graphs."""
+        path = os.path.join(self.out_dir, "class_stats")
+        if not lineage.stage_done(path, self.spark):
             return None
         return self.spark.read.parquet(path)
 
@@ -69,14 +77,20 @@ class GraphStore:
 def _run_stage(spark, out_dir, name, resume, build):
     """Checkpoint-or-skip one stage; returns the stage's DataFrame (re-read)."""
     path = os.path.join(out_dir, name)
-    if resume and lineage.stage_done(path):
+    if resume and lineage.stage_done(path, spark):
         return spark.read.parquet(path)
     t0 = time.time()
     df = build()
     df.write.mode("overwrite").parquet(path)
     out = spark.read.parquet(path)
-    lineage.record_stage(out_dir, name, None, out.count(), time.time() - t0)
+    lineage.record_stage(out_dir, name, None, out.count(), time.time() - t0, spark=spark)
     return out
+
+
+# written only after ALL materialize writers commit — the resume key for the
+# multi-output materialize step (spo/_SUCCESS alone can exist while pos/dict/
+# stats are missing or stale after an interrupted concurrent write)
+GRAPH_COMMITTED_MARKER = "_GRAPH_COMMITTED"
 
 
 def run_pipeline(
@@ -86,6 +100,7 @@ def run_pipeline(
     resume: bool = True,
     salt_buckets: int = mat.DEFAULT_SALT_BUCKETS,
     hash_ids: bool = False,
+    compute_links: bool = False,
 ) -> GraphStore:
     mentions = _run_stage(
         spark, out_dir, "mentions", resume, lambda: extract.extract_mentions(docs)
@@ -94,13 +109,17 @@ def run_pipeline(
     # distinct surfaces feed both the links and canon stages — persist the
     # one distinct-shuffle instead of recomputing it per downstream action
     surfaces = linking.mention_surfaces(mentions).persist()
-    links = _run_stage(
-        spark,
-        out_dir,
-        "links",
-        resume,
-        lambda: linking.best_links(linking.candidate_links(surfaces)),
-    )
+    if compute_links:
+        # opt-in side table: per-surface best entity-link candidates.
+        # Canonicalization consumes coref_edges, not this, so it stays out
+        # of the default (timed) path.
+        _run_stage(
+            spark,
+            out_dir,
+            "links",
+            resume,
+            lambda: linking.best_links(linking.candidate_links(surfaces)),
+        )
 
     canon_frames: dict[str, DataFrame] = {}
 
@@ -128,6 +147,7 @@ def run_pipeline(
             n_edges,
             None,
             0.0,
+            spark=spark,
             iters=iters,
             edges_sec=round(t_edges - t0, 3),
             cc_sec=round(t_cc - t_edges, 3),
@@ -162,13 +182,16 @@ def run_pipeline(
         lambda: encode.build_properties(triples_uri),
     )
 
-    spo_path = os.path.join(out_dir, "spo")
-    if not (resume and lineage.stage_done(spo_path)):
+    marker = os.path.join(out_dir, GRAPH_COMMITTED_MARKER)
+    if not (resume and lineage.path_exists(marker, spark)):
         t0 = time.time()
         triples_enc = encode.encode_triples(triples_uri, dict_df, props_df)
         mat.write_graph(triples_enc, dict_df, props_df, out_dir, salt_buckets)
         store = GraphStore(spark, out_dir)
         lineage.record_stage(
-            out_dir, "materialize", None, store.spo().count(), time.time() - t0
+            out_dir, "materialize", None, store.spo().count(), time.time() - t0,
+            spark=spark,
         )
+        # all writers returned and spo re-read: commit the multi-output step
+        lineage.touch(marker, spark)
     return GraphStore(spark, out_dir)

@@ -97,6 +97,13 @@ class BGPEngine:
         )
         self._dict = store.dict()
         self._dict_rows: int | None = None  # lazy: counted on first decode
+        self._type_pid = self._props.get("rdf:type")
+        # T2 per-class stats (parj.c:338-364, MemoryStat.java:248-315):
+        # {class id -> instance count}, for exact `?x rdf:type C` estimates
+        cs = getattr(store, "class_stats", lambda: None)()
+        self._class_stats = (
+            {r["o"]: r["n"] for r in cs.collect()} if cs is not None else {}
+        )
 
     def _decode_dict(self) -> DataFrame:
         """The (id, uri) dictionary, broadcast only when it fits.
@@ -127,16 +134,23 @@ class BGPEngine:
         return {r["uri"]: r["id"] for r in rows}
 
     # --- planning --------------------------------------------------------
-    def _estimate(self, pat: Pattern) -> float:
+    def _estimate(self, pat: Pattern, terms: dict[str, int] | None = None) -> float:
         pid = self._props.get(pat.p)
         st = self._stats.get(pid)
         if st is None:
             return 0.0
         n = float(st["n"])
+        if not _is_var(pat.o):
+            # T2: `?x rdf:type C` gets the exact class cardinality instead
+            # of the uniform n/ndv_o guess — class sizes are skewed, so the
+            # uniform estimate systematically misorders type-anchored joins
+            oid = terms.get(pat.o) if terms else None
+            if pid == self._type_pid and oid is not None and self._class_stats:
+                n = float(self._class_stats.get(oid, 0.0))
+            else:
+                n /= max(1.0, float(st["ndv_o"]))
         if not _is_var(pat.s):
             n /= max(1.0, float(st["ndv_s"]))
-        if not _is_var(pat.o):
-            n /= max(1.0, float(st["ndv_o"]))
         return n
 
     def _scan(
@@ -198,19 +212,95 @@ class BGPEngine:
                 best = card if best is None else min(best, card)
         return best
 
-    def _order(self, patterns: list[Pattern]) -> list[Pattern]:
+    MAX_DP_PATTERNS = 10
+
+    def _join_sel(self, a: Pattern, b: Pattern) -> float | None:
+        """Join selectivity of two patterns on their shared variable:
+        T3 exact pair cardinality / (|p_a| * |p_b|). None if disconnected
+        or the stats are missing."""
+        card = self._join_card(a, b)
+        if card is None:
+            return None
+        na = float(self._stats.get(self._props.get(a.p), {}).get("n", 0)) or 1.0
+        nb = float(self._stats.get(self._props.get(b.p), {}).get("n", 0)) or 1.0
+        return card / (na * nb)
+
+    def _order(
+        self, patterns: list[Pattern], terms: dict[str, int] | None = None
+    ) -> list[Pattern]:
+        """Join order: left-deep DP over the subset lattice when the BGP is
+        small enough and T3 pair stats exist (the reference's DPSubLinear
+        .java:40-113 — patterns <= 10, so the 2^n lattice is tiny), else the
+        greedy most-selective-first order (which matches DP on chain/star/
+        triangle shapes but can lock into a bad prefix on 6+ pattern BGPs)."""
+        if 2 < len(patterns) <= self.MAX_DP_PATTERNS and self._join_stats:
+            return self._order_dp(patterns, terms)
+        return self._order_greedy(patterns, terms)
+
+    def _order_dp(
+        self, patterns: list[Pattern], terms: dict[str, int] | None
+    ) -> list[Pattern]:
+        """Left-deep DP: dp[S] = min-cost (sum of intermediate cardinality
+        estimates) order of subset S, extended one pattern at a time.
+        Cardinality model: card(S + q) = card(S) * est(q) * product of the
+        join selectivities between q and S (independence across join
+        predicates — the product makes card(full BGP) order-invariant, so
+        orders compete only on intermediate sizes), where est(q) folds in
+        constant selectivity — the same running-min shape as the reference's
+        DPSubLinear with NodeCostEstimator costs."""
+        from itertools import combinations
+
+        n = len(patterns)
+        est1 = [max(self._estimate(p, terms), 1e-3) for p in patterns]
+        sels: dict[tuple[int, int], float | None] = {}
+        for i in range(n):
+            for j in range(i + 1, n):
+                s = (
+                    self._join_sel(patterns[i], patterns[j])
+                    if patterns[i].vars() & patterns[j].vars()
+                    else None
+                )
+                sels[(i, j)] = sels[(j, i)] = s
+
+        # dp: frozenset -> (cost, card, order)
+        dp = {frozenset([i]): (0.0, est1[i], [i]) for i in range(n)}
+        for size in range(2, n + 1):
+            for subset in combinations(range(n), size):
+                fs = frozenset(subset)
+                best: tuple[float, float, list[int]] | None = None
+                for last in subset:
+                    rest = fs - {last}
+                    if rest not in dp:
+                        continue
+                    cost_r, card_r, order_r = dp[rest]
+                    if best is not None and cost_r >= best[0]:
+                        continue  # running-min prune
+                    sel = 1.0
+                    for p in rest:
+                        s = sels[(p, last)]
+                        if s is not None:
+                            sel *= s
+                    card = card_r * est1[last] * sel
+                    cost = cost_r + card
+                    if best is None or cost < best[0]:
+                        best = (cost, card, order_r + [last])
+                if best is not None:
+                    dp[fs] = best
+        return [patterns[i] for i in dp[frozenset(range(n))][2]]
+
+    def _order_greedy(
+        self, patterns: list[Pattern], terms: dict[str, int] | None
+    ) -> list[Pattern]:
         """Greedy: cheapest first, then the *connected* pattern minimizing
         the estimated joined size — scored by the exact pairwise join
         cardinalities (T3 stats) scaled by the candidate's own constant
-        selectivity, falling back to scan size. (The reference runs a full
-        left-deep DP, DPSubLinear.java:46-113; greedy over exact pairwise
-        cards reproduces its choices on chain/star/triangle shapes.)"""
-        remaining = sorted(patterns, key=self._estimate)
+        selectivity, falling back to scan size."""
+        remaining = sorted(patterns, key=lambda p: self._estimate(p, terms))
         ordered = [remaining.pop(0)]
         bound = set(ordered[0].vars())
 
         def score(cand: Pattern) -> float:
-            est = self._estimate(cand)
+            est = self._estimate(cand, terms)
             pid = self._props.get(cand.p)
             st = self._stats.get(pid) if pid is not None else None
             sel = est / max(float(st["n"]), 1.0) if st else 1.0
@@ -225,7 +315,11 @@ class BGPEngine:
 
         while remaining:
             connected = [p for p in remaining if p.vars() & bound]
-            pick = min(connected, key=score) if connected else min(remaining, key=self._estimate)
+            pick = (
+                min(connected, key=score)
+                if connected
+                else min(remaining, key=lambda p: self._estimate(p, terms))
+            )
             remaining.remove(pick)
             ordered.append(pick)
             bound |= pick.vars()
@@ -250,7 +344,7 @@ class BGPEngine:
             patterns = parse_bgp(patterns)
         opt_patterns = parse_bgp(optional) if isinstance(optional, str) else (optional or [])
         terms = self._resolve_terms(list(patterns) + opt_patterns)
-        ordered = self._order(patterns)
+        ordered = self._order(patterns, terms)
 
         result: DataFrame | None = None
         for pat in ordered:
@@ -271,7 +365,7 @@ class BGPEngine:
                 )
                 result = empty
                 break
-            if 0 < self.broadcast_rows >= self._estimate(pat):
+            if 0 < self.broadcast_rows >= self._estimate(pat, terms):
                 scan = F.broadcast(scan)
             if result is None:
                 result = scan

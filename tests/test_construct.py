@@ -117,3 +117,58 @@ def test_pipeline_resume_skips_stages(spark, tiny_corpus, tiny_graph, tmp_path):
     run_pipeline(spark, docs, tiny_graph.out_dir, resume=True)
     after = len(read_lineage(tiny_graph.out_dir))
     assert before == after
+
+
+def test_class_stats_table(spark, tiny_graph):
+    """T2 table = exact rdf:type class histogram of the encoded graph."""
+    cs = tiny_graph.class_stats()
+    assert cs is not None
+    d = tiny_graph.dict()
+    type_id = d.filter(F.col("uri") == "rdf:type")  # not in dict: predicate table
+    props = tiny_graph.properties()
+    tid = props.filter(F.col("uri") == "rdf:type").first()["id"]
+    exact = (
+        tiny_graph.spo().filter(F.col("p") == tid).groupBy("o").count()
+    )
+    got = {r["o"]: r["n"] for r in cs.collect()}
+    want = {r["o"]: r["count"] for r in exact.collect()}
+    assert got == want and got
+
+
+def test_materialize_resume_marker(spark, tmp_path):
+    """The materialize step resumes only on the all-writers-committed marker:
+    spo/_SUCCESS alone (a torn concurrent write) no longer skips the step."""
+    import os
+    import shutil
+
+    from parj_spark.construct.pipeline import GRAPH_COMMITTED_MARKER
+    from parj_spark.fixtures import gen_corpus
+
+    docs, _ = gen_corpus(spark, n_depts=2, seed=42)
+    out = str(tmp_path / "g")
+    run_pipeline(spark, docs, out, resume=False)
+    marker = os.path.join(out, GRAPH_COMMITTED_MARKER)
+    assert os.path.exists(marker)
+    # simulate a torn materialize: spo committed, pos lost, marker absent
+    shutil.rmtree(os.path.join(out, "pos"))
+    os.remove(marker)
+    assert os.path.exists(os.path.join(out, "spo", "_SUCCESS"))
+    store = run_pipeline(spark, docs, out, resume=True)
+    assert store.pos().count() == store.spo().count()
+    assert os.path.exists(marker)
+
+
+def test_links_stage_opt_in(spark, tmp_path):
+    """The links side-table is computed only on request (it is not consumed
+    by canonicalization, so it stays out of the default timed path)."""
+    import os
+
+    from parj_spark.fixtures import gen_corpus
+
+    docs, _ = gen_corpus(spark, n_depts=2, seed=42)
+    out_default = str(tmp_path / "nolinks")
+    run_pipeline(spark, docs, out_default, resume=False)
+    assert not os.path.exists(os.path.join(out_default, "links"))
+    out_links = str(tmp_path / "links")
+    run_pipeline(spark, docs, out_links, resume=False, compute_links=True)
+    assert os.path.exists(os.path.join(out_links, "links", "_SUCCESS"))
