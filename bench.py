@@ -11,14 +11,20 @@ Env:
   BENCH_DEPTS         KG corpus scale in departments (default 2000)
   BENCH_OUT           graph materialization dir (default tmp)
 
-Timing protocol mirrors the reference harness (README.md:66): one warm-up
-execution of the suite's first query, then each query timed to completion
-(count() action). Construction reported as docs/sec + triples/sec.
+Timing protocol mirrors the reference harness (README.md:66;
+QueryTester.java:170, 293-308): BENCH_REPS runs per query (default 11), the
+first discarded as warm-up, the remaining averaged; the suite also reports
+the geometric mean over per-query averages. Construction is one timed run
+after a full warm-up pipeline (a multi-minute job is its own warm-up; its
+variance is in the per-stage lineage, not rep noise).
+
+Extra env: BENCH_REPS  runs per query incl. the discarded first (default 11)
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import tempfile
@@ -61,7 +67,17 @@ BENCH_EXTRA = {
         max_bucket=200,
     ),
     "dedup_jaccard_3gram": lambda spark, sf_dir: contract.dedup.ngram_jaccard_pairs(
-        contract._t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.2
+        contract._t(spark, sf_dir, "documents"),
+        shingle_n=3,
+        threshold=0.2,
+        max_df=200,  # document-frequency cap: no uncapped hot-shingle join
+    ),
+    "sim_lsh_neardup": lambda spark, sf_dir: contract.similarity.cosine_lsh_neardup_pairs(
+        contract._t(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        n_planes=4,
+        n_bands=16,
+        max_bucket=10_000,
     ),
 }
 
@@ -105,27 +121,40 @@ BGP_QUERIES = {
 }
 
 
+def _timed_reps(fn, reps: int) -> list[float]:
+    """Run ``fn`` (an action) ``reps`` times; drop run 1 (warm-up), return
+    the kept wall times (reference protocol, QueryTester.java:293-296)."""
+    kept = []
+    for rep in range(reps):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        if rep > 0 or reps == 1:
+            kept.append(dt)
+    return kept
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_depts = int(os.environ.get("BENCH_DEPTS", "2000"))
+    reps = int(os.environ.get("BENCH_REPS", "11"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     spark = get_spark(app="parj_spark_bench", cpus=cpus)
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
 
-    # warm-up (JVM + parquet footer caches), not recorded
-    contract.QUERIES[HEADLINE[0]](spark, sf_dir).count()
+    def record(name, action):
+        kept = _timed_reps(action, reps)
+        timings[name] = round(sum(kept) / len(kept), 3)
+        spread[name] = [round(min(kept), 3), round(max(kept), 3)]
 
     for name in HEADLINE:
-        t0 = time.time()
-        contract.QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        record(name, lambda: contract.QUERIES[name](spark, sf_dir).count())
 
     for name, fn in BENCH_EXTRA.items():
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        record(name, lambda: fn(spark, sf_dir).count())
 
     # KG construction throughput on the interleaved-docs corpus.
     # Warm-up pipeline first (reference protocol: run 1 discarded, the JIT
@@ -149,14 +178,17 @@ def main() -> None:
     # BGP suite over the materialized graph
     engine = BGPEngine(store)
     for name, q in BGP_QUERIES.items():
-        t0 = time.time()
-        engine.count(parse_bgp(q))
-        timings[name] = round(time.time() - t0, 3)
+        pats = parse_bgp(q)
+        record(name, lambda: engine.count(pats))
 
     if cleanup:
         shutil.rmtree(out_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
+    query_avgs = [v for k, v in timings.items() if k != "kg_construct"]
+    geomean = round(
+        math.exp(sum(math.log(max(v, 1e-6)) for v in query_avgs) / len(query_avgs)), 4
+    )
     print(
         json.dumps(
             {
@@ -164,6 +196,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "geomean_sec": geomean,
+                "protocol": {"reps": reps, "drop_first": reps > 1, "construct_reps": 1},
                 "sf": sf,
                 "cpus": cpus,
                 "kg_docs": n_docs,

@@ -467,6 +467,15 @@ def sim_neardup_pairs(spark, sf_dir):
     )
 
 
+def sim_lsh_neardup(spark, sf_dir):
+    # the 100 TB near-dup-pairs path (banded hyperplane LSH + exact verify);
+    # approximate recall by construction -> rows-only check here, with the
+    # subset-of-brute-force + recall gate in tests/test_operators.py
+    return similarity.cosine_lsh_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=4, n_bands=16
+    )
+
+
 def sim_lsh_topk(spark, sf_dir):
     # approximate scale path: rows-only check (no SQL oracle by design)
     return similarity.cosine_lsh_topk(
@@ -554,6 +563,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_neardup_pairs": sim_neardup_pairs,
+    "sim_lsh_neardup": sim_lsh_neardup,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "text_stats": text_stats_q,

@@ -103,12 +103,18 @@ def ivf_topk(
             if pdf.empty:
                 continue
             M = np.stack(pdf[vec_col].apply(lambda v: np.asarray(v, dtype=np.float64)))
-            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-            cell = (M @ cm.T).argmax(axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col].values, "cell": cell.astype(np.int32)})
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            cell = (Mn @ cm.T).argmax(axis=1)
+            out = pdf[[id_col, vec_col]].copy()
+            out["cell"] = cell.astype(np.int32)
+            yield out
 
-    cells = emb.select(id_col, vec_col).mapInPandas(assign, f"{id_col} long, cell int")
-    with_cell = emb.join(cells, id_col)
+    # the vector rides through the Arrow stage, so the probe filter reads
+    # (id, vec, cell) directly — no shuffle join to re-attach the embedding
+    vtype = emb.schema[vec_col].dataType.simpleString()
+    with_cell = emb.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, {vec_col} {vtype}, cell int"
+    )
 
     qvec_row = emb.filter(F.col(id_col) == query_id).select(vec_col).first()
     q = np.asarray(qvec_row[0], dtype=np.float64)
@@ -129,6 +135,80 @@ def signature_bits(n_planes: int = 16, dim: int = 64, seed: int = 7) -> np.ndarr
     """Deterministic random-hyperplane matrix (n_planes x dim)."""
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))
+
+
+def cosine_lsh_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    n_bands: int = 8,
+    seed: int = 7,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs at scale: banded hyperplane LSH.
+
+    ``n_bands`` independent sign-bit signatures; a pair becomes a candidate
+    if it collides in ANY band (OR-amplification), then every candidate is
+    verified with the exact cosine, so precision is exact and only recall is
+    approximate (pairs hashing apart in all bands are missed — collision
+    probability per band is (1 - theta/pi)^n_planes, so bands trade shuffle
+    volume for recall). This is the scale path for
+    dedup.embedding_neardup_pairs (the O(n^2) cross-join oracle): shuffle is
+    O(n * bands), never O(n^2). ``max_bucket`` drops degenerate buckets (the
+    same frequent-bucket skew guard as dedup.minhash_lsh_pairs).
+    """
+    spark = emb.sparkSession
+    dim = len(emb.select(vec_col).first()[0])
+    planes = np.stack(
+        [signature_bits(n_planes, dim, seed + band) for band in range(n_bands)]
+    )  # (bands, planes, dim)
+    bplanes = spark.sparkContext.broadcast(planes)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P = bplanes.value
+        weights = 1 << np.arange(P.shape[1])
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.stack(pdf[vec_col].apply(lambda v: np.asarray(v, dtype=np.float64)))
+            ids = np.repeat(pdf[id_col].values, P.shape[0])
+            bands = np.tile(np.arange(P.shape[0]), len(pdf))
+            # (bands, n, planes) signs -> per-band integer buckets
+            bits = np.einsum("nd,bpd->bnp", M, P) > 0
+            bucket = (bits @ weights).T.reshape(-1)  # row-major: (n, bands)
+            yield pd.DataFrame(
+                {id_col: ids, "band": bands.astype(np.int32), "bucket": bucket.astype(np.int64)}
+            )
+
+    stacked = emb.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, band int, bucket long"
+    )
+    if max_bucket is not None:
+        sizes = stacked.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
+        stacked = (
+            stacked.join(sizes, ["band", "bucket"])
+            .filter(F.col("bsz") <= max_bucket)
+            .drop("bsz")
+        )
+    a = stacked.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = stacked.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(cosine_sim("va", "vb"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
 
 
 def cosine_lsh_topk(

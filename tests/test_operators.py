@@ -213,3 +213,23 @@ def test_winnow_matches_reference_scan(spark):
     }
     for did, s in texts:
         assert got[did] == sorted(reference(s)), f"doc {did}"
+
+
+def test_lsh_neardup_pairs_subset_and_recall(spark):
+    """Scale-path near-dup pairs: exact precision (every emitted pair is a
+    true >=threshold pair) and high recall vs the brute-force oracle."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.cosine_lsh_neardup_pairs(
+            emb, threshold=0.4, n_planes=4, n_bands=16
+        ).collect()
+    }
+    assert set(lsh) <= set(brute), "LSH emitted a pair below threshold"
+    assert all(lsh[p] == brute[p] for p in lsh), "verified cosines must match"
+    recall = len(lsh) / max(1, len(brute))
+    assert recall >= 0.8, f"banded-LSH recall too low: {recall}"
