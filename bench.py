@@ -72,14 +72,29 @@ BENCH_EXTRA = {
         threshold=0.2,
         max_df=200,  # document-frequency cap: no uncapped hot-shingle join
     ),
+    # Near-dup at a *near-dup* threshold (0.9 ~ 25 deg) over a corpus with
+    # planted duplicates (each vector twice): this is the angle band-LSH
+    # actually prunes — random pairs collide in ~(1/2)^planes of bands while
+    # every true dup pair survives all bands. The contract variant runs
+    # threshold 0.4 as a recall fixture; a 66-deg "near"-dup is not a
+    # prunable workload and would time as brute force.
     "sim_lsh_neardup": lambda spark, sf_dir: contract.similarity.cosine_lsh_neardup_pairs(
-        contract._t(spark, sf_dir, "embeddings"),
-        threshold=0.4,
-        n_planes=4,
-        n_bands=16,
+        _with_planted_dups(contract._t(spark, sf_dir, "embeddings")),
+        threshold=0.9,
+        n_planes=8,
+        n_bands=8,
         max_bucket=10_000,
     ),
 }
+
+
+def _with_planted_dups(emb):
+    from pyspark.sql import functions as F
+
+    dup = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    return emb.select("vec_id", "embedding", "label").union(dup)
 
 # LUBM-analog suite mirroring the reference's embedded queries
 # (QueryTester.java:107-119 shapes) on the fixture ontology

@@ -156,10 +156,18 @@ def write_graph(
 
         write_join_stats(triples_enc, out_dir)
 
+    def w_histograms():
+        from parj_spark.construct.stats import write_histograms
+
+        write_histograms(triples_enc, out_dir)
+
     # the writers are independent Spark jobs over the cached triples —
     # submit them concurrently so the scheduler interleaves their stages
     # (hides per-job latency; same pattern works on a real cluster)
-    writers = (w_spo, w_pos, w_osp, w_stats, w_class_stats, w_dict, w_props, w_join_stats)
+    writers = (
+        w_spo, w_pos, w_osp, w_stats, w_class_stats,
+        w_dict, w_props, w_join_stats, w_histograms,
+    )
     with ThreadPoolExecutor(max_workers=len(writers)) as pool:
         futures = [pool.submit(f) for f in writers]
         for fut in futures:

@@ -67,6 +67,14 @@ class GraphStore:
             return None
         return self.spark.read.parquet(path)
 
+    def histograms(self) -> DataFrame | None:
+        """Equi-depth (p, col) histograms (reference Histogram.java:106-212);
+        None on graphs materialized before the histogram writer existed."""
+        path = os.path.join(self.out_dir, "histograms")
+        if not lineage.stage_done(path, self.spark):
+            return None
+        return self.spark.read.parquet(path)
+
     def triples_uri(self) -> DataFrame:
         return self._read("triples_uri")
 

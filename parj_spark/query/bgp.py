@@ -104,6 +104,29 @@ class BGPEngine:
         self._class_stats = (
             {r["o"]: r["n"] for r in cs.collect()} if cs is not None else {}
         )
+        # equi-depth histograms (Histogram.java:106-212 analog): per
+        # (predicate, column) sorted bucket lists for constant selectivity
+        hg = getattr(store, "histograms", lambda: None)()
+        self._hists: dict[tuple[int, str], list[tuple[int, int, int, int]]] = {}
+        if hg is not None:
+            for r in hg.collect():
+                self._hists.setdefault((r["p"], r["col"]), []).append(
+                    (r["bucket"], r["lo"], r["hi"], r["n"], r["ndv"])
+                )
+            for key in self._hists:
+                self._hists[key] = [t[1:] for t in sorted(self._hists[key])]
+
+    def _hist_estimate(self, pid: int, col: str, val: int) -> float | None:
+        """Estimated rows with ``col = val`` under predicate ``pid`` from the
+        equi-depth histogram: count/ndv of the containing bucket; 0 when the
+        value falls outside every bucket (absent); None when no histogram."""
+        buckets = self._hists.get((pid, col))
+        if not buckets:
+            return None
+        for lo, hi, n, ndv in buckets:
+            if lo <= val <= hi:
+                return n / max(1.0, float(ndv))
+        return 0.0
 
     def _decode_dict(self) -> DataFrame:
         """The (id, uri) dictionary, broadcast only when it fits.
@@ -139,18 +162,25 @@ class BGPEngine:
         st = self._stats.get(pid)
         if st is None:
             return 0.0
-        n = float(st["n"])
+        n_total = float(st["n"])
+        n = n_total
         if not _is_var(pat.o):
-            # T2: `?x rdf:type C` gets the exact class cardinality instead
-            # of the uniform n/ndv_o guess — class sizes are skewed, so the
-            # uniform estimate systematically misorders type-anchored joins
+            # constant-object selectivity, best stat first: T2 exact class
+            # cardinality for rdf:type, else the equi-depth histogram bucket
+            # (skew-aware), else the uniform n/ndv_o guess
             oid = terms.get(pat.o) if terms else None
             if pid == self._type_pid and oid is not None and self._class_stats:
                 n = float(self._class_stats.get(oid, 0.0))
             else:
-                n /= max(1.0, float(st["ndv_o"]))
+                h = self._hist_estimate(pid, "o", oid) if oid is not None else None
+                n = h if h is not None else n / max(1.0, float(st["ndv_o"]))
         if not _is_var(pat.s):
-            n /= max(1.0, float(st["ndv_s"]))
+            sid = terms.get(pat.s) if terms else None
+            h = self._hist_estimate(pid, "s", sid) if sid is not None else None
+            sel = (h / n_total) if (h is not None and n_total > 0) else 1.0 / max(
+                1.0, float(st["ndv_s"])
+            )
+            n *= sel
         return n
 
     def _scan(
