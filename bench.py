@@ -36,6 +36,7 @@ from parj_spark.session import get_spark  # noqa: E402
 from parj_spark import contract  # noqa: E402
 from parj_spark.fixtures import gen_corpus  # noqa: E402
 from parj_spark.construct import run_pipeline  # noqa: E402
+from parj_spark.construct.pipeline import analyze_graph  # noqa: E402
 from parj_spark.query import BGPEngine, parse_bgp  # noqa: E402
 
 HEADLINE = [
@@ -185,10 +186,16 @@ def main() -> None:
     docs = docs.cache()
     n_docs = docs.count()  # materialize corpus outside the timed window
     t0 = time.time()
-    store = run_pipeline(spark, docs, out_dir, resume=False)
+    store = run_pipeline(spark, docs, out_dir, resume=False, analyze=False)
     n_triples = store.spo().count()
     t_construct = time.time() - t0
     timings["kg_construct"] = round(t_construct, 3)
+
+    # optimizer statistics (T2/T3/histograms), timed apart like the
+    # reference's analyze phase (histograms.json built outside load)
+    t0 = time.time()
+    analyze_graph(store, resume=False)
+    timings["kg_analyze"] = round(time.time() - t0, 3)
 
     # BGP suite over the materialized graph
     engine = BGPEngine(store)
@@ -200,7 +207,7 @@ def main() -> None:
         shutil.rmtree(out_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    query_avgs = [v for k, v in timings.items() if k != "kg_construct"]
+    query_avgs = [v for k, v in timings.items() if k not in ("kg_construct", "kg_analyze")]
     geomean = round(
         math.exp(sum(math.log(max(v, 1e-6)) for v in query_avgs) / len(query_avgs)), 4
     )

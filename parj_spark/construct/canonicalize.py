@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
+    broadcast_labels_below: int = 4_000_000,
 ) -> tuple[DataFrame, int]:
     """(node, component) for every node in ``edges``; component = min member label.
 
@@ -41,18 +42,37 @@ def connected_components(
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .persist()
     )
+
+    def signature(df: DataFrame) -> int:
+        # order-independent label-set fingerprint: one cached-scan aggregate,
+        # no join. Convergence candidate = signature unchanged; a candidate
+        # is then CONFIRMED with an exact join (once per call, not per
+        # iteration), so a 64-bit hash collision can stall one extra round
+        # but can never return unconverged labels.
+        # decimal(38,0) sum: immune to ANSI long-overflow up to ~10^18 rows
+        return df.agg(
+            F.sum(F.xxhash64("node", "component").cast("decimal(38,0)"))
+        ).first()[0]
+
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
         .persist()
     )
-    labels.count()
+    sig_prev = signature(labels)  # also materializes the cache
+    # size-gated join strategy (decided once; node count is stable): small
+    # label sets broadcast so each iteration pays ONE shuffle (the group-min)
+    # instead of two; at cluster scale labels exceed the gate and the join
+    # falls back to shuffle — same adaptive pattern as the dictionary decode
+    n_nodes = labels.count()
+    bcast = 0 < n_nodes <= broadcast_labels_below
 
     it = 0
     for it in range(1, max_iter + 1):
+        side = F.broadcast(labels) if bcast else labels
         prop = (
-            sym.join(labels, sym.dst == labels.node)
+            sym.join(side, sym.dst == side.node)
             .select(sym.src.alias("node"), "component")
         )
         new_labels = (
@@ -62,33 +82,47 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .persist()
         )
-        # one action per iteration: the changed-count materializes new_labels
-        # into the cache as a side effect (no separate checkpoint job)
-        changed = (
-            labels.alias("a")
-            .join(new_labels.alias("b"), "node")
-            .filter(F.col("a.component") != F.col("b.component"))
-            .count()
-        )
+        # one action per iteration: the signature aggregate materializes
+        # new_labels into the cache as a side effect; unlike the previous
+        # labels-join-new_labels changed-count it shuffles nothing
+        sig = signature(new_labels)
+        converged = False
+        if sig == sig_prev:
+            converged = (
+                labels.alias("a")
+                .join(new_labels.alias("b"), "node")
+                .filter(F.col("a.component") != F.col("b.component"))
+                .count()
+                == 0
+            )
         labels.unpersist()
         labels = new_labels
+        sig_prev = sig
         if it % 5 == 0:
             # cut logical lineage for adversarially deep components
             labels = labels.localCheckpoint()
-        if changed == 0:
+        if converged:
             break
     sym.unpersist()
     return labels, it
 
 
-def canonical_map(labels: DataFrame, priority: DataFrame) -> DataFrame:
+def canonical_map(labels: DataFrame, priority) -> DataFrame:
     """Pick the canonical representative per component.
 
-    ``priority`` maps (node, rank) — lower rank wins (rank 0 = canonical
-    surface form). Returns (node, canon) for every node. Ties broken by
-    lexicographic node order (deterministic).
+    ``priority`` maps nodes to a rank — lower rank wins (rank 0 = canonical
+    surface form). Either a (node, rank) DataFrame, or a Column expression
+    over ``node`` (preferred: rank derived from the node itself needs no
+    join — one shuffle less on the construct hot path). Returns
+    (node, canon) for every node; ties broken by lexicographic node order
+    (deterministic).
     """
-    members = labels.join(priority, "node", "left").fillna({"rank": 9})
+    from pyspark.sql import Column
+
+    if isinstance(priority, Column):
+        members = labels.withColumn("rank", priority)
+    else:
+        members = labels.join(priority, "node", "left").fillna({"rank": 9})
     reps = members.groupBy("component").agg(
         F.min_by("node", F.struct("rank", "node")).alias("canon")
     )

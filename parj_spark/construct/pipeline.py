@@ -83,22 +83,50 @@ class GraphStore:
 
 
 def _run_stage(spark, out_dir, name, resume, build):
-    """Checkpoint-or-skip one stage; returns the stage's DataFrame (re-read)."""
+    """Checkpoint-or-skip one stage; returns the stage's DataFrame (re-read).
+
+    The lineage row counter rides the write itself via ``observe`` — a
+    separate post-write count() would be one extra job per stage, pure
+    scheduling latency at the iteration cadence of this pipeline."""
+    from pyspark.sql import Observation
+
     path = os.path.join(out_dir, name)
     if resume and lineage.stage_done(path, spark):
         return spark.read.parquet(path)
     t0 = time.time()
     df = build()
-    df.write.mode("overwrite").parquet(path)
-    out = spark.read.parquet(path)
-    lineage.record_stage(out_dir, name, None, out.count(), time.time() - t0, spark=spark)
-    return out
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(path)
+    lineage.record_stage(
+        out_dir, name, None, obs.get["n"], time.time() - t0, spark=spark
+    )
+    return spark.read.parquet(path)
 
 
 # written only after ALL materialize writers commit — the resume key for the
 # multi-output materialize step (spo/_SUCCESS alone can exist while pos/dict/
 # stats are missing or stale after an interrupted concurrent write)
 GRAPH_COMMITTED_MARKER = "_GRAPH_COMMITTED"
+# same, for the separate optimizer-statistics pass (T2/T3/histograms)
+ANALYZE_DONE_MARKER = "_ANALYZE_DONE"
+
+
+def analyze_graph(store: GraphStore, resume: bool = True) -> GraphStore:
+    """Build the optimizer statistics (T2 class stats, T3 join cardinalities,
+    equi-depth histograms) for an already-materialized graph — the
+    reference's analyze phase (SPARQLAnalyzer -> histograms.json), kept out
+    of the timed load path. Idempotent; resumable via its own marker."""
+    marker = os.path.join(store.out_dir, ANALYZE_DONE_MARKER)
+    if resume and lineage.path_exists(marker, store.spark):
+        return store
+    t0 = time.time()
+    triples = store.spo().select("s", "p", "o")
+    mat.analyze_graph(triples, store.properties(), store.out_dir)
+    lineage.record_stage(
+        store.out_dir, "analyze", None, None, time.time() - t0, spark=store.spark
+    )
+    lineage.touch(marker, store.spark)
+    return store
 
 
 def run_pipeline(
@@ -109,6 +137,7 @@ def run_pipeline(
     salt_buckets: int = mat.DEFAULT_SALT_BUCKETS,
     hash_ids: bool = False,
     compute_links: bool = False,
+    analyze: bool = True,
 ) -> GraphStore:
     mentions = _run_stage(
         spark, out_dir, "mentions", resume, lambda: extract.extract_mentions(docs)
@@ -140,15 +169,14 @@ def run_pipeline(
         canon_frames["labels"] = labels
         canon_frames["edges"] = edges
         t_cc = time.time()
-        priority = labels.select(
-            "node",
+        # rank is derivable from the node string itself -> pass a Column
+        # (no (node, rank) join inside canonical_map)
+        rank = (
             F.when(
                 F.split("node", "_").getItem(0).isin(list(O.CANONICAL_PREFIXES)), 0
-            )
-            .otherwise(1)
-            .alias("rank"),
+            ).otherwise(1)
         )
-        cmap = canonicalize.canonical_map(labels, priority)
+        cmap = canonicalize.canonical_map(labels, rank)
         lineage.record_stage(
             out_dir,
             "canonicalize_iters",
@@ -202,4 +230,7 @@ def run_pipeline(
         )
         # all writers returned and spo re-read: commit the multi-output step
         lineage.touch(marker, spark)
-    return GraphStore(spark, out_dir)
+    store = GraphStore(spark, out_dir)
+    if analyze:
+        analyze_graph(store, resume=resume)
+    return store

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from parj_spark.session import get_spark  # noqa: E402
 from parj_spark.fixtures import gen_corpus  # noqa: E402
 from parj_spark.construct import run_pipeline  # noqa: E402
+from parj_spark.construct.pipeline import analyze_graph  # noqa: E402
 from parj_spark.operators import dedup  # noqa: E402
 from parj_spark.query import BGPEngine, parse_bgp  # noqa: E402
 
@@ -36,7 +37,9 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "64")
     spark = get_spark(app=f"scaling_{cpus}", cpus=cpus)
 
-    runs: dict[str, list[float]] = {"kg_construct": [], "neardup_cosine": [], "bgp_suite": []}
+    runs: dict[str, list[float]] = {
+        "kg_construct": [], "kg_analyze": [], "neardup_cosine": [], "bgp_suite": []
+    }
 
     # corpus (identical layout at both levels), materialized untimed
     docs, _ = gen_corpus(spark, n_depts=n_depts, seed=42, num_partitions=64)
@@ -63,9 +66,15 @@ def main() -> None:
     for _rep in range(reps):
         out_dir = tempfile.mkdtemp(prefix=f"scale_{cpus}_")
         t0 = time.time()
-        store = run_pipeline(spark, docs, out_dir, resume=False)
+        store = run_pipeline(spark, docs, out_dir, resume=False, analyze=False)
         n_triples = store.spo().count()
         runs["kg_construct"].append(round(time.time() - t0, 3))
+
+        # optimizer-statistics pass, timed apart (reference phase split:
+        # load wall-time vs SPARQLAnalyzer's histograms.json build)
+        t0 = time.time()
+        analyze_graph(store, resume=False)
+        runs["kg_analyze"].append(round(time.time() - t0, 3))
 
         engine = BGPEngine(store)
         t0 = time.time()
