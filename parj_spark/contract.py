@@ -507,6 +507,14 @@ def text_winnow(spark, sf_dir):
     return text.winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def text_winnow_pairs(spark, sf_dir):
+    # MOSS-style shared-fingerprint pairs: rows-only check (fingerprint
+    # values come from the numpy stage); overlap behavior pytest-gated
+    return text.winnow_overlap_pairs(
+        _t(spark, sf_dir, "documents"), min_overlap=3
+    )
+
+
 def mm_binary_meta(spark, sf_dir):
     return multimodal.attach_binary(_t(spark, sf_dir, "documents")).select(
         "doc_id", "kind", "n_bytes", "digest"
@@ -570,6 +578,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_winnow": text_winnow,
+    "text_winnow_pairs": text_winnow_pairs,
     "mm_binary_meta": mm_binary_meta,
     "mm_frame_sample": mm_frame_sample,
     "mm_decode_stub": mm_decode_stub,

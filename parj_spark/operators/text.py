@@ -150,3 +150,37 @@ def winnow_fingerprints(
             yield pd.DataFrame({id_col: out_id, "pos": out_pos, "fp": out_fp})
 
     return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_overlap: int = 2,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Document pairs sharing >= min_overlap winnowing fingerprints — the
+    MOSS-style local-similarity dedup built on winnow_fingerprints.
+
+    Scale shape: inverted index on fp -> self-equi-join -> per-pair count;
+    ``max_df`` drops fingerprints present in more than that many documents
+    (the same frequent-key guard as the shingle/bucket caps — one ubiquitous
+    fingerprint must not produce O(n²) candidate pairs).
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, window).select(
+        id_col, "fp"
+    ).distinct()
+    if max_df is not None:
+        dfreq = fps.groupBy("fp").agg(F.count("*").alias("df"))
+        fps = fps.join(dfreq, "fp").filter(F.col("df") <= max_df).drop("df")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )

@@ -16,8 +16,12 @@ DP-chosen order and forces SQLite's NLJ over sorted permutation arrays
 - broadcast small pattern scans and the dictionary decode (J4:
   QueryTester.java:189-223's decode join, placed after all joins).
 
-Constant predicates only, like the reference (DagCreator.java:170-171 rejects
-predicate variables); variable predicates would read the OSP table.
+Predicate variables — which the reference rejects outright
+(DagCreator.java:170-171) — are supported here as an extension: a var-p
+pattern reads the OSP table when its object is bound (global o-sort gives
+parquet range pruning) and the SPO table otherwise. Predicate ids live in
+their own dense space (the properties catalog, not the term dictionary), so
+a variable may not appear in both predicate and subject/object position.
 """
 
 from __future__ import annotations
@@ -43,7 +47,15 @@ class Pattern:
     o: str
 
     def vars(self) -> set[str]:
+        """Join variables (subject/object/predicate positions all count —
+        two patterns sharing a predicate var join on it)."""
+        return {t[1:] for t in (self.s, self.p, self.o) if _is_var(t)}
+
+    def entity_vars(self) -> set[str]:
         return {t[1:] for t in (self.s, self.o) if _is_var(t)}
+
+    def pred_var(self) -> str | None:
+        return self.p[1:] if _is_var(self.p) else None
 
 
 def parse_bgp(text: str) -> list[Pattern]:
@@ -158,6 +170,12 @@ class BGPEngine:
 
     # --- planning --------------------------------------------------------
     def _estimate(self, pat: Pattern, terms: dict[str, int] | None = None) -> float:
+        if _is_var(pat.p):
+            # variable predicate: sum the per-predicate estimates
+            return sum(
+                self._estimate(Pattern(pat.s, uri, pat.o), terms)
+                for uri in self._props
+            )
         pid = self._props.get(pat.p)
         st = self._stats.get(pid)
         if st is None:
@@ -192,24 +210,29 @@ class BGPEngine:
         the subject var joins, "pos" if the object var joins) — reading the
         matching sort order gives the bucketed/sorted join path (reference
         J2 access-path choice, DagCreator.java:94-122)."""
-        pid = self._props.get(pat.p)
-        if pid is None:
-            return None
         s_const = None if _is_var(pat.s) else terms.get(pat.s)
         o_const = None if _is_var(pat.o) else terms.get(pat.o)
         if (not _is_var(pat.s) and s_const is None) or (
             not _is_var(pat.o) and o_const is None
         ):
             return None  # constant not in dictionary -> empty result
-        # access-path choice: constant binding wins, then the join hint
-        if o_const is not None and s_const is None:
-            orientation = "pos"
-        elif s_const is not None:
-            orientation = "spo"
+        if _is_var(pat.p):
+            # variable predicate (extension beyond the reference): OSP when
+            # the object is bound (global o-sort -> parquet range pruning),
+            # else the SPO table; scans every predicate partition
+            df = self.store.osp() if o_const is not None else self.store.spo()
         else:
-            orientation = orient_hint or "spo"
-        table = self._table(orientation)
-        df = table.filter(F.col("p") == pid)
+            pid = self._props.get(pat.p)
+            if pid is None:
+                return None
+            # access-path choice: constant binding wins, then the join hint
+            if o_const is not None and s_const is None:
+                orientation = "pos"
+            elif s_const is not None:
+                orientation = "spo"
+            else:
+                orientation = orient_hint or "spo"
+            df = self._table(orientation).filter(F.col("p") == pid)
         if s_const is not None:
             df = df.filter(F.col("s") == s_const)
         if o_const is not None:
@@ -217,11 +240,15 @@ class BGPEngine:
         cols = []
         if _is_var(pat.s):
             cols.append(F.col("s").alias(pat.s[1:]))
+        if _is_var(pat.p):
+            cols.append(F.col("p").alias(pat.p[1:]))
         if _is_var(pat.o):
             cols.append(F.col("o").alias(pat.o[1:]))
         if _is_var(pat.s) and _is_var(pat.o) and pat.s == pat.o:
             df = df.filter(F.col("s") == F.col("o"))
             cols = [F.col("s").alias(pat.s[1:])]
+            if _is_var(pat.p):
+                cols.append(F.col("p").alias(pat.p[1:]))
         if not cols:  # fully-bound pattern: existence filter
             cols = [F.lit(1).alias("__exists")]
             df = df.limit(1)
@@ -230,11 +257,13 @@ class BGPEngine:
     def _join_card(self, prev: Pattern, cand: Pattern) -> float | None:
         """Exact pairwise join cardinality from the T3 stats, if the two
         patterns share a variable (orientation per parj.c:447-466)."""
+        if _is_var(prev.p) or _is_var(cand.p):
+            return None  # no T3 entry without both predicates bound
         p1, p2 = self._props.get(prev.p), self._props.get(cand.p)
         if p1 is None or p2 is None or not self._join_stats:
             return None
         best = None
-        for v in prev.vars() & cand.vars():
+        for v in prev.entity_vars() & cand.entity_vars():
             side1 = "S" if (_is_var(prev.s) and prev.s[1:] == v) else "O"
             side2 = "S" if (_is_var(cand.s) and cand.s[1:] == v) else "O"
             card = self._join_stats.get((p1, p2, side1 + side2))
@@ -373,6 +402,16 @@ class BGPEngine:
         if isinstance(patterns, str):
             patterns = parse_bgp(patterns)
         opt_patterns = parse_bgp(optional) if isinstance(optional, str) else (optional or [])
+        all_for_check = list(patterns) + opt_patterns
+        pvars = {v for p in all_for_check for v in [p.pred_var()] if v}
+        evars = {v for p in all_for_check for v in p.entity_vars()}
+        if pvars & evars:
+            # predicate ids live in the properties catalog, entity ids in
+            # the term dictionary — joining across the two spaces is invalid
+            raise ValueError(
+                f"variable(s) used in both predicate and subject/object "
+                f"position: {sorted(pvars & evars)}"
+            )
         terms = self._resolve_terms(list(patterns) + opt_patterns)
         ordered = self._order(patterns, terms)
 
@@ -426,9 +465,14 @@ class BGPEngine:
             result = result.distinct()
         if decode and result.columns:
             for v in list(result.columns):
-                d = self._decode_dict().select(
-                    F.col("id").alias(v), F.col("uri").alias(f"{v}_uri")
+                # predicate vars decode through the (tiny) properties
+                # catalog, entity vars through the term dictionary
+                src = (
+                    F.broadcast(self.store.properties())
+                    if v in pvars
+                    else self._decode_dict()
                 )
+                d = src.select(F.col("id").alias(v), F.col("uri").alias(f"{v}_uri"))
                 result = result.join(d, v, "left").drop(v).withColumnRenamed(f"{v}_uri", v)
             result = result.select(*out_vars)
         if order_by:

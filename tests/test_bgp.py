@@ -166,3 +166,40 @@ def test_select_unbound_var_dropped(engine):
     pats = [Pattern("?x", "rdf:type", "ub:Course")]
     assert engine.query(pats, select=["x", "nope"], decode=True).columns == ["x"]
     assert engine.query(pats, select=["x", "nope"], decode=False).columns == ["x"]
+
+
+def test_variable_predicate_single(engine, tiny_corpus):
+    """?x ?p <const-object>: reads OSP (no predicate partition filter) and
+    binds the predicate var; decoded via the properties catalog. Extension
+    beyond the reference (which rejects var predicates outright)."""
+    _, gold = tiny_corpus
+    obj = "ub:Course_0_0_1"
+    res = engine.query([Pattern("?x", "?p", obj)])
+    exp = gold.filter(F.col("o_uri") == obj).select(
+        F.col("s_uri").alias("x"), F.col("p_uri").alias("p")
+    )
+    assert _rows(res.select("p", "x")) == _rows(exp.select("p", "x"))
+    assert res.count() > 0
+
+
+def test_variable_predicate_join(engine, tiny_corpus):
+    """Var-p pattern joined with a bound-p pattern on an entity var."""
+    _, gold = tiny_corpus
+    obj = "ub:Course_0_0_1"
+    res = engine.query(
+        [Pattern("?x", "?p", obj), Pattern("?x", "rdf:type", "?t")]
+    )
+    left = gold.filter(F.col("o_uri") == obj).select(
+        F.col("s_uri").alias("x"), F.col("p_uri").alias("p")
+    )
+    types = gold.filter(F.col("p_uri") == "rdf:type").select(
+        F.col("s_uri").alias("x"), F.col("o_uri").alias("t")
+    )
+    exp = left.join(types, "x").select("p", "t", "x")
+    assert _rows(res.select("p", "t", "x")) == _rows(exp)
+
+
+def test_variable_predicate_mixed_space_rejected(engine):
+    """A var in both predicate and entity position spans two id spaces."""
+    with pytest.raises(ValueError):
+        engine.query([Pattern("?x", "?p", "?y"), Pattern("?p", "rdf:type", "?t")])

@@ -233,3 +233,17 @@ def test_lsh_neardup_pairs_subset_and_recall(spark):
     assert all(lsh[p] == brute[p] for p in lsh), "verified cosines must match"
     recall = len(lsh) / max(1, len(brute))
     assert recall >= 0.8, f"banded-LSH recall too low: {recall}"
+
+
+def test_winnow_overlap_pairs(spark, planted_docs):
+    """Shared-substring docs pair up; unrelated docs don't. The df cap at 1
+    kills every pair (all shared fps become 'ubiquitous')."""
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in text.winnow_overlap_pairs(planted_docs, min_overlap=2).collect()
+    }
+    assert (1, 2) in pairs  # exact duplicates share every fingerprint
+    assert pairs[(1, 2)] >= pairs.get((4, 5), 0)
+    assert (4, 5) not in pairs or pairs[(4, 5)] < pairs[(1, 2)]
+    capped = text.winnow_overlap_pairs(planted_docs, min_overlap=1, max_df=1)
+    assert capped.count() == 0
