@@ -84,6 +84,38 @@ def best_links(candidates: DataFrame) -> DataFrame:
     )
 
 
+def chain_canonical(surfaces: DataFrame) -> DataFrame:
+    """(surface -> terminal of its normalization chain) — the closed-form
+    canonicalization for surfaces whose alias chain is fully deterministic.
+
+    Batch construction uses union-find over coref_edges (north-rule mandate,
+    handles arbitrary merge evidence); this is the incremental-path shortcut
+    for NEW surfaces arriving in a stream epoch, where re-running global
+    union-find per micro-batch would be O(graph) work per epoch. Surfaces
+    already present in the stored canon map keep their assignment (the map
+    wins on join); only unseen ones take the chain terminal.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            surf = pdf["surface"]
+            prefix = surf.str.partition("_")[0]
+            rest = surf.str.partition("_")[2]
+            while True:
+                nxt = prefix.map(O.NORMALIZE_HOP)
+                has = nxt.notna()
+                if not has.any():
+                    break
+                prefix = nxt.where(has, prefix)
+            yield pd.DataFrame(
+                {"surface": surf, "terminal": prefix.where(rest == "", prefix + "_" + rest)}
+            )
+
+    return surfaces.mapInPandas(gen, "surface string, terminal string")
+
+
 def coref_edges(surfaces: DataFrame) -> DataFrame:
     """Union-find edge set: consecutive normalization-chain pairs.
 

@@ -481,13 +481,15 @@ class BGPEngine:
             result = result.limit(limit)
         return result
 
-    def sparql(self, text: str, decode: bool = True) -> DataFrame:
+    def sparql(
+        self, text: str, decode: bool = True, var_predicates: bool = False
+    ) -> DataFrame:
         """Execute a SPARQL BGP SELECT string — the reference's actual entry
         point (QueryTester.java:152 parses SPARQL text; DagCreator.java:55-154
         lowers it to the join DAG). Our lowering target is :meth:`query`."""
         from parj_spark.query.sparql import parse_sparql
 
-        q = parse_sparql(text)
+        q = parse_sparql(text, allow_var_predicates=var_predicates)
         order_cols = [
             F.desc(v[1:]) if v.startswith("-") else F.asc(v) for v in q.order_by
         ] or None

@@ -10,10 +10,12 @@ recursive-descent parser for exactly the SPARQL subset the reference executes â€
   keyword, OPTIONAL { ... } blocks (SPARQL OPTIONAL -> left outer join, J5),
   ORDER BY / LIMIT modifiers.
 
-Anything beyond a BGP (FILTER, UNION, GRAPH, subqueries, property paths,
-variable predicates) is rejected with a clear error â€” the same contract as
-the reference, which rejects non-StatementPattern nodes and variable
-predicates outright (DagCreator.java:170-171, 269-271).
+Anything beyond a BGP (FILTER, UNION, GRAPH, subqueries, property paths) is
+rejected with a clear error â€” the same contract as the reference, which
+rejects non-StatementPattern nodes and variable predicates outright
+(DagCreator.java:170-171, 269-271). Variable predicates are likewise
+rejected by default, but ``allow_var_predicates=True`` opts in to the
+engine's OSP-backed extension.
 
 Term canonicalization: the engine's dictionary stores *prefixed names*
 ("ub:Course_0_0_0", "rdf:type"), so pnames pass through verbatim and full
@@ -78,10 +80,11 @@ class SparqlQuery:
 
 
 class _Parser:
-    def __init__(self, toks: list[str]):
+    def __init__(self, toks: list[str], allow_var_predicates: bool = False):
         self.toks = toks
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self.allow_var_predicates = allow_var_predicates
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -241,10 +244,15 @@ class _Parser:
         s = self.term()
         while True:
             p = self.term(allow_a=True)
-            if p.startswith("?"):
-                # parity: the reference rejects predicate variables
-                # (DagCreator.java:170-171); ours would need the OSP order
-                raise ValueError("variable predicates are not supported")
+            if p.startswith("?") and not self.allow_var_predicates:
+                # parity by default: the reference rejects predicate
+                # variables (DagCreator.java:170-171). Opt in via
+                # parse_sparql(..., allow_var_predicates=True) to use the
+                # engine's OSP-backed extension.
+                raise ValueError(
+                    "variable predicates are not supported "
+                    "(pass allow_var_predicates=True to opt in)"
+                )
             while True:
                 o = self.term()
                 out.append(Pattern(s, p, o))
@@ -272,10 +280,12 @@ class _Parser:
                 )
 
 
-def parse_sparql(text: str) -> SparqlQuery:
+def parse_sparql(text: str, allow_var_predicates: bool = False) -> SparqlQuery:
     """Parse a SPARQL BGP SELECT query string (see module docstring for the
-    accepted subset; everything the reference rejects, we reject)."""
-    return _Parser(_tokenize(text)).parse()
+    accepted subset; everything the reference rejects, we reject by default â€”
+    ``allow_var_predicates=True`` opts in to the engine's OSP-backed
+    variable-predicate extension)."""
+    return _Parser(_tokenize(text), allow_var_predicates).parse()
 
 
 def execute_on_triples(triples, text: str):

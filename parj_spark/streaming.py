@@ -57,6 +57,107 @@ def mentions_to_parquet(
     )
 
 
+def incremental_graph_append(
+    docs_stream: DataFrame,
+    store,
+    stream_dir: str,
+    checkpoint_dir: str,
+):
+    """End-to-end incremental KG ingest: per micro-batch the batch stages run
+    over the new documents only —
+
+      extract -> canonicalize (stored canon map wins; unseen surfaces take
+      their deterministic normalization-chain terminal, avoiding a global
+      union-find per epoch) -> encode against the existing dictionary
+      (unseen terms get reserved *negative* xxhash64 ids so they can never
+      collide with the dense non-negative base ids) -> append
+
+    Writes per epoch (idempotent by epoch subdir, exactly-once per the
+    foreachBatch contract):
+      <stream_dir>/triples/epoch=N   encoded (s, p, o) additions
+      <stream_dir>/dict/epoch=N      (id, uri) for newly-seen terms
+
+    ``store`` is the GraphStore of the base graph. Use
+    :func:`combined_triples` to query base + appended together.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from parj_spark.construct import encode, linking
+
+    spark = store.spark
+    canon_path = os.path.join(store.out_dir, "canon_map")
+    base_canon = spark.read.parquet(canon_path)
+    dict_df = store.dict()
+    props_df = store.properties()
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        mentions = extract.extract_mentions(batch_df)
+        surfaces = linking.mention_surfaces(mentions)
+        chain = linking.chain_canonical(surfaces)
+        canon = (
+            chain.join(
+                base_canon.withColumnRenamed("node", "surface"), "surface", "left"
+            )
+            .select(
+                F.col("surface").alias("node"),
+                F.coalesce("canon", "terminal").alias("canon"),
+            )
+        )
+        triples_uri = encode.assemble_triples(mentions, canon).persist()
+
+        neg_id = lambda col: -(F.pmod(F.xxhash64(col), F.lit(1 << 61)) + 1)  # noqa: E731
+        d_s = dict_df.select(F.col("id").alias("s_id"), F.col("uri").alias("s_uri"))
+        d_o = dict_df.select(F.col("id").alias("o_id"), F.col("uri").alias("o_uri"))
+        d_p = props_df.select(F.col("id").alias("p"), F.col("uri").alias("p_uri"))
+        enc = (
+            triples_uri.join(F.broadcast(d_p), "p_uri")
+            .join(d_s, "s_uri", "left")
+            .join(d_o, "o_uri", "left")
+            .select(
+                F.coalesce("s_id", neg_id(F.col("s_uri"))).alias("s"),
+                "p",
+                F.coalesce("o_id", neg_id(F.col("o_uri"))).alias("o"),
+            )
+        )
+        enc.write.mode("overwrite").parquet(
+            os.path.join(stream_dir, "triples", f"epoch={epoch_id}")
+        )
+        terms = triples_uri.select(F.col("s_uri").alias("uri")).union(
+            triples_uri.select(F.col("o_uri").alias("uri"))
+        ).distinct()
+        new_terms = terms.join(dict_df, "uri", "left_anti").select(
+            neg_id(F.col("uri")).alias("id"), "uri"
+        )
+        new_terms.write.mode("overwrite").parquet(
+            os.path.join(stream_dir, "dict", f"epoch={epoch_id}")
+        )
+        triples_uri.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def combined_triples(store, stream_dir: str) -> DataFrame:
+    """Base graph + streamed additions as one (s, p, o) relation."""
+    base = store.spo().select("s", "p", "o")
+    path = os.path.join(stream_dir, "triples")
+    if not os.path.exists(path):
+        return base
+    return base.union(store.spark.read.parquet(path).select("s", "p", "o"))
+
+
+def combined_dict(store, stream_dir: str) -> DataFrame:
+    """Base dictionary + streamed term additions as one (id, uri) relation."""
+    base = store.dict()
+    path = os.path.join(stream_dir, "dict")
+    if not os.path.exists(path):
+        return base
+    return base.union(store.spark.read.parquet(path).select("id", "uri"))
+
+
 def stateful_entity_counts(docs_stream: DataFrame):
     """Custom stateful streaming operator: running mention count per entity
     surface across micro-batches via ``applyInPandasWithState``.

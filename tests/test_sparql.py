@@ -120,3 +120,13 @@ def test_object_lists_and_star():
     q = parse_sparql('SELECT * WHERE { ?x <u:p> "A", "B" . }')
     assert q.select is None
     assert q.patterns == [Pattern("?x", "u:p", "A"), Pattern("?x", "u:p", "B")]
+
+
+def test_var_predicate_opt_in(engine):
+    """Rejected by default (reference parity), executable on opt-in via the
+    engine's OSP-backed extension."""
+    q = PREFIXES + "SELECT ?x ?p WHERE { ?x ?p <ub:Course_0_0_1> }"
+    with pytest.raises(ValueError):
+        parse_sparql(q)
+    res = engine.sparql(q, var_predicates=True)
+    assert res.count() > 0 and set(res.columns) == {"x", "p"}

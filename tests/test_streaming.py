@@ -125,3 +125,63 @@ def test_media_table_from_spans(spark, tiny_corpus):
     decoded = multimodal.decode_images(media)
     assert decoded.count() == n_media
     assert dict(decoded.dtypes)["doc_id"] == "string"
+
+
+def test_incremental_graph_append(spark, tiny_graph, tmp_path):
+    """End-to-end streamed ingest: new docs (a department the base graph has
+    never seen) extract, canonicalize, encode and append epoch-wise; the
+    appended triples decode to exactly the canonical URI triples the batch
+    pipeline produces for the same documents."""
+    from parj_spark.construct import run_pipeline
+    from parj_spark.fixtures import gen_corpus
+
+    in_dir = str(tmp_path / "in")
+    stream_dir = str(tmp_path / "stream")
+    ck = str(tmp_path / "ck")
+    new_docs, _ = gen_corpus(spark, n_depts=2, seed=99)
+    new_docs.write.mode("overwrite").parquet(in_dir)
+
+    q = streaming.incremental_graph_append(
+        streaming.read_docs_stream(spark, in_dir, max_files=1),
+        tiny_graph,
+        stream_dir,
+        ck,
+    ).start()
+    q.awaitTermination(180)
+
+    appended = spark.read.parquet(f"{stream_dir}/triples")
+    assert appended.count() > 0
+    # negative ids never collide with the dense base dictionary
+    base_max = tiny_graph.dict().agg(F.max("id")).first()[0]
+    assert base_max >= 0
+    new_dict = spark.read.parquet(f"{stream_dir}/dict")
+    assert new_dict.filter(F.col("id") >= 0).count() == 0
+
+    # decode appended triples through base+streamed dict and compare with
+    # the batch pipeline's canonical URI triples over the same documents
+    cdict = streaming.combined_dict(tiny_graph, stream_dir)
+    props = tiny_graph.properties()
+    d_s = cdict.select(F.col("id").alias("s"), F.col("uri").alias("s_uri"))
+    d_o = cdict.select(F.col("id").alias("o"), F.col("uri").alias("o_uri"))
+    d_p = props.select(F.col("id").alias("p"), F.col("uri").alias("p_uri"))
+    got = (
+        appended.join(d_s, "s")
+        .join(d_o, "o")
+        .join(d_p, "p")
+        .select("s_uri", "p_uri", "o_uri")
+        .distinct()
+    )
+    batch_store = run_pipeline(
+        spark, new_docs, str(tmp_path / "batch"), resume=False, analyze=False
+    )
+    exp = batch_store.triples_uri().select("s_uri", "p_uri", "o_uri").distinct()
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+    # second run over the same input: no new epochs (exactly-once resume)
+    n1 = spark.read.parquet(f"{stream_dir}/triples").count()
+    q2 = streaming.incremental_graph_append(
+        streaming.read_docs_stream(spark, in_dir, max_files=1),
+        tiny_graph, stream_dir, ck,
+    ).start()
+    q2.awaitTermination(180)
+    assert spark.read.parquet(f"{stream_dir}/triples").count() == n1
