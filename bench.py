@@ -203,6 +203,18 @@ def main() -> None:
         pats = parse_bgp(q)
         record(name, lambda: engine.count(pats))
 
+    # the reference's own entry path: a LUBM Q7 SPARQL string, parsed fresh
+    # each rep (parse cost is part of the measured query, as in
+    # QueryTester.java where parseQuery sits inside the timed loop)
+    lubm7 = (
+        "PREFIX rdf:<rdf:> PREFIX ub:<ub:> "
+        "SELECT ?x ?y ?z WHERE { ?y ub:teacherOf ?z . "
+        "?y rdf:type ub:FullProfessor . ?z rdf:type ub:Course . "
+        "?x ub:advisor ?y . ?x rdf:type ub:UndergraduateStudent . "
+        "?x ub:takesCourse ?z }"
+    )
+    record("bgp_sparql_lubm7", lambda: engine.sparql(lubm7, decode=False).count())
+
     if cleanup:
         shutil.rmtree(out_dir, ignore_errors=True)
 
