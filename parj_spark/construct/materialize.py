@@ -43,6 +43,13 @@ def write_bucketed_tables(
     reference's adjacent sorted-array lookups (parj.c:1421-1505). At 100 TB
     this is the difference between O(data) shuffle per query and none.
 
+    The tables are ALSO hive-partitioned by ``p``: the reference gets
+    per-predicate access for free from its per-predicate vtabs
+    (Table.java:28-50, parj.c:1814-1818); partitionBy("p") is the Spark
+    analog, so a pattern scan reads exactly its predicate's directory
+    instead of row-filtering the whole corpus — one layout now carries both
+    core physical properties (predicate pruning AND shuffle-free SMJ).
+
     Returns the two table names (``<prefix>_spo_b``, ``<prefix>_pos_b``).
     """
     import shutil
@@ -53,14 +60,23 @@ def write_bucketed_tables(
     for name in (spo_name, pos_name):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+    # repartition on the bucket column with numPartitions = n_buckets:
+    # HashPartitioning and bucket-id assignment share the same
+    # pmod(murmur3) formula, so each write task holds exactly one bucket id
+    # -> one file per (p-partition, bucket) instead of tasks x buckets
+    # small files (the 100 TB write shape).
     (
-        triples_enc.write.mode("overwrite")
+        triples_enc.repartition(n_buckets, F.col("s"))
+        .write.mode("overwrite")
+        .partitionBy("p")
         .bucketBy(n_buckets, "s")
         .sortBy("s", "o")
         .saveAsTable(spo_name)
     )
     (
-        triples_enc.write.mode("overwrite")
+        triples_enc.repartition(n_buckets, F.col("o"))
+        .write.mode("overwrite")
+        .partitionBy("p")
         .bucketBy(n_buckets, "o")
         .sortBy("o", "s")
         .saveAsTable(pos_name)
@@ -126,7 +142,16 @@ def write_graph(
         stats.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
 
     def w_dict():
-        dict_df.write.mode("overwrite").parquet(os.path.join(out_dir, "dict"))
+        # range-partitioned + sorted by uri: per-query constant-term lookups
+        # (`uri IN (...)`, bgp.py _resolve_terms) prune to a few row groups
+        # via parquet min/max instead of scanning the whole dictionary —
+        # at 100 TB the dict is the distinct-term set (billions of rows)
+        (
+            dict_df.repartitionByRange(F.col("uri"))
+            .sortWithinPartitions("uri")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "dict"))
+        )
 
     def w_props():
         props_df.coalesce(1).write.mode("overwrite").parquet(

@@ -57,6 +57,90 @@ def mentions_to_parquet(
     )
 
 
+def _neg_id(col):
+    """Reserved negative id for stream-introduced terms/predicates — can
+    never collide with the dense non-negative base ids."""
+    return -(F.pmod(F.xxhash64(col), F.lit(1 << 61)) + 1)
+
+
+def _prior_delta(spark, stream_dir: str, name: str, epoch_id: int) -> DataFrame | None:
+    """(id, uri) union of every epoch delta EXCEPT the current one — the
+    current epoch's own dir is excluded so a re-delivered epoch rewrites its
+    delta instead of anti-joining it away (idempotence under retries)."""
+    path = os.path.join(stream_dir, name)
+    if not os.path.exists(path):
+        return None
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("epoch") != epoch_id)
+        .select("id", "uri")
+    )
+
+
+def append_epoch(
+    triples_uri: DataFrame,
+    dict_df: DataFrame,
+    props_df: DataFrame,
+    stream_dir: str,
+    epoch_id: int,
+) -> None:
+    """Encode one epoch's (s_uri, p_uri, o_uri) triples against the base
+    catalogs and append the encoded triples plus duplicate-free dict /
+    properties deltas under ``stream_dir`` (see
+    :func:`incremental_graph_append` for the layout and invariants)."""
+    spark = triples_uri.sparkSession
+
+    # predicates: unseen ones get reserved negative ids appended as a
+    # per-epoch properties delta (ADVICE r2: the old inner join silently
+    # dropped every triple whose predicate wasn't in the base catalog)
+    all_props = props_df.select("id", "uri")
+    prior_props = _prior_delta(spark, stream_dir, "properties", epoch_id)
+    if prior_props is not None:
+        all_props = all_props.union(prior_props)
+    preds = triples_uri.select(F.col("p_uri").alias("uri")).distinct()
+    new_props = preds.join(all_props, "uri", "left_anti").select(
+        _neg_id(F.col("uri")).alias("id"), "uri"
+    )
+    new_props.write.mode("overwrite").parquet(
+        os.path.join(stream_dir, "properties", f"epoch={epoch_id}")
+    )
+    full_props = all_props.union(
+        spark.read.parquet(
+            os.path.join(stream_dir, "properties", f"epoch={epoch_id}")
+        ).select("id", "uri")
+    )
+
+    d_s = dict_df.select(F.col("id").alias("s_id"), F.col("uri").alias("s_uri"))
+    d_o = dict_df.select(F.col("id").alias("o_id"), F.col("uri").alias("o_uri"))
+    d_p = full_props.select(F.col("id").alias("p"), F.col("uri").alias("p_uri"))
+    enc = (
+        triples_uri.join(F.broadcast(d_p), "p_uri")
+        .join(d_s, "s_uri", "left")
+        .join(d_o, "o_uri", "left")
+        .select(
+            F.coalesce("s_id", _neg_id(F.col("s_uri"))).alias("s"),
+            "p",
+            F.coalesce("o_id", _neg_id(F.col("o_uri"))).alias("o"),
+        )
+    )
+    enc.write.mode("overwrite").parquet(
+        os.path.join(stream_dir, "triples", f"epoch={epoch_id}")
+    )
+    terms = triples_uri.select(F.col("s_uri").alias("uri")).union(
+        triples_uri.select(F.col("o_uri").alias("uri"))
+    ).distinct()
+    known = dict_df.select("id", "uri")
+    prior_dict = _prior_delta(spark, stream_dir, "dict", epoch_id)
+    if prior_dict is not None:
+        known = known.union(prior_dict)
+    new_terms = terms.join(known, "uri", "left_anti").select(
+        _neg_id(F.col("uri")).alias("id"), "uri"
+    )
+    new_terms.write.mode("overwrite").parquet(
+        os.path.join(stream_dir, "dict", f"epoch={epoch_id}")
+    )
+
+
 def incremental_graph_append(
     docs_stream: DataFrame,
     store,
@@ -74,11 +158,22 @@ def incremental_graph_append(
 
     Writes per epoch (idempotent by epoch subdir, exactly-once per the
     foreachBatch contract):
-      <stream_dir>/triples/epoch=N   encoded (s, p, o) additions
-      <stream_dir>/dict/epoch=N      (id, uri) for newly-seen terms
+      <stream_dir>/triples/epoch=N     encoded (s, p, o) additions
+      <stream_dir>/dict/epoch=N        (id, uri) for newly-seen terms
+      <stream_dir>/properties/epoch=N  (id, uri) for newly-seen predicates
 
-    ``store`` is the GraphStore of the base graph. Use
-    :func:`combined_triples` to query base + appended together.
+    New-term/new-predicate deltas are anti-joined against the base catalog
+    AND every *prior* epoch's delta (a term first seen in epoch 1 must not
+    be re-emitted by epoch 2 — duplicate (id, uri) rows would fan out every
+    decode join through :func:`combined_dict`); the current epoch's own dir
+    is excluded so a re-delivered epoch rewrites its delta instead of
+    anti-joining it away (idempotence under foreachBatch retries).
+
+    ``store`` is the GraphStore of the base graph — its ids must be the
+    default dense non-negative kind: streamed ids are reserved *negative*
+    xxhash64 values, which can collide with ``hash_ids=True`` base graphs
+    (raw xxhash64 spans the full signed int64 range), so those are rejected.
+    Use :func:`combined_triples` to query base + appended together.
     """
     from pyspark.sql import functions as F  # noqa: F811
 
@@ -89,6 +184,13 @@ def incremental_graph_append(
     base_canon = spark.read.parquet(canon_path)
     dict_df = store.dict()
     props_df = store.properties()
+    min_id = dict_df.agg(F.min("id")).first()[0]
+    if min_id is not None and min_id < 0:
+        raise ValueError(
+            "incremental_graph_append requires a dense-id base graph "
+            "(dict ids >= 0): hash_ids=True graphs use the full signed "
+            "int64 range and can collide with reserved negative stream ids"
+        )
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         mentions = extract.extract_mentions(batch_df)
@@ -104,33 +206,7 @@ def incremental_graph_append(
             )
         )
         triples_uri = encode.assemble_triples(mentions, canon).persist()
-
-        neg_id = lambda col: -(F.pmod(F.xxhash64(col), F.lit(1 << 61)) + 1)  # noqa: E731
-        d_s = dict_df.select(F.col("id").alias("s_id"), F.col("uri").alias("s_uri"))
-        d_o = dict_df.select(F.col("id").alias("o_id"), F.col("uri").alias("o_uri"))
-        d_p = props_df.select(F.col("id").alias("p"), F.col("uri").alias("p_uri"))
-        enc = (
-            triples_uri.join(F.broadcast(d_p), "p_uri")
-            .join(d_s, "s_uri", "left")
-            .join(d_o, "o_uri", "left")
-            .select(
-                F.coalesce("s_id", neg_id(F.col("s_uri"))).alias("s"),
-                "p",
-                F.coalesce("o_id", neg_id(F.col("o_uri"))).alias("o"),
-            )
-        )
-        enc.write.mode("overwrite").parquet(
-            os.path.join(stream_dir, "triples", f"epoch={epoch_id}")
-        )
-        terms = triples_uri.select(F.col("s_uri").alias("uri")).union(
-            triples_uri.select(F.col("o_uri").alias("uri"))
-        ).distinct()
-        new_terms = terms.join(dict_df, "uri", "left_anti").select(
-            neg_id(F.col("uri")).alias("id"), "uri"
-        )
-        new_terms.write.mode("overwrite").parquet(
-            os.path.join(stream_dir, "dict", f"epoch={epoch_id}")
-        )
+        append_epoch(triples_uri, dict_df, props_df, stream_dir, epoch_id)
         triples_uri.unpersist()
 
     return (
@@ -150,9 +226,24 @@ def combined_triples(store, stream_dir: str) -> DataFrame:
 
 
 def combined_dict(store, stream_dir: str) -> DataFrame:
-    """Base dictionary + streamed term additions as one (id, uri) relation."""
+    """Base dictionary + streamed term additions as one (id, uri) relation.
+
+    Duplicate-free by construction: ``incremental_graph_append`` anti-joins
+    each epoch's delta against base + all prior epochs, so a plain union is
+    a set union and decode joins through it never fan out rows.
+    """
     base = store.dict()
     path = os.path.join(stream_dir, "dict")
+    if not os.path.exists(path):
+        return base
+    return base.union(store.spark.read.parquet(path).select("id", "uri"))
+
+
+def combined_properties(store, stream_dir: str) -> DataFrame:
+    """Base predicate catalog + streamed predicate additions (duplicate-free
+    by the same per-epoch anti-join construction as :func:`combined_dict`)."""
+    base = store.properties()
+    path = os.path.join(stream_dir, "properties")
     if not os.path.exists(path):
         return base
     return base.union(store.spark.read.parquet(path).select("id", "uri"))
