@@ -186,16 +186,17 @@ def analyze_graph(
 
     triples_enc = triples_enc.cache()
     triples_enc.count()
+    type_rows = props_df.filter(F.col("uri") == "rdf:type").collect()
+    type_pid = type_rows[0]["id"] if type_rows else None
 
     def w_class_stats():
         # T2: per-class instance counts from the rdf:type partition
         # (reference parj.c:338-364, MemoryStat.java:248-315) — lets the
         # planner cost `?x rdf:type C` by the actual class size instead of
         # the uniform n/ndv_o estimate (classes are skewed by construction)
-        rows = props_df.filter(F.col("uri") == "rdf:type").collect()
-        if rows:
+        if type_pid is not None:
             cs = (
-                triples_enc.filter(F.col("p") == rows[0]["id"])
+                triples_enc.filter(F.col("p") == type_pid)
                 .groupBy("o")
                 .agg(F.count("*").alias("n"))
             )
@@ -207,7 +208,7 @@ def analyze_graph(
 
     writers = (
         w_class_stats,
-        lambda: write_join_stats(triples_enc, out_dir),
+        lambda: write_join_stats(triples_enc, out_dir, type_pid=type_pid),
         lambda: write_histograms(triples_enc, out_dir),
     )
     with ThreadPoolExecutor(max_workers=len(writers)) as pool:

@@ -67,6 +67,15 @@ class GraphStore:
             return None
         return self.spark.read.parquet(path)
 
+    def class_join_stats(self) -> DataFrame | None:
+        """Type-restricted T3 (reference getTypeCardinality, parj.c:510-547):
+        per-(class, p1, p2, orientation) join cardinalities counting only
+        join keys that are instances of the class; None on older graphs."""
+        path = os.path.join(self.out_dir, "class_join_stats")
+        if not lineage.stage_done(path, self.spark):
+            return None
+        return self.spark.read.parquet(path)
+
     def histograms(self) -> DataFrame | None:
         """Equi-depth (p, col) histograms (reference Histogram.java:106-212);
         None on graphs materialized before the histogram writer existed."""

@@ -64,10 +64,81 @@ def pairwise_join_cardinalities(
     return out
 
 
-def write_join_stats(triples_enc: DataFrame, out_dir: str, **kw) -> None:
+def class_restricted_join_cardinalities(
+    triples_enc: DataFrame,
+    type_pid: int,
+    top_k: int = 64,
+    per_key_cap: int | None = None,
+) -> DataFrame:
+    """T3 restricted to an rdf:type class — the reference's
+    ``getTypeCardinality`` (parj.c:510-547; negative-ID type pseudo-tables,
+    MemoryStat.java:273, 301): join cardinality per (class, p1, p2,
+    orientation) counting only join keys that are instances of the class.
+
+    Only the ``top_k`` largest classes are materialized (storage is
+    K x pairs x orientations); the planner falls back to the unrestricted
+    T3 entry for untracked classes. One aggregation job like the
+    unrestricted version — the class filter is a semi-join of the per-key
+    histogram against the (broadcastable after top-k) instance set.
+    """
+    inst = triples_enc.filter(F.col("p") == type_pid).select(
+        F.col("s").alias("k"), F.col("o").alias("cls")
+    )
+    top = (
+        inst.groupBy("cls")
+        .agg(F.count("*").alias("sz"))
+        .orderBy(F.desc("sz"), F.asc("cls"))
+        .limit(top_k)
+        .select("cls")
+    )
+    inst = inst.join(F.broadcast(top), "cls")
+    hists = {}
+    for col in ("s", "o"):
+        h = triples_enc.groupBy("p", F.col(col).alias("k")).agg(
+            F.count("*").alias("n")
+        )
+        if per_key_cap is not None:
+            h = h.withColumn("n", F.least(F.col("n"), F.lit(per_key_cap)))
+        hists[col] = h.persist()
+
+    parts = []
+    for name, (c1, c2) in ORIENTATIONS.items():
+        # restricting side-1's keys to class instances restricts the join
+        # keys themselves, so side-2 needs no separate filter
+        a = (
+            hists[c1]
+            .join(inst, "k")
+            .select("cls", F.col("p").alias("p1"), "k", F.col("n").alias("n1"))
+        )
+        b = hists[c2].select(F.col("p").alias("p2"), "k", F.col("n").alias("n2"))
+        parts.append(
+            a.join(b, "k")
+            .groupBy("cls", "p1", "p2")
+            .agg(F.sum(F.col("n1") * F.col("n2")).alias("card"))
+            .select("cls", "p1", "p2", F.lit(name).alias("orientation"), "card")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def write_join_stats(
+    triples_enc: DataFrame,
+    out_dir: str,
+    type_pid: int | None = None,
+    class_top_k: int = 64,
+    **kw,
+) -> None:
     pairwise_join_cardinalities(triples_enc, **kw).coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(out_dir, "join_stats"))
+    if type_pid is not None:
+        class_restricted_join_cardinalities(
+            triples_enc, type_pid, top_k=class_top_k, **kw
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "class_join_stats")
+        )
 
 
 DEFAULT_HIST_BUCKETS = 16

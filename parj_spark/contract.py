@@ -323,8 +323,12 @@ def kg_triples_derive(spark, sf_dir):
 
 
 def kg_bgp_chain(spark, sf_dir):
-    """BGP chain: ?c memberOf ?n . ?n partOf ?r . ?r name 'ASIA' (J1)."""
-    t = _derived_triples(spark, sf_dir).cache()
+    """BGP chain: ?c memberOf ?n . ?n partOf ?r . ?r name 'ASIA' (J1).
+
+    No cache on the derived triples: each pattern filter pushes its own
+    predicate down to the base-table scans, and contract queries must not
+    leak cache entries (VERDICT r2 nit)."""
+    t = _derived_triples(spark, sf_dir)
     member = t.filter(F.col("p") == "urn:memberOf").select(
         F.col("s").alias("c"), F.col("o").alias("n")
     )
@@ -416,7 +420,7 @@ def kg_sparql_distinct_limit(spark, sf_dir):
 
 def kg_bgp_star(spark, sf_dir):
     """BGP star: ?c type Customer . ?c memberOf urn:nation:5 . ?c name ?nm."""
-    t = _derived_triples(spark, sf_dir).cache()
+    t = _derived_triples(spark, sf_dir)
     typ = t.filter((F.col("p") == "urn:type") & (F.col("o") == "urn:Customer")).select(
         F.col("s").alias("c")
     )
@@ -515,21 +519,49 @@ def text_winnow_pairs(spark, sf_dir):
     )
 
 
+def _interleaved_media(spark, sf_dir):
+    """Deterministic interleaved-docs shape over the flat documents table
+    (one text span + one media span with a media:// ref per doc), then the
+    real multimodal column path: media_table explode -> payload/metadata.
+    Every derivation is JVM-side and reproducible in the DuckDB oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text")))
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("table")),
+        (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % 3) + 1,
+    )
+    ref = F.concat(F.lit("media://"), h)
+    caption = F.concat(F.lit("Figure 0 of doc "), F.col("doc_id").cast("string"))
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.col("text").alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"),
+        ),
+        F.struct(
+            kind.alias("kind"),
+            caption.alias("text"),
+            ref.alias("media_ref"),
+            (F.length("text") + 1).cast("int").alias("offset"),
+        ),
+    )
+    return multimodal.media_table(docs.select("doc_id", spans.alias("spans")))
+
+
 def mm_binary_meta(spark, sf_dir):
-    return multimodal.attach_binary(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "kind", "n_bytes", "digest"
+    return _interleaved_media(spark, sf_dir).select(
+        "doc_id", "pos", "kind", "media_ref", "n_bytes", "digest"
     )
 
 
 def mm_frame_sample(spark, sf_dir):
-    media = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
-    return multimodal.sample_frames(media, every_n=10)
+    return multimodal.sample_frames(_interleaved_media(spark, sf_dir), every_n=10)
 
 
 def mm_decode_stub(spark, sf_dir):
     # deterministic fake decode; plumbing-only -> rows-only check
-    media = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
-    return multimodal.decode_images(media)
+    return multimodal.decode_images(_interleaved_media(spark, sf_dir))
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -965,18 +997,33 @@ ORACLES: dict[str, str] = {
         FROM documents
     """,
     "mm_binary_meta": """
-        SELECT doc_id, 'blob' AS kind,
-          octet_length(encode(text))::BIGINT AS n_bytes,
-          md5(text) AS digest
-        FROM documents
+        WITH m AS (
+          SELECT doc_id, 1::INT AS pos,
+            (['image','audio','table'])[
+              (('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 2))::BIGINT % 3) + 1
+            ] AS kind,
+            'media://' || md5(doc_id::VARCHAR || ':' || text) AS media_ref,
+            'media://' || md5(doc_id::VARCHAR || ':' || text)
+              || '|' || 'Figure 0 of doc ' || doc_id::VARCHAR AS payload_s
+          FROM documents
+        )
+        SELECT doc_id, pos, kind, media_ref,
+          octet_length(encode(payload_s))::BIGINT AS n_bytes,
+          md5(payload_s) AS digest
+        FROM m
     """,
     "mm_frame_sample": """
         WITH m AS (
           SELECT doc_id,
-            ('0x' || substr(md5(text), 1, 6))::BIGINT % 300 + 1 AS n_frames
+            md5('media://' || md5(doc_id::VARCHAR || ':' || text)
+                || '|' || 'Figure 0 of doc ' || doc_id::VARCHAR) AS digest
           FROM documents
+        ), f AS (
+          SELECT doc_id,
+            ('0x' || substr(digest, 1, 6))::BIGINT % 300 + 1 AS n_frames
+          FROM m
         )
         SELECT doc_id, n_frames, unnest(range(0, n_frames, 10))::BIGINT AS frame_idx
-        FROM m
+        FROM f
     """,
 }

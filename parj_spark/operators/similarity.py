@@ -235,7 +235,11 @@ def cosine_lsh_topk(
     planes = signature_bits(n_planes, dim, seed)
     bplanes = spark.sparkContext.broadcast(planes)
 
-    sig_schema = f"{id_col} long, bucket long"
+    # the vector rides through the Arrow stage (same shape as ivf_topk),
+    # so the probe filter reads (id, vec, bucket) directly — re-attaching
+    # the embedding via emb.join(buckets) would shuffle the full table
+    vtype = emb.schema[vec_col].dataType.simpleString()
+    sig_schema = f"{id_col} long, {vec_col} {vtype}, bucket long"
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         P = bplanes.value
@@ -245,10 +249,11 @@ def cosine_lsh_topk(
             M = np.stack(pdf[vec_col].apply(lambda v: np.asarray(v, dtype=np.float64)))
             bits = (M @ P.T) > 0  # (n, planes)
             bucket = bits @ (1 << np.arange(P.shape[0]))
-            yield pd.DataFrame({id_col: pdf[id_col].values, "bucket": bucket.astype(np.int64)})
+            out = pdf[[id_col, vec_col]].copy()
+            out["bucket"] = bucket.astype(np.int64)
+            yield out
 
-    buckets = emb.select(id_col, vec_col).mapInPandas(assign, sig_schema)
-    with_b = emb.join(buckets, id_col)
+    with_b = emb.select(id_col, vec_col).mapInPandas(assign, sig_schema)
     q = with_b.filter(F.col(id_col) == query_id).select(
         F.col("bucket").alias("qbucket"), F.col(vec_col).alias("qvec")
     )

@@ -110,6 +110,15 @@ class BGPEngine:
         self._dict = store.dict()
         self._dict_rows: int | None = None  # lazy: counted on first decode
         self._type_pid = self._props.get("rdf:type")
+        # type-restricted T3 (reference getTypeCardinality, parj.c:510-547):
+        # {(class, p1, p2, orientation) -> card over class-instance join keys}
+        cjs = getattr(store, "class_join_stats", lambda: None)()
+        self._class_join_stats: dict[tuple[int, int, int, str], int] = {}
+        self._cjs_classes: set[int] = set()
+        if cjs is not None:
+            for r in cjs.collect():
+                self._class_join_stats[(r["cls"], r["p1"], r["p2"], r["orientation"])] = r["card"]
+                self._cjs_classes.add(r["cls"])
         # T2 per-class stats (parj.c:338-364, MemoryStat.java:248-315):
         # {class id -> instance count}, for exact `?x rdf:type C` estimates
         cs = getattr(store, "class_stats", lambda: None)()
@@ -254,9 +263,39 @@ class BGPEngine:
             df = df.limit(1)
         return df.select(*cols)
 
-    def _join_card(self, prev: Pattern, cand: Pattern) -> float | None:
+    def _anchors(
+        self, patterns: list[Pattern], terms: dict[str, int] | None
+    ) -> dict[str, int]:
+        """{var -> class id} for every ``?x rdf:type <C>`` pattern whose
+        class has type-restricted T3 entries — the BGP's class anchors
+        (reference: type pseudo-tables, MemoryStat.java:273, 301)."""
+        if not self._class_join_stats or self._type_pid is None or not terms:
+            return {}
+        out: dict[str, int] = {}
+        for p in patterns:
+            if (
+                not _is_var(p.p)
+                and self._props.get(p.p) == self._type_pid
+                and _is_var(p.s)
+                and not _is_var(p.o)
+            ):
+                cid = terms.get(p.o)
+                if cid is not None and cid in self._cjs_classes:
+                    out[p.s[1:]] = cid
+        return out
+
+    def _join_card(
+        self,
+        prev: Pattern,
+        cand: Pattern,
+        anchors: dict[str, int] | None = None,
+    ) -> float | None:
         """Exact pairwise join cardinality from the T3 stats, if the two
-        patterns share a variable (orientation per parj.c:447-466)."""
+        patterns share a variable (orientation per parj.c:447-466). When the
+        shared variable is anchored by a ``?x rdf:type C`` pattern, the
+        class-restricted cardinality is used (reference getTypeCardinality,
+        parj.c:510-547): it counts only join keys that are C instances, so a
+        selective class shrinks the join estimate, not just the scan."""
         if _is_var(prev.p) or _is_var(cand.p):
             return None  # no T3 entry without both predicates bound
         p1, p2 = self._props.get(prev.p), self._props.get(cand.p)
@@ -266,18 +305,27 @@ class BGPEngine:
         for v in prev.entity_vars() & cand.entity_vars():
             side1 = "S" if (_is_var(prev.s) and prev.s[1:] == v) else "O"
             side2 = "S" if (_is_var(cand.s) and cand.s[1:] == v) else "O"
-            card = self._join_stats.get((p1, p2, side1 + side2))
+            cls = anchors.get(v) if anchors else None
+            if cls is not None:
+                # tracked class, pair absent -> genuinely zero joining keys
+                card = self._class_join_stats.get((cls, p1, p2, side1 + side2), 0)
+            else:
+                card = self._join_stats.get((p1, p2, side1 + side2))
             if card is not None:
                 best = card if best is None else min(best, card)
         return best
 
     MAX_DP_PATTERNS = 10
 
-    def _join_sel(self, a: Pattern, b: Pattern) -> float | None:
+    def _join_sel(
+        self, a: Pattern, b: Pattern, anchors: dict[str, int] | None = None
+    ) -> float | None:
         """Join selectivity of two patterns on their shared variable:
-        T3 exact pair cardinality / (|p_a| * |p_b|). None if disconnected
-        or the stats are missing."""
-        card = self._join_card(a, b)
+        T3 exact pair cardinality / (|p_a| * |p_b|) — class-restricted when
+        the shared var is type-anchored (proportional model: the restricted
+        numerator shrinks the selectivity by the class's share of joining
+        keys). None if disconnected or the stats are missing."""
+        card = self._join_card(a, b, anchors)
         if card is None:
             return None
         na = float(self._stats.get(self._props.get(a.p), {}).get("n", 0)) or 1.0
@@ -296,42 +344,61 @@ class BGPEngine:
             return self._order_dp(patterns, terms)
         return self._order_greedy(patterns, terms)
 
+    # cost discount for a join whose key the left side is already
+    # partitioned/sorted on (bucketed SMJ, no exchange/sort) — the repo
+    # analog of the reference's INDEX_UTILIZATION discount
+    # (DPEntry.sorted, NodeCostEstimator.java:451-523)
+    SORT_ALIGNED_DISCOUNT = 0.7
+
     def _order_dp(
         self, patterns: list[Pattern], terms: dict[str, int] | None
     ) -> list[Pattern]:
-        """Left-deep DP: dp[S] = min-cost (sum of intermediate cardinality
-        estimates) order of subset S, extended one pattern at a time.
-        Cardinality model: card(S + q) = card(S) * est(q) * product of the
-        join selectivities between q and S (independence across join
-        predicates — the product makes card(full BGP) order-invariant, so
-        orders compete only on intermediate sizes), where est(q) folds in
-        constant selectivity — the same running-min shape as the reference's
-        DPSubLinear with NodeCostEstimator costs."""
+        """Left-deep DP: dp[S] = min-cost order of subset S, extended one
+        pattern at a time. Cardinality model: card(S + q) = card(S) * est(q)
+        * product of the join selectivities between q and S (independence
+        across join predicates — the product makes card(full BGP)
+        order-invariant, so orders compete only on intermediate sizes),
+        where est(q) folds in constant selectivity — the same running-min
+        shape as the reference's DPSubLinear with NodeCostEstimator costs.
+
+        Cost is sort-order-aware: an extension joining on the key set the
+        left side is already partitioned on (the previous join's keys; for
+        a seed scan, any single entity var — the permutation-table choice
+        makes it the first sorted column) is discounted, so two
+        equal-cardinality orders resolve to the one that keeps every join
+        on the bucketed/sorted column (sort-free SMJ at scale)."""
         from itertools import combinations
 
         n = len(patterns)
+        anchors = self._anchors(patterns, terms)
         est1 = [max(self._estimate(p, terms), 1e-3) for p in patterns]
         sels: dict[tuple[int, int], float | None] = {}
         for i in range(n):
             for j in range(i + 1, n):
                 s = (
-                    self._join_sel(patterns[i], patterns[j])
+                    self._join_sel(patterns[i], patterns[j], anchors)
                     if patterns[i].vars() & patterns[j].vars()
                     else None
                 )
                 sels[(i, j)] = sels[(j, i)] = s
+        varsets = [p.vars() for p in patterns]
 
-        # dp: frozenset -> (cost, card, order)
-        dp = {frozenset([i]): (0.0, est1[i], [i]) for i in range(n)}
+        # dp: frozenset -> (cost, card, order, sort)
+        # sort = ("seed", entity vars of the lone scan) or ("join", keys):
+        # what the intermediate is partitioned/sorted on
+        dp: dict[frozenset, tuple[float, float, list[int], tuple]] = {
+            frozenset([i]): (0.0, est1[i], [i], ("seed", frozenset(patterns[i].entity_vars())))
+            for i in range(n)
+        }
         for size in range(2, n + 1):
             for subset in combinations(range(n), size):
                 fs = frozenset(subset)
-                best: tuple[float, float, list[int]] | None = None
+                best: tuple[float, float, list[int], tuple] | None = None
                 for last in subset:
                     rest = fs - {last}
                     if rest not in dp:
                         continue
-                    cost_r, card_r, order_r = dp[rest]
+                    cost_r, card_r, order_r, sort_r = dp[rest]
                     if best is not None and cost_r >= best[0]:
                         continue  # running-min prune
                     sel = 1.0
@@ -340,9 +407,22 @@ class BGPEngine:
                         if s is not None:
                             sel *= s
                     card = card_r * est1[last] * sel
-                    cost = cost_r + card
+                    shared = frozenset(
+                        v
+                        for p in rest
+                        for v in varsets[p] & varsets[last]
+                    )
+                    kind, keys = sort_r
+                    aligned = bool(shared) and (
+                        (len(shared) == 1 and shared <= keys)
+                        if kind == "seed"
+                        else shared == keys
+                    )
+                    step = card * (self.SORT_ALIGNED_DISCOUNT if aligned else 1.0)
+                    cost = cost_r + step
                     if best is None or cost < best[0]:
-                        best = (cost, card, order_r + [last])
+                        new_sort = ("join", shared) if shared else sort_r
+                        best = (cost, card, order_r + [last], new_sort)
                 if best is not None:
                     dp[fs] = best
         return [patterns[i] for i in dp[frozenset(range(n))][2]]
@@ -354,6 +434,7 @@ class BGPEngine:
         the estimated joined size — scored by the exact pairwise join
         cardinalities (T3 stats) scaled by the candidate's own constant
         selectivity, falling back to scan size."""
+        anchors = self._anchors(patterns, terms)
         remaining = sorted(patterns, key=lambda p: self._estimate(p, terms))
         ordered = [remaining.pop(0)]
         bound = set(ordered[0].vars())
@@ -367,7 +448,7 @@ class BGPEngine:
                 c
                 for prev in ordered
                 if prev.vars() & cand.vars()
-                for c in [self._join_card(prev, cand)]
+                for c in [self._join_card(prev, cand, anchors)]
                 if c is not None
             ]
             return min(cards) * sel if cards else est
@@ -391,17 +472,29 @@ class BGPEngine:
         select: list[str] | None = None,
         distinct: bool = False,
         decode: bool = True,
-        optional: list[Pattern] | str | None = None,
+        optional: list[Pattern] | list[list[Pattern]] | str | None = None,
         order_by: list[str] | None = None,
         limit: int | None = None,
     ) -> DataFrame:
-        """Answer a BGP. ``optional`` patterns join LEFT OUTER (SPARQL
-        OPTIONAL — the reference carries the opcode but never constructs it,
-        Node.java:43 / SURVEY.md §2.3 J5); ``order_by``/``limit`` complete
-        the O1/O2 surface."""
+        """Answer a BGP. ``optional`` joins LEFT OUTER (SPARQL OPTIONAL —
+        the reference carries the opcode but never constructs it,
+        Node.java:43 / SURVEY.md §2.3 J5). A flat pattern list or string is
+        ONE optional block; a list of lists is one block per inner list —
+        each block's patterns join each other first, then the assembled
+        block left-joins the core, so a block matches as a whole or leaves
+        all its vars unbound (SPARQL group semantics). ``order_by``/
+        ``limit`` complete the O1/O2 surface."""
         if isinstance(patterns, str):
             patterns = parse_bgp(patterns)
-        opt_patterns = parse_bgp(optional) if isinstance(optional, str) else (optional or [])
+        if isinstance(optional, str):
+            opt_groups: list[list[Pattern]] = [parse_bgp(optional)]
+        elif not optional:
+            opt_groups = []
+        elif isinstance(optional[0], Pattern):
+            opt_groups = [list(optional)]  # flat list = one block
+        else:
+            opt_groups = [list(g) for g in optional]
+        opt_patterns = [p for g in opt_groups for p in g]
         all_for_check = list(patterns) + opt_patterns
         pvars = {v for p in all_for_check for v in [p.pred_var()] if v}
         evars = {v for p in all_for_check for v in p.entity_vars()}
@@ -445,15 +538,39 @@ class BGPEngine:
         if "__exists" in result.columns:
             result = result.drop("__exists")
 
-        for pat in opt_patterns:  # OPTIONAL: left outer join, after the BGP core
-            scan = self._scan(pat, terms)
-            if scan is None:
-                for v in pat.vars():
+        for group in opt_groups:  # OPTIONAL blocks: left outer, after the core
+            gdf: DataFrame | None = None
+            dead = False  # a group pattern with an unknown constant matches nothing
+            for pat in self._order(group, terms) if len(group) > 1 else group:
+                scan = self._scan(pat, terms)
+                if scan is None:
+                    dead = True
+                    break
+                if gdf is not None and 0 < self.broadcast_rows >= self._estimate(pat, terms):
+                    scan = F.broadcast(scan)
+                if gdf is None:
+                    gdf = scan
+                else:
+                    shared = sorted(set(gdf.columns) & set(scan.columns) - {"__exists"})
+                    gdf = gdf.join(scan, on=shared) if shared else gdf.crossJoin(scan)
+            group_vars = sorted({v for p in group for v in p.vars()})
+            if dead:
+                for v in group_vars:
                     if v not in result.columns:
                         result = result.withColumn(v, F.lit(None).cast("long"))
                 continue
-            shared = sorted(set(result.columns) & set(scan.columns))
-            result = result.join(scan, on=shared, how="left") if shared else result.crossJoin(scan)
+            if "__exists" in gdf.columns:
+                gdf = gdf.drop("__exists")
+            if not gdf.columns:
+                continue  # fully-bound block binds nothing
+            shared = sorted(set(result.columns) & set(gdf.columns))
+            # no shared vars: constant-true left join preserves core rows
+            # even when the optional side is empty (crossJoin annihilates)
+            result = (
+                result.join(gdf, on=shared, how="left")
+                if shared
+                else result.join(gdf, F.lit(True), "left")
+            )
 
         all_pats = list(patterns) + opt_patterns
         out_vars = select or sorted({v for p in all_pats for v in p.vars()})

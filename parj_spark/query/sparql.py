@@ -73,7 +73,10 @@ class SparqlQuery:
     select: list[str] | None  # None = SELECT *
     distinct: bool
     patterns: list[Pattern]
-    optional: list[Pattern] = field(default_factory=list)
+    # one inner list per OPTIONAL { ... } block: the whole group matches or
+    # leaves ALL its vars unbound (SPARQL group semantics — flattening the
+    # blocks would let ?y bind while ?z stays null inside one block)
+    optional: list[list[Pattern]] = field(default_factory=list)
     order_by: list[str] = field(default_factory=list)
     limit: int | None = None
     prefixes: dict[str, str] = field(default_factory=dict)
@@ -169,7 +172,7 @@ class _Parser:
             self.next()
         self.expect("{")
         patterns: list[Pattern] = []
-        optional: list[Pattern] = []
+        optional: list[list[Pattern]] = []
         while True:
             t = self.peek()
             if t is None:
@@ -183,8 +186,10 @@ class _Parser:
             if self._kw(t, "OPTIONAL"):
                 self.next()
                 self.expect("{")
-                self._triples_block(optional, stop="}")
+                group: list[Pattern] = []
+                self._triples_block(group, stop="}")
                 self.expect("}")
+                optional.append(group)
                 continue
             if t.upper() in _UNSUPPORTED:
                 raise ValueError(
@@ -271,7 +276,8 @@ class _Parser:
     def _validate(q: SparqlQuery) -> None:
         if not q.patterns:
             raise ValueError("SPARQL parser: empty basic graph pattern")
-        bound = {v for p in q.patterns + q.optional for v in p.vars()}
+        opt_flat = [p for g in q.optional for p in g]
+        bound = {v for p in q.patterns + opt_flat for v in p.vars()}
         if q.select:
             unknown = [v for v in q.select if v not in bound]
             if unknown:
@@ -347,12 +353,33 @@ def execute_on_triples(triples, text: str):
             result = result.join(sc, on=shared) if shared else result.crossJoin(sc)
     if "__exists" in result.columns:
         result = result.drop("__exists")
-    for pat in q.optional:
-        sc = scan(pat)
-        shared = sorted(set(result.columns) & set(sc.columns))
-        result = result.join(sc, on=shared, how="left") if shared else result.crossJoin(sc)
+    for group in q.optional:
+        # SPARQL group semantics: the patterns of one OPTIONAL block join
+        # each other first; the assembled group left-joins the core, so the
+        # block matches as a whole or leaves all its vars unbound
+        gdf = None
+        for pat in group:
+            sc = scan(pat)
+            if gdf is None:
+                gdf = sc
+            else:
+                shared = sorted(set(gdf.columns) & set(sc.columns) - {"__exists"})
+                gdf = gdf.join(sc, on=shared) if shared else gdf.crossJoin(sc)
+        if "__exists" in gdf.columns:
+            gdf = gdf.drop("__exists")
+        if not gdf.columns:
+            continue  # fully-bound block binds nothing
+        shared = sorted(set(result.columns) & set(gdf.columns))
+        # no shared vars: constant-true left join (row-preserving even when
+        # the optional side is empty — crossJoin would annihilate the core)
+        result = (
+            result.join(gdf, on=shared, how="left")
+            if shared
+            else result.join(gdf, F.lit(True), "left")
+        )
 
-    out_vars = q.select or sorted({v for p in q.patterns + q.optional for v in p.vars()})
+    opt_flat = [p for g in q.optional for p in g]
+    out_vars = q.select or sorted({v for p in q.patterns + opt_flat for v in p.vars()})
     result = result.select(*out_vars)
     if q.distinct:
         result = result.distinct()

@@ -86,6 +86,59 @@ def test_sparql_optional(engine):
     assert rows and all(r["e"] is None for r in rows)
 
 
+def test_sparql_optional_group_all_or_nothing(engine):
+    """A multi-pattern OPTIONAL block matches as a whole or leaves ALL its
+    vars unbound (ADVICE r2: flattening let ?c bind while ?z stayed null)."""
+    df = engine.sparql(
+        PREFIXES
+        + "SELECT ?x ?c ?z WHERE { ?x a ub:FullProfessor "
+        + "OPTIONAL { ?x ub:teacherOf ?c . ?c ub:noSuchPred ?z } }"
+    )
+    rows = df.collect()
+    assert rows
+    # teacherOf alone matches, but the block's second pattern never does:
+    # group semantics -> ?c must be unbound too, not just ?z
+    assert all(r["c"] is None and r["z"] is None for r in rows)
+    # the binding case: a block whose patterns all match binds all its vars
+    df2 = engine.sparql(
+        PREFIXES
+        + "SELECT ?x ?c ?n WHERE { ?x a ub:FullProfessor "
+        + "OPTIONAL { ?x ub:teacherOf ?c . ?c ub:name ?n } }"
+    )
+    assert all(
+        (r["c"] is None) == (r["n"] is None) for r in df2.collect()
+    )
+
+
+def test_sparql_separate_optional_blocks_independent(engine):
+    """Two OPTIONAL blocks are independent left joins, not one merged group:
+    the first binds even though the second cannot."""
+    df = engine.sparql(
+        PREFIXES
+        + "SELECT ?x ?e ?m WHERE { ?x a ub:FullProfessor "
+        + "OPTIONAL { ?x ub:emailAddress ?e } OPTIONAL { ?x ub:noSuch ?m } }"
+    )
+    rows = df.collect()
+    assert rows
+    assert all(r["e"] is not None for r in rows)  # profs all have emails
+    assert all(r["m"] is None for r in rows)
+
+
+def test_optional_no_shared_vars_preserves_rows(engine):
+    """An OPTIONAL block sharing no variable with the core must preserve
+    core rows (left join on true), never annihilate them via crossJoin."""
+    core = engine.query([Pattern("?x", "rdf:type", "ub:FullProfessor")], decode=False)
+    n = core.count()
+    res = engine.query(
+        [Pattern("?x", "rdf:type", "ub:FullProfessor")],
+        optional=[Pattern("?q", "ub:noSuchPred", "?r")],
+        decode=False,
+    )
+    rows = res.collect()
+    assert len(rows) == n
+    assert all(r["q"] is None and r["r"] is None for r in rows)
+
+
 def test_sparql_literal_object(engine, tiny_corpus):
     _, gold = tiny_corpus
     some_name = gold.filter(F.col("p_uri") == "ub:name").first()["o_uri"]

@@ -50,13 +50,15 @@ def test_engine_loads_join_stats_and_orders(spark, tiny_graph):
     assert eng.query(pats, decode=False).count() == eng.count(pats)
 
 
-def _fake_engine(props, stats, join_stats, class_stats=None):
+def _fake_engine(props, stats, join_stats, class_stats=None, class_join_stats=None):
     """Planner-only engine: bypass __init__ (no store) to unit-test ordering."""
     eng = BGPEngine.__new__(BGPEngine)
     eng._props = props
     eng._stats = stats
     eng._join_stats = join_stats
     eng._class_stats = class_stats or {}
+    eng._class_join_stats = class_join_stats or {}
+    eng._cjs_classes = {k[0] for k in (class_join_stats or {})}
     eng._hists = {}
     eng._type_pid = props.get("rdf:type")
     return eng
@@ -107,6 +109,98 @@ def test_class_stats_change_join_order():
     # without T2 the two classes are indistinguishable (uniform n/ndv_o)
     eng0 = _fake_engine(props, stats, {})
     assert eng0._estimate(big[0], terms) == eng0._estimate(small[0], terms)
+
+
+def test_class_restricted_cards_exact(spark):
+    """Type-restricted T3 counts only join keys that are class instances."""
+    from parj_spark.construct.stats import class_restricted_join_cardinalities
+
+    TYPE = 9
+    # classes: 7 = {1, 2}, 8 = {3}; p=1 edges from 1,2,3; p=2 edges from 1,3
+    rows = (
+        [(1, TYPE, 7), (2, TYPE, 7), (3, TYPE, 8)]
+        + [(1, 1, 100), (2, 1, 101), (2, 1, 102), (3, 1, 103)]
+        + [(1, 2, 200), (3, 2, 201)]
+    )
+    t = spark.createDataFrame(rows, ["s", "p", "o"])
+    got = {
+        (r.cls, r.p1, r.p2, r.orientation): r.card
+        for r in class_restricted_join_cardinalities(t, TYPE).collect()
+    }
+    # SS p1 x p2 restricted to class 7 = keys {1,2}: k=1 -> 1*1 = 1 (k=2 has
+    # no p2 edge); unrestricted would also count k=3 -> 1*1
+    assert got[(7, 1, 2, "SS")] == 1
+    assert got[(8, 1, 2, "SS")] == 1  # class 8 = {3}: k=3 -> 1*1
+    # p1 self-join within class 7: k=1 -> 1, k=2 -> 4
+    assert got[(7, 1, 1, "SS")] == 5
+    assert got[(8, 1, 1, "SS")] == 1
+
+
+def test_type_restricted_t3_flips_dp_order():
+    """LUBM Q1/Q3 shape (QueryTester.java:107-119): a selective class
+    anchoring a join. Unrestricted T3 sees the (type, p) join as hub-sized
+    (dominated by the big class) and enters elsewhere; the class-restricted
+    card (reference getTypeCardinality, parj.c:510-547) reveals the anchored
+    join is tiny, so DP starts from the class anchor."""
+    props = {"rdf:type": 1, "p": 2, "q": 3}
+    stats = {
+        1: {"n": 10_000, "ndv_s": 10_000, "ndv_o": 2},
+        2: {"n": 1_000, "ndv_s": 1_000, "ndv_o": 1_000},
+        3: {"n": 5_000, "ndv_s": 5_000, "ndv_o": 100},
+    }
+    terms = {"ub:Small": 8, "urn:K": 42}
+    class_stats = {7: 9_990, 8: 10}
+    join_stats = {
+        (1, 2, "SS"): 900_000, (2, 1, "SS"): 900_000,  # hub via the big class
+        (2, 3, "OS"): 5_000, (3, 2, "SO"): 5_000,
+    }
+    cjs = {  # restricted to Small, the (type, p) join is 3 rows
+        (8, 1, 2, "SS"): 3, (8, 2, 1, "SS"): 3,
+    }
+    pats = [
+        Pattern("?x", "rdf:type", "ub:Small"),
+        Pattern("?x", "p", "?y"),
+        Pattern("?y", "q", "urn:K"),
+    ]
+    base = _fake_engine(props, stats, join_stats, class_stats=class_stats)
+    restricted = _fake_engine(
+        props, stats, join_stats, class_stats=class_stats, class_join_stats=cjs
+    )
+    # unrestricted: the (type, p) join looks hub-sized, so the class anchor
+    # is deferred to the very end; restricted: the anchored (type, p) join
+    # is the cheapest pair, so the plan starts with it
+    assert base._order(pats, terms)[-1] is pats[0], "precondition: hub-sized T3 defers the anchor"
+    assert {id(p) for p in restricted._order(pats, terms)[:2]} == {id(pats[0]), id(pats[1])}
+
+
+def test_dp_prefers_sort_aligned_order():
+    """With every intermediate cardinality equal, the DP must not sandwich
+    the y-join between the two x-joins: consecutive same-key joins keep the
+    left side partitioned on the join key (bucketed sort-free SMJ), the
+    reference's DPEntry.sorted / INDEX_UTILIZATION discount
+    (NodeCostEstimator.java:451-523)."""
+    props = {"pa": 1, "pb": 2, "pc": 3, "pd": 4}
+    stats = {i: {"n": 100, "ndv_s": 100, "ndv_o": 100} for i in range(1, 5)}
+    # sel edges only through the hub pattern A: every post-A join card = 100
+    join_stats = {}
+    for other in (2, 3):  # (pa, pb) and (pa, pc) on x (SS)
+        join_stats[(1, other, "SS")] = 100
+        join_stats[(other, 1, "SS")] = 100
+    join_stats[(1, 4, "OS")] = 100  # (pa, pd) on y: pa.o = pd.s
+    join_stats[(4, 1, "SO")] = 100
+    eng = _fake_engine(props, stats, join_stats)
+    pats = [
+        Pattern("?x", "pa", "?y"),
+        Pattern("?x", "pb", "?z"),
+        Pattern("?x", "pc", "?w"),
+        Pattern("?y", "pd", "?u"),
+    ]
+    order = eng._order(pats, None)
+    idx = {id(p): i for i, p in enumerate(order)}
+    b, c, d = idx[id(pats[1])], idx[id(pats[2])], idx[id(pats[3])]
+    assert not (min(b, c) < d < max(b, c)), (
+        f"y-join sandwiched between x-joins: {[str(p) for p in order]}"
+    )
 
 
 def test_engine_loads_class_stats(spark, tiny_graph):
