@@ -218,6 +218,89 @@ def main() -> None:
     if cleanup:
         shutil.rmtree(out_dir, ignore_errors=True)
 
+    # --- bgp_large: the BGP suite on a graph big enough to measure plans --
+    # At sf0.1-scale graphs every BGP query sits at the 0.3-0.7s job-overhead
+    # floor, so plan differences (DP order, bucketed vs partitioned layout,
+    # T2/T3 effects) are invisible. 150k departments = ~1.9M docs / ~8.4M
+    # triples puts queries above the floor. Both engine modes are timed:
+    # "partitioned" (p-partitioned parquet + broadcast) and "bucketed"
+    # (p-partitioned AND s/o-bucketed tables, broadcast disabled to force
+    # the shuffle-free sort-merge path — the 100 TB join shape).
+    # BENCH_LARGE_DEPTS=0 skips the section.
+    large_depts = int(os.environ.get("BENCH_LARGE_DEPTS", "150000"))
+    bgp_large = None
+    if large_depts > 0:
+        from parj_spark.construct import materialize as mat
+
+        # drop every cache the suite sections left behind (persisted
+        # shingles, planted-dup unions, ...): the large construct must not
+        # fight them for executor memory
+        spark.catalog.clearCache()
+        ldocs, _ = gen_corpus(spark, n_depts=large_depts, seed=42, num_partitions=64)
+        ldocs = ldocs.cache()
+        n_ldocs = ldocs.count()
+        # best-of-N (default 2): single multi-minute runs on this shared VM
+        # carry +-50% scheduler/GC noise; best-of matches the scaling
+        # script's protocol and the reference's drop-worst intent
+        c_reps = int(os.environ.get("BENCH_LARGE_CONSTRUCT_REPS", "2"))
+        construct_runs = []
+        lstore = None
+        ldir = None
+        for _ in range(c_reps):
+            if ldir is not None:
+                shutil.rmtree(ldir, ignore_errors=True)
+            ldir = tempfile.mkdtemp(prefix="bench_kg_large_")
+            t0 = time.time()
+            lstore = run_pipeline(spark, ldocs, ldir, resume=False, analyze=False)
+            n_ltriples = lstore.spo().count()
+            construct_runs.append(round(time.time() - t0, 3))
+        t_lconstruct = min(construct_runs)
+        ldocs.unpersist()
+        t0 = time.time()
+        analyze_graph(lstore, resume=False)
+        t_lanalyze = time.time() - t0
+
+        def _suite(eng):
+            avgs, spreads = {}, {}
+            for name, q in BGP_QUERIES.items():
+                pats = parse_bgp(q)
+                kept = _timed_reps(lambda: eng.count(pats), reps)
+                avgs[name] = round(sum(kept) / len(kept), 3)
+                spreads[name] = [round(min(kept), 3), round(max(kept), 3)]
+            kept = _timed_reps(lambda: eng.sparql(lubm7, decode=False).count(), reps)
+            avgs["bgp_sparql_lubm7"] = round(sum(kept) / len(kept), 3)
+            spreads["bgp_sparql_lubm7"] = [round(min(kept), 3), round(max(kept), 3)]
+            return avgs, spreads
+
+        part_avgs, part_spread = _suite(BGPEngine(lstore))
+        t0 = time.time()
+        mat.write_bucketed_tables(
+            lstore.spo().select("s", "p", "o"), "bench_large", n_buckets=32
+        )
+        t_bucket_write = time.time() - t0
+        # same broadcast policy as the partitioned engine: small scans still
+        # broadcast; only the big-big joins differ (bucketed SMJ, no
+        # exchange) — that is the comparison that matters at 100 TB
+        buck_avgs, buck_spread = _suite(
+            BGPEngine(lstore, bucketed_prefix="bench_large")
+        )
+        bgp_large = {
+            "n_depts": large_depts,
+            "n_docs": n_ldocs,
+            "n_triples": n_ltriples,
+            "construct_sec": round(t_lconstruct, 3),
+            "construct_runs": construct_runs,
+            "analyze_sec": round(t_lanalyze, 3),
+            "docs_per_sec": round(n_ldocs / t_lconstruct, 1),
+            "triples_per_sec": round(n_ltriples / t_lconstruct, 1),
+            "bucketed_write_sec": round(t_bucket_write, 3),
+            "partitioned": part_avgs,
+            "partitioned_spread": part_spread,
+            "bucketed": buck_avgs,
+            "bucketed_spread": buck_spread,
+        }
+        shutil.rmtree(ldir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     query_avgs = [v for k, v in timings.items() if k not in ("kg_construct", "kg_analyze")]
     geomean = round(
@@ -239,6 +322,7 @@ def main() -> None:
                 "kg_triples": n_triples,
                 "docs_per_sec": round(n_docs / t_construct, 1),
                 "triples_per_sec": round(n_triples / t_construct, 1),
+                "bgp_large": bgp_large,
             }
         )
     )

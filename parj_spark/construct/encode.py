@@ -102,7 +102,14 @@ def _dense_ids(terms: DataFrame, col: str) -> DataFrame:
 
 
 def build_dictionary(triples_uri: DataFrame, hash_ids: bool = False) -> DataFrame:
-    """Term dictionary (id, uri) over all subjects + objects (incl. literals)."""
+    """Term dictionary (id, uri) over all subjects + objects (incl. literals).
+
+    Output is range-partitioned + sorted by uri in BOTH modes (for the dense
+    path `_dense_ids` already produces that order and the offset broadcast
+    join preserves it), so the checkpointed parquet carries disjoint per-file
+    uri ranges — per-query constant-term lookups (`uri IN (...)`) prune to a
+    few row groups via parquet min/max instead of scanning the dictionary.
+    """
     terms = triples_uri.select(F.col("s_uri").alias("uri")).union(
         triples_uri.select(F.col("o_uri").alias("uri"))
     )
@@ -110,8 +117,14 @@ def build_dictionary(triples_uri: DataFrame, hash_ids: bool = False) -> DataFram
         return (
             terms.distinct()
             .select(F.xxhash64("uri").alias("id"), "uri")
+            .repartitionByRange(F.col("uri"))
+            .sortWithinPartitions("uri")
         )
-    return _dense_ids(terms, "uri")
+    return (
+        _dense_ids(terms, "uri")
+        .repartitionByRange(F.col("uri"))
+        .sortWithinPartitions("uri")
+    )
 
 
 def build_properties(triples_uri: DataFrame) -> DataFrame:
@@ -119,17 +132,30 @@ def build_properties(triples_uri: DataFrame) -> DataFrame:
     return _dense_ids(triples_uri.select(F.col("p_uri").alias("uri")), "uri")
 
 
+BROADCAST_DICT_ROWS = 8_000_000
+
+
 def encode_triples(
-    triples_uri: DataFrame, dict_df: DataFrame, props_df: DataFrame
+    triples_uri: DataFrame,
+    dict_df: DataFrame,
+    props_df: DataFrame,
+    dict_rows: int | None = None,
 ) -> DataFrame:
     """URI triples -> (s long, p long, o long) via dictionary joins.
 
-    The predicate catalog is tiny -> broadcast; the term dictionary join is
-    a plain shuffle join Catalyst/AQE will plan (sort-merge at scale,
-    broadcast when small).
+    The predicate catalog is tiny -> always broadcast. The term dictionary
+    join is size-gated like the decode join (bgp.py): when the dict fits
+    (<= BROADCAST_DICT_ROWS, ~hundreds of MB serialized) both encode joins
+    broadcast — no shuffle of the triples at all; past the gate (at 10^12
+    docs the dict is billions of terms) it falls back to the plain shuffle
+    join Catalyst/AQE will plan. ``dict_rows``: pass a known count to skip
+    the gate's metadata-only count job.
     """
-    d_s = dict_df.select(F.col("id").alias("s"), F.col("uri").alias("s_uri"))
-    d_o = dict_df.select(F.col("id").alias("o"), F.col("uri").alias("o_uri"))
+    if dict_rows is None:
+        dict_rows = dict_df.count()  # parquet-metadata count on checkpointed dicts
+    gate = F.broadcast if dict_rows <= BROADCAST_DICT_ROWS else (lambda df: df)
+    d_s = gate(dict_df.select(F.col("id").alias("s"), F.col("uri").alias("s_uri")))
+    d_o = gate(dict_df.select(F.col("id").alias("o"), F.col("uri").alias("o_uri")))
     d_p = props_df.select(F.col("id").alias("p"), F.col("uri").alias("p_uri"))
     return (
         triples_uri.join(F.broadcast(d_p), "p_uri")

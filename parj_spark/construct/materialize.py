@@ -104,8 +104,6 @@ def _write_permutation(
 
 def write_graph(
     triples_enc: DataFrame,
-    dict_df: DataFrame,
-    props_df: DataFrame,
     out_dir: str,
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
 ) -> None:
@@ -141,27 +139,17 @@ def write_graph(
         )
         stats.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
 
-    def w_dict():
-        # range-partitioned + sorted by uri: per-query constant-term lookups
-        # (`uri IN (...)`, bgp.py _resolve_terms) prune to a few row groups
-        # via parquet min/max instead of scanning the whole dictionary —
-        # at 100 TB the dict is the distinct-term set (billions of rows)
-        (
-            dict_df.repartitionByRange(F.col("uri"))
-            .sortWithinPartitions("uri")
-            .write.mode("overwrite")
-            .parquet(os.path.join(out_dir, "dict"))
-        )
-
-    def w_props():
-        props_df.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "properties")
-        )
+    # dict/properties need no second copy here: the pipeline's stage
+    # checkpoints (dict_stage/properties_stage) already hold them, written
+    # range-partitioned + sorted by uri (encode.build_dictionary) so
+    # per-query `uri IN (...)` lookups prune to a few row groups via
+    # parquet min/max — at 100 TB the dict is the distinct-term set
+    # (billions of rows) and a full-scan lookup per query is a non-starter.
 
     # the writers are independent Spark jobs over the cached triples —
     # submit them concurrently so the scheduler interleaves their stages
     # (hides per-job latency; same pattern works on a real cluster)
-    writers = (w_spo, w_pos, w_osp, w_stats, w_dict, w_props)
+    writers = (w_spo, w_pos, w_osp, w_stats)
     with ThreadPoolExecutor(max_workers=len(writers)) as pool:
         futures = [pool.submit(f) for f in writers]
         for fut in futures:

@@ -45,10 +45,12 @@ class GraphStore:
         return self._read("osp")
 
     def dict(self) -> DataFrame:
-        return self._read("dict")
+        # the stage checkpoint IS the dictionary table (range-partitioned +
+        # sorted by uri for point-lookup row-group pruning); no second copy
+        return self._read("dict_stage")
 
     def properties(self) -> DataFrame:
-        return self._read("properties")
+        return self._read("properties_stage")
 
     def stats(self) -> DataFrame:
         return self._read("stats")
@@ -212,26 +214,37 @@ def run_pipeline(
         lambda: encode.assemble_triples(mentions, canon),
     )
 
-    dict_df = _run_stage(
-        spark,
-        out_dir,
-        "dict_stage",
-        resume,
-        lambda: encode.build_dictionary(triples_uri, hash_ids=hash_ids),
-    )
-    props_df = _run_stage(
-        spark,
-        out_dir,
-        "properties_stage",
-        resume,
-        lambda: encode.build_properties(triples_uri),
-    )
+    # dictionary and predicate-catalog builds are independent readers of the
+    # checkpointed triples_uri — submit them concurrently so their jobs
+    # interleave (each stage is a chain of small jobs whose cost at sandbox
+    # scale is scheduling latency, not compute; same pattern as the six
+    # materialize writers)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_dict = pool.submit(
+            _run_stage,
+            spark,
+            out_dir,
+            "dict_stage",
+            resume,
+            lambda: encode.build_dictionary(triples_uri, hash_ids=hash_ids),
+        )
+        f_props = pool.submit(
+            _run_stage,
+            spark,
+            out_dir,
+            "properties_stage",
+            resume,
+            lambda: encode.build_properties(triples_uri),
+        )
+        dict_df, props_df = f_dict.result(), f_props.result()
 
     marker = os.path.join(out_dir, GRAPH_COMMITTED_MARKER)
     if not (resume and lineage.path_exists(marker, spark)):
         t0 = time.time()
         triples_enc = encode.encode_triples(triples_uri, dict_df, props_df)
-        mat.write_graph(triples_enc, dict_df, props_df, out_dir, salt_buckets)
+        mat.write_graph(triples_enc, out_dir, salt_buckets)
         store = GraphStore(spark, out_dir)
         lineage.record_stage(
             out_dir, "materialize", None, store.spo().count(), time.time() - t0,

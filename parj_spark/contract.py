@@ -383,6 +383,17 @@ _SPARQL_DISTINCT_LIMIT = """
     SELECT DISTINCT ?nm WHERE { ?x urn:name ?nm } ORDER BY ?nm LIMIT 7
 """
 
+# multi-pattern OPTIONAL block: SPARQL group semantics — the block's two
+# patterns join each other first, so ?r and ?rn bind together or not at all
+# (a flattened lowering would bind ?r while leaving ?rn null)
+_SPARQL_OPTIONAL_GROUP = """
+    PREFIX urn: <urn:>
+    SELECT ?n ?r ?rn WHERE {
+        ?n urn:type urn:Nation .
+        OPTIONAL { ?n urn:partOf ?r . ?r urn:name ?rn }
+    }
+"""
+
 
 def kg_sparql_chain(spark, sf_dir):
     """SPARQL text front-end, chain shape — the reference's actual entry
@@ -407,6 +418,26 @@ def kg_sparql_optional(spark, sf_dir):
     from parj_spark.query.sparql import execute_on_triples
 
     return execute_on_triples(_derived_triples(spark, sf_dir), _SPARQL_OPTIONAL)
+
+
+def kg_sparql_optional_group(spark, sf_dir):
+    """Multi-pattern OPTIONAL block with group semantics (J5): the block
+    joins internally before left-joining the core BGP."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    return execute_on_triples(_derived_triples(spark, sf_dir), _SPARQL_OPTIONAL_GROUP)
+
+
+def kg_class_join_stats(spark, sf_dir):
+    """Type-restricted T3 statistics as a first-class query (reference
+    getTypeCardinality, parj.c:510-547): per-(class, p1, p2, orientation)
+    join cardinality over class-instance join keys."""
+    from parj_spark.construct.stats import class_restricted_join_cardinalities
+
+    t = _derived_triples(spark, sf_dir)
+    return class_restricted_join_cardinalities(t, "urn:type").select(
+        "cls", "p1", "p2", "orientation", F.col("card").cast("long").alias("card")
+    )
 
 
 def kg_sparql_distinct_limit(spark, sf_dir):
@@ -595,6 +626,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_sparql_chain": kg_sparql_chain,
     "kg_sparql_star": kg_sparql_star,
     "kg_sparql_optional": kg_sparql_optional,
+    "kg_sparql_optional_group": kg_sparql_optional_group,
+    "kg_class_join_stats": kg_class_join_stats,
     "kg_sparql_distinct_limit": kg_sparql_distinct_limit,
     "kg_type_stats": kg_type_stats,
     "dedup_exact": dedup_exact,
@@ -903,6 +936,43 @@ ORACLES: dict[str, str] = {
         FROM triples nm
         LEFT JOIN triples pt ON pt.p = 'urn:partOf' AND pt.s = nm.s
         WHERE nm.p = 'urn:name'
+    """,
+    "kg_sparql_optional_group": f"""
+        WITH triples AS ({_TRIPLES_SQL}),
+        grp AS (
+          SELECT pt.s AS n, pt.o AS r, rn.o AS rn
+          FROM triples pt
+          JOIN triples rn ON rn.p = 'urn:name' AND rn.s = pt.o
+          WHERE pt.p = 'urn:partOf'
+        )
+        SELECT ty.s AS n, grp.r AS r, grp.rn AS rn
+        FROM triples ty
+        LEFT JOIN grp ON grp.n = ty.s
+        WHERE ty.p = 'urn:type' AND ty.o = 'urn:Nation'
+    """,
+    "kg_class_join_stats": f"""
+        WITH triples AS ({_TRIPLES_SQL}),
+        inst AS (SELECT s AS k, o AS cls FROM triples WHERE p = 'urn:type'),
+        hs AS (SELECT p, s AS k, count(*) AS n FROM triples GROUP BY p, s),
+        ho AS (SELECT p, o AS k, count(*) AS n FROM triples GROUP BY p, o)
+        SELECT cls, p1, p2, orientation, card FROM (
+          SELECT i.cls, a.p AS p1, b.p AS p2, 'SS' AS orientation,
+                 SUM(a.n * b.n)::BIGINT AS card
+          FROM hs a JOIN inst i ON a.k = i.k JOIN hs b ON a.k = b.k
+          GROUP BY 1, 2, 3
+          UNION ALL
+          SELECT i.cls, a.p, b.p, 'SO', SUM(a.n * b.n)::BIGINT
+          FROM hs a JOIN inst i ON a.k = i.k JOIN ho b ON a.k = b.k
+          GROUP BY 1, 2, 3
+          UNION ALL
+          SELECT i.cls, a.p, b.p, 'OS', SUM(a.n * b.n)::BIGINT
+          FROM ho a JOIN inst i ON a.k = i.k JOIN hs b ON a.k = b.k
+          GROUP BY 1, 2, 3
+          UNION ALL
+          SELECT i.cls, a.p, b.p, 'OO', SUM(a.n * b.n)::BIGINT
+          FROM ho a JOIN inst i ON a.k = i.k JOIN ho b ON a.k = b.k
+          GROUP BY 1, 2, 3
+        )
     """,
     "kg_sparql_distinct_limit": f"""
         WITH triples AS ({_TRIPLES_SQL})

@@ -54,7 +54,7 @@ def test_dict_layout_prunes_point_lookups(spark, tiny_graph):
     import pyarrow.parquet as pq
 
     files = sorted(
-        globmod.glob(os.path.join(tiny_graph.out_dir, "dict", "*.parquet"))
+        globmod.glob(os.path.join(tiny_graph.out_dir, "dict_stage", "*.parquet"))
     )
     assert files
     ranges = []
