@@ -2,12 +2,15 @@
 
 Iterative min-label propagation over DataFrame self-joins with checkpointed
 frontiers (``localCheckpoint`` cuts lineage each round, per SURVEY.md §7.1
-step 4). Convergence is O(graph diameter) rounds; coref alias chains have
-diameter <= ~3, so 2-4 rounds in practice. For adversarial long-chain
-components at 10^12-doc scale the published fix is hash-to-min / alternating
-large-star+small-star (Kiveris et al., "Connected Components in MapReduce"),
-which drops rounds to O(log n); the loop below is structured so that swap is
-a local change (replace the ``prop`` propagation expression).
+step 4). Plain min-propagation converges in O(graph diameter) rounds; coref
+alias chains have diameter <= ~3, so 2-4 rounds in practice. For adversarial
+long-chain components at 10^12-doc scale the loop auto-escalates: past
+``shortcut_after`` rounds it adds a pointer-doubling step (labels composed
+with themselves, the DataFrame form of hash-to-min / large-star from Kiveris
+et al., "Connected Components in MapReduce"), halving the remaining chain
+depth per round — O(log d) total, so ``max_iter=25`` covers any diameter a
+real corpus can produce, and non-convergence raises instead of silently
+returning partial labels.
 
 The reference has no equivalent (its dictionary is built offline by
 `rdf-exp`); this stage is mandated by BASELINE.json north_rule.
@@ -23,6 +26,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
     broadcast_labels_below: int = 1_000_000,
+    shortcut_after: int = 3,
 ) -> tuple[DataFrame, int]:
     """(node, component) for every node in ``edges``; component = min member label.
 
@@ -43,16 +47,18 @@ def connected_components(
         .persist()
     )
 
-    def signature(df: DataFrame) -> int:
-        # order-independent label-set fingerprint: one cached-scan aggregate,
-        # no join. Convergence candidate = signature unchanged; a candidate
-        # is then CONFIRMED with an exact join (once per call, not per
-        # iteration), so a 64-bit hash collision can stall one extra round
-        # but can never return unconverged labels.
+    def signature(df: DataFrame) -> tuple[int, int]:
+        # order-independent label-set fingerprint + row count in ONE
+        # cached-scan aggregate, no join. Convergence candidate = signature
+        # unchanged; a candidate is then CONFIRMED with an exact join (once
+        # per call, not per iteration), so a 64-bit hash collision can stall
+        # one extra round but can never return unconverged labels.
         # decimal(38,0) sum: immune to ANSI long-overflow up to ~10^18 rows
-        return df.agg(
-            F.sum(F.xxhash64("node", "component").cast("decimal(38,0)"))
-        ).first()[0]
+        row = df.agg(
+            F.sum(F.xxhash64("node", "component").cast("decimal(38,0)")),
+            F.count(F.lit(1)),
+        ).first()
+        return row[0], row[1]
 
     labels = (
         sym.select(F.col("src").alias("node"))
@@ -60,34 +66,55 @@ def connected_components(
         .select("node", F.col("node").alias("component"))
         .persist()
     )
-    sig_prev = signature(labels)  # also materializes the cache
+    sig_prev, n_nodes = signature(labels)  # also materializes the cache
     # size-gated join strategy (decided once; node count is stable): small
     # label sets broadcast so each iteration pays ONE shuffle (the group-min)
     # instead of two; past the gate the per-iteration driver collect +
     # hash-relation rebuild costs more than the shuffle it saves (measured
     # 2-5x slower at 3.6M labels), so big label sets use the shuffle join —
     # same adaptive pattern as the dictionary decode
-    n_nodes = labels.count()
     bcast = 0 < n_nodes <= broadcast_labels_below
 
     it = 0
+    converged = False
     for it in range(1, max_iter + 1):
         side = F.broadcast(labels) if bcast else labels
         prop = (
             sym.join(side, sym.dst == side.node)
             .select(sym.src.alias("node"), "component")
         )
-        new_labels = (
+        cand = (
             labels.select("node", "component")
             .union(prop)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .persist()
         )
+        if it > shortcut_after:
+            # pointer doubling: component values are themselves node labels,
+            # so composing the mapping with itself (component -> its own
+            # component) halves the remaining chain depth — the escape hatch
+            # for adversarially deep components. Costs one extra join per
+            # round, so it only switches on once plain propagation has
+            # overrun the typical coref diameter.
+            cand = cand.persist()
+            b = F.broadcast(cand) if bcast else cand
+            cand2 = (
+                cand.alias("a")
+                .join(b.alias("b"), F.col("a.component") == F.col("b.node"))
+                .select(
+                    F.col("a.node").alias("node"),
+                    F.col("b.component").alias("component"),
+                )
+            )
+            new_labels = cand2.persist()
+            prev_cand = cand
+        else:
+            new_labels = cand.persist()
+            prev_cand = None
         # one action per iteration: the signature aggregate materializes
         # new_labels into the cache as a side effect; unlike the previous
         # labels-join-new_labels changed-count it shuffles nothing
-        sig = signature(new_labels)
+        sig, _ = signature(new_labels)
         converged = False
         if sig == sig_prev:
             converged = (
@@ -98,14 +125,26 @@ def connected_components(
                 == 0
             )
         labels.unpersist()
+        if prev_cand is not None:
+            prev_cand.unpersist()
         labels = new_labels
         sig_prev = sig
-        if it % 5 == 0:
-            # cut logical lineage for adversarially deep components
+        if it > shortcut_after or it % 5 == 0:
+            # cut logical lineage: the doubling join multiplies plan size
+            # ~4x per round, so once it is active Catalyst re-analysis cost
+            # goes exponential without a per-round truncation (measured: a
+            # 300-deep chain went from minutes-stuck to seconds); in plain
+            # mode every 5 rounds suffices
             labels = labels.localCheckpoint()
         if converged:
             break
     sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(pointer doubling active from round {shortcut_after + 1}; "
+            "this needs diameter > ~2^20 — check the edge set)"
+        )
     return labels, it
 
 

@@ -1,9 +1,19 @@
 #!/usr/bin/env python
 """Two-cluster-size scaling evidence (north rule): run scaling_job.py at
 local[N] and local[4N] on identical input, report throughput at both and
-efficiency = (T_N / T_4N) / 4 per component. Also measures the machine's raw
-parallel CPU capacity so the reader can see the hardware ceiling. Writes
-BENCH/BASELINE.md."""
+efficiency = (T_N / T_4N) / 4 per component, for one or more N values
+(SCALE_NS, default "2,4").
+
+Why two pairs: this sandbox exposes 32 vCPUs over ~16 physical cores (SMT),
+so the 4->16 pair crosses the hyperthreading boundary — a penalty a real
+multi-executor cluster (dedicated cores per executor) does not have. The
+2->8 pair stays inside the physical-core budget and is therefore the closer
+proxy for N->4N *executors*; the 4->16 pair is kept for continuity and
+normalized against the machine's own pure-CPU scaling ceiling.
+
+Writes BENCH/BASELINE.md; appends BENCH/ADDENDUM.md verbatim if present so
+hand-written analysis survives regeneration.
+"""
 
 from __future__ import annotations
 
@@ -26,7 +36,7 @@ def _burn(n: int) -> int:
 
 def cpu_capacity() -> list[tuple[int, float]]:
     out = []
-    for procs in [1, 4, 8, 16, 32]:
+    for procs in [1, 2, 4, 8, 16, 32]:
         with mp.Pool(procs) as p:
             t0 = time.time()
             p.map(_burn, [4_000_000] * procs)
@@ -46,52 +56,13 @@ def run_level(cpus: int, depts: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def main() -> None:
-    n = int(os.environ.get("SCALE_N", "4"))
-    depts = int(os.environ.get("SCALE_DEPTS", "60000"))
-    cap = cpu_capacity()
-    lo = run_level(n, depts)
-    print(json.dumps(lo), flush=True)
-    hi = run_level(4 * n, depts)
-    print(json.dumps(hi), flush=True)
-
+def pair_section(n: int, lo: dict, hi: dict, cap_d: dict, note: str) -> list[str]:
     def eff(a: float, b: float) -> float:
         return (a / b) / 4
 
     eff_total = eff(lo["total_sec"], hi["total_sec"])
     lines = [
-        "# BENCH/BASELINE — measured numbers",
-        "",
-        f"Date: {time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())}",
-        "",
-        "## Hardware context: raw parallel CPU capacity of this sandbox",
-        "",
-        "| procs | CPU throughput (tasks/s) |",
-        "|---|---|",
-    ]
-    lines += [f"| {p} | {t} |" for p, t in cap]
-    cap_d = dict(cap)
-    lines += [
-        "",
-        f"Pure-CPU multiprocessing probe: {cap_d.get(4)}->{cap_d.get(16)} tasks/s",
-        "from 4->16 procs "
-        f"(= {cap_d.get(16, 1) / max(cap_d.get(4, 1), 0.1) / 4:.2f} efficiency), but only "
-        f"{cap_d.get(32, 1) / max(cap_d.get(16, 1), 0.1):.2f}x from 16->32: the VM exposes 32",
-        "vCPUs over ~16 physical cores (SMT). The honest N/4N pair inside the",
-        f"physical budget is therefore local[{n}] vs local[{4 * n}].",
-        "",
-        "## Two-cluster-size scaling (north rule proxy: local[N] vs local[4N])",
-        "",
-        f"Jobs (best of {os.environ.get('SCALE_REPS', '2')} reps, first full pass",
-        "discarded as warm-up, mirroring the reference's 11-run protocol,",
-        "/root/reference/README.md:66):",
-        f"- kg_construct: full pipeline over {lo['n_docs']} interleaved docs",
-        f"  ({depts} depts, seed 42) -> {lo['n_triples']} canonical triples",
-        f"- neardup_cosine: exact cosine near-dup over {lo['n_vecs']} vectors",
-        f"  ({lo['n_vecs'] * (lo['n_vecs'] - 1) // 2} pairs, 64-dim)",
-        "- bgp_suite: triangle + star BGP joins over the materialized graph",
-        "",
-        "Identical input layout and shuffle partitioning (64) at both levels.",
+        f"### local[{n}] -> local[{4 * n}] {note}",
         "",
         f"| component | local[{n}] s | local[{4 * n}] s | speedup | efficiency |",
         "|---|---|---|---|---|",
@@ -116,6 +87,69 @@ def main() -> None:
         f"| triples/sec (construct) | {lo['triples_per_sec']} | {hi['triples_per_sec']} |",
         f"| cosine pairs/sec | {lo['pairs_per_sec']:.0f} | {hi['pairs_per_sec']:.0f} |",
         "",
+    ]
+    return lines
+
+
+def main() -> None:
+    ns = [int(x) for x in os.environ.get("SCALE_NS", "2,4").split(",")]
+    depts = int(os.environ.get("SCALE_DEPTS", "60000"))
+    cap = cpu_capacity()
+    cap_d = dict(cap)
+
+    results: dict[int, tuple[dict, dict]] = {}
+    for n in ns:
+        lo = run_level(n, depts)
+        print(json.dumps(lo), flush=True)
+        hi = run_level(4 * n, depts)
+        print(json.dumps(hi), flush=True)
+        results[n] = (lo, hi)
+
+    first_lo = results[ns[0]][0]
+    lines = [
+        "# BENCH/BASELINE — measured numbers",
+        "",
+        f"Date: {time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())}",
+        "",
+        "## Hardware context: raw parallel CPU capacity of this sandbox",
+        "",
+        "| procs | CPU throughput (tasks/s) |",
+        "|---|---|",
+    ]
+    lines += [f"| {p} | {t} |" for p, t in cap]
+    lines += [
+        "",
+        "The VM exposes 32 vCPUs over ~16 physical cores (SMT): the pure-CPU",
+        f"probe scales {cap_d.get(2, 1)}->{cap_d.get(8, 1)} tasks/s from 2->8 procs"
+        f" (= {cap_d.get(8, 1) / max(cap_d.get(2, 1), 0.1) / 4:.2f} efficiency,"
+        " inside the physical-core budget) but only",
+        f"{cap_d.get(4, 1)}->{cap_d.get(16, 1)} from 4->16"
+        f" (= {cap_d.get(16, 1) / max(cap_d.get(4, 1), 0.1) / 4:.2f}, crossing the SMT boundary).",
+        "A real N->4N *executor* scale-out adds whole machines with dedicated",
+        "cores, so the 2->8 pair is the closer cluster proxy; the 4->16 pair",
+        "is reported too, normalized by the machine's own ceiling.",
+        "",
+        "## Two-cluster-size scaling (north rule proxy: local[N] vs local[4N])",
+        "",
+        f"Jobs (best of {os.environ.get('SCALE_REPS', '2')} reps, first full pass",
+        "discarded as warm-up, mirroring the reference's 11-run protocol,",
+        "/root/reference/README.md:66):",
+        f"- kg_construct: full pipeline over {first_lo['n_docs']} interleaved docs",
+        f"  ({depts} depts, seed 42) -> {first_lo['n_triples']} canonical triples",
+        f"- neardup_cosine: exact cosine near-dup over {first_lo['n_vecs']} vectors",
+        f"  ({first_lo['n_vecs'] * (first_lo['n_vecs'] - 1) // 2} pairs, 64-dim)",
+        "- bgp_suite: triangle + star BGP joins over the materialized graph",
+        "",
+        "Identical input layout and shuffle partitioning (64) at both levels.",
+        "",
+    ]
+    notes = {
+        ns[0]: "(inside physical cores — the cluster-faithful pair)",
+    }
+    for n in ns:
+        note = notes.get(n, "(crosses the SMT boundary)")
+        lines += pair_section(n, *results[n], cap_d, note)
+    lines += [
         "## Analysis",
         "",
         "- **Hardware-normalized efficiency**: the pure-CPU multiprocessing",
@@ -137,11 +171,15 @@ def main() -> None:
         "  logs; per-stage lineage counters land in each run's _lineage.jsonl.",
         "",
     ]
+    addendum = os.path.join(REPO, "BENCH", "ADDENDUM.md")
+    if os.path.exists(addendum):
+        with open(addendum) as f:
+            lines += [f.read()]
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
         f.write("\n".join(lines))
-    print(f"wrote {out_path}; total efficiency {eff_total:.2f}")
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

@@ -39,3 +39,30 @@ def test_cc_matches_union_find(spark, edges):
     labels, _ = connected_components(df)
     got = {r["node"]: r["component"] for r in labels.collect()}
     assert got == _uf_oracle(edges)
+
+
+def _chain(n):
+    # path graph n0-n1-...-n{n}: diameter n, worst case for min-propagation
+    return [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(n)]
+
+
+def test_cc_pointer_doubling_handles_deep_chain(spark):
+    edges = _chain(300)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    labels, iters = connected_components(df)
+    # plain min-propagation needs ~300 rounds; doubling kicks in after 3
+    # and halves remaining depth per round -> well under the 25-round cap
+    assert iters <= 15
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    assert got == _uf_oracle(edges)
+    assert set(got.values()) == {"n0000"}
+
+
+def test_cc_raises_instead_of_returning_partial_labels(spark):
+    import pytest
+
+    df = spark.createDataFrame(_chain(40), ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        # doubling disabled (shortcut_after past max_iter): 3 rounds cannot
+        # close a 40-deep chain, and partial labels must never leak out
+        connected_components(df, max_iter=3, shortcut_after=99)
