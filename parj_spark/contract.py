@@ -383,6 +383,18 @@ _SPARQL_DISTINCT_LIMIT = """
     SELECT DISTINCT ?nm WHERE { ?x urn:name ?nm } ORDER BY ?nm LIMIT 7
 """
 
+# FILTER extension (opt-in; the reference rejects FILTER outright,
+# DagCreator.java:269-271): regex + || + != over nation names, compiled to
+# native Column predicates (rlike / comparisons), no UDF
+_SPARQL_FILTER = """
+    PREFIX urn: <urn:>
+    SELECT ?n ?nm WHERE {
+        ?n urn:type urn:Nation .
+        ?n urn:name ?nm .
+        FILTER ((regex(?nm, "_1[0-9]$") || ?nm = "NATION_5") && ?nm != "NATION_12")
+    }
+"""
+
 # multi-pattern OPTIONAL block: SPARQL group semantics — the block's two
 # patterns join each other first, so ?r and ?rn bind together or not at all
 # (a flattened lowering would bind ?r while leaving ?rn null)
@@ -446,6 +458,17 @@ def kg_sparql_distinct_limit(spark, sf_dir):
 
     return execute_on_triples(
         _derived_triples(spark, sf_dir), _SPARQL_DISTINCT_LIMIT
+    )
+
+
+def kg_sparql_filter(spark, sf_dir):
+    """FILTER extension (beyond reference parity, opt-in): regex, ||, &&,
+    != compiled to native Spark Column predicates, applied after the BGP
+    joins and before projection."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    return execute_on_triples(
+        _derived_triples(spark, sf_dir), _SPARQL_FILTER, allow_filter=True
     )
 
 
@@ -629,6 +652,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_sparql_optional_group": kg_sparql_optional_group,
     "kg_class_join_stats": kg_class_join_stats,
     "kg_sparql_distinct_limit": kg_sparql_distinct_limit,
+    "kg_sparql_filter": kg_sparql_filter,
     "kg_type_stats": kg_type_stats,
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
@@ -936,6 +960,15 @@ ORACLES: dict[str, str] = {
         FROM triples nm
         LEFT JOIN triples pt ON pt.p = 'urn:partOf' AND pt.s = nm.s
         WHERE nm.p = 'urn:name'
+    """,
+    "kg_sparql_filter": f"""
+        WITH triples AS ({_TRIPLES_SQL})
+        SELECT ty.s AS n, nm.o AS nm
+        FROM triples ty
+        JOIN triples nm ON nm.p = 'urn:name' AND nm.s = ty.s
+        WHERE ty.p = 'urn:type' AND ty.o = 'urn:Nation'
+          AND ((regexp_matches(nm.o, '_1[0-9]$') OR nm.o = 'NATION_5')
+               AND nm.o <> 'NATION_12')
     """,
     "kg_sparql_optional_group": f"""
         WITH triples AS ({_TRIPLES_SQL}),

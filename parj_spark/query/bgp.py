@@ -599,26 +599,62 @@ class BGPEngine:
         return result
 
     def sparql(
-        self, text: str, decode: bool = True, var_predicates: bool = False
+        self,
+        text: str,
+        decode: bool = True,
+        var_predicates: bool = False,
+        filters: bool = False,
     ) -> DataFrame:
         """Execute a SPARQL BGP SELECT string — the reference's actual entry
         point (QueryTester.java:152 parses SPARQL text; DagCreator.java:55-154
-        lowers it to the join DAG). Our lowering target is :meth:`query`."""
-        from parj_spark.query.sparql import parse_sparql
+        lowers it to the join DAG). Our lowering target is :meth:`query`.
+        ``filters=True`` opts in to the FILTER extension: the BGP runs over
+        the encoded permutation tables as usual, FILTER predicates apply to
+        the decoded values (they reference term strings), then the solution
+        modifiers."""
+        from parj_spark.query.sparql import filter_to_column, parse_sparql
 
-        q = parse_sparql(text, allow_var_predicates=var_predicates)
+        q = parse_sparql(
+            text, allow_var_predicates=var_predicates, allow_filter=filters
+        )
         order_cols = [
             F.desc(v[1:]) if v.startswith("-") else F.asc(v) for v in q.order_by
         ] or None
-        return self.query(
+        if not q.filters:
+            return self.query(
+                q.patterns,
+                select=q.select,
+                distinct=q.distinct,
+                decode=decode,
+                optional=q.optional or None,
+                order_by=order_cols,
+                limit=q.limit,
+            )
+        if not decode:
+            raise ValueError(
+                "FILTER expressions compare decoded term values; "
+                "sparql(..., filters=True) requires decode=True"
+            )
+        # run the BGP with every var decoded and no modifiers, filter, then
+        # apply projection/DISTINCT/ORDER/LIMIT in SPARQL's modifier order
+        result = self.query(
             q.patterns,
-            select=q.select,
-            distinct=q.distinct,
-            decode=decode,
+            select=None,
+            distinct=False,
+            decode=True,
             optional=q.optional or None,
-            order_by=order_cols,
-            limit=q.limit,
         )
+        for fexpr in q.filters:
+            result = result.filter(filter_to_column(fexpr, F.col))
+        if q.select:
+            result = result.select(*[c for c in q.select if c in result.columns])
+        if q.distinct:
+            result = result.distinct()
+        if order_cols:
+            result = result.orderBy(*order_cols)
+        if q.limit is not None:
+            result = result.limit(q.limit)
+        return result
 
     def count(self, patterns: list[Pattern] | str) -> int:
         """count(*) result counting (reference A1, SQLiteLocalExecutor.java:152)."""

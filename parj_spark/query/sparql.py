@@ -13,9 +13,13 @@ recursive-descent parser for exactly the SPARQL subset the reference executes â€
 Anything beyond a BGP (FILTER, UNION, GRAPH, subqueries, property paths) is
 rejected with a clear error â€” the same contract as the reference, which
 rejects non-StatementPattern nodes and variable predicates outright
-(DagCreator.java:170-171, 269-271). Variable predicates are likewise
-rejected by default, but ``allow_var_predicates=True`` opts in to the
-engine's OSP-backed extension.
+(DagCreator.java:170-171, 269-271). Two opt-in extensions go beyond that
+parity: ``allow_var_predicates=True`` enables the engine's OSP-backed
+variable predicates, and ``allow_filter=True`` enables FILTER expressions
+(comparisons =, !=, <, <=, >, >=; && / || / !; regex(?v, "re" [, "i"]);
+bound(?v)) compiled to native Spark Column predicates â€” SPARQL's
+error-is-false semantics map onto SQL null propagation (a failed numeric
+cast yields null, and a null predicate drops the row).
 
 Term canonicalization: the engine's dictionary stores *prefixed names*
 ("ub:Course_0_0_0", "rdf:type"), so pnames pass through verbatim and full
@@ -44,7 +48,8 @@ _TOKEN_RE = re.compile(
     | (?P<var>      [?$][A-Za-z_][A-Za-z0-9_]* )
     | (?P<pname>    [A-Za-z_][\w-]*:[\w:-]*(?:\.[\w:-]+)* )
     | (?P<word>     \*|[A-Za-z_][A-Za-z0-9_]* )
-    | (?P<num>      [0-9]+ )
+    | (?P<num>      -?[0-9]+(?:\.[0-9]+)? )
+    | (?P<op>       \|\||&&|!=|<=|>=|[=<>!] )
     | (?P<punct>    [{}.;,()] )
     | (?P<ws>       \s+ )
     | (?P<comment>  \#[^\n]* )
@@ -80,14 +85,117 @@ class SparqlQuery:
     order_by: list[str] = field(default_factory=list)
     limit: int | None = None
     prefixes: dict[str, str] = field(default_factory=dict)
+    # conjunctive FILTER expressions (opt-in extension; empty at parity)
+    filters: list["FilterExpr"] = field(default_factory=list)
+
+
+# --- FILTER expression AST (opt-in extension beyond reference parity) -----
+# Operands are tagged tuples: ("var", name) | ("lit", str) | ("num", float).
+
+
+@dataclass
+class Comparison:
+    op: str  # = != < <= > >=
+    lhs: tuple
+    rhs: tuple
+
+
+@dataclass
+class Regex:
+    var: str
+    pattern: str
+    flags: str = ""
+
+
+@dataclass
+class Bound:
+    var: str
+
+
+@dataclass
+class Not:
+    expr: "FilterExpr"
+
+
+@dataclass
+class And:
+    parts: list
+
+
+@dataclass
+class Or:
+    parts: list
+
+
+FilterExpr = Comparison | Regex | Bound | Not | And | Or
+
+
+def filter_vars(e: FilterExpr) -> set[str]:
+    """Variable names referenced by a FILTER expression."""
+    if isinstance(e, Comparison):
+        return {t[1] for t in (e.lhs, e.rhs) if t[0] == "var"}
+    if isinstance(e, (Regex, Bound)):
+        return {e.var}
+    if isinstance(e, Not):
+        return filter_vars(e.expr)
+    return {v for p in e.parts for v in filter_vars(p)}
+
+
+def filter_to_column(e: FilterExpr, colref):
+    """Compile a FILTER expression to a Spark Column predicate.
+
+    ``colref(var_name) -> Column`` supplies the (string-typed) value column
+    for a variable. SPARQL's "evaluation error -> FILTER is false" rule maps
+    onto SQL nulls: a numeric comparison casts the string operand with
+    try_cast, a failed cast yields null, and null predicates drop the row â€”
+    same outcome, fully JVM-side (no UDF)."""
+    from pyspark.sql import functions as F
+
+    def operand(t, numeric: bool):
+        if t[0] == "var":
+            c = colref(t[1])
+            return c.try_cast("double") if numeric else c
+        if t[0] == "num":
+            return F.lit(t[1])
+        return F.lit(t[1])
+
+    if isinstance(e, Comparison):
+        numeric = e.lhs[0] == "num" or e.rhs[0] == "num"
+        l, r = operand(e.lhs, numeric), operand(e.rhs, numeric)
+        return {
+            "=": l == r, "!=": l != r,
+            "<": l < r, "<=": l <= r, ">": l > r, ">=": l >= r,
+        }[e.op]
+    if isinstance(e, Regex):
+        pat = f"(?{e.flags})" + e.pattern if e.flags else e.pattern
+        return colref(e.var).rlike(pat)
+    if isinstance(e, Bound):
+        return colref(e.var).isNotNull()
+    if isinstance(e, Not):
+        return ~filter_to_column(e.expr, colref)
+    if isinstance(e, And):
+        out = filter_to_column(e.parts[0], colref)
+        for p in e.parts[1:]:
+            out = out & filter_to_column(p, colref)
+        return out
+    out = filter_to_column(e.parts[0], colref)
+    for p in e.parts[1:]:
+        out = out | filter_to_column(p, colref)
+    return out
 
 
 class _Parser:
-    def __init__(self, toks: list[str], allow_var_predicates: bool = False):
+    def __init__(
+        self,
+        toks: list[str],
+        allow_var_predicates: bool = False,
+        allow_filter: bool = False,
+    ):
         self.toks = toks
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self.allow_var_predicates = allow_var_predicates
+        self.allow_filter = allow_filter
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -173,6 +281,7 @@ class _Parser:
         self.expect("{")
         patterns: list[Pattern] = []
         optional: list[list[Pattern]] = []
+        filters: list[FilterExpr] = []
         while True:
             t = self.peek()
             if t is None:
@@ -190,6 +299,20 @@ class _Parser:
                 self._triples_block(group, stop="}")
                 self.expect("}")
                 optional.append(group)
+                continue
+            if self._kw(t, "FILTER"):
+                if not self.allow_filter:
+                    # parity by default: the reference rejects FILTER
+                    # (DagCreator.java:269-271). parse_sparql(...,
+                    # allow_filter=True) opts in to the extension.
+                    raise ValueError(
+                        "FILTER is not supported at reference parity "
+                        "(pass allow_filter=True to opt in)"
+                    )
+                self.next()
+                self.expect("(")
+                filters.append(self._filter_or())
+                self.expect(")")
                 continue
             if t.upper() in _UNSUPPORTED:
                 raise ValueError(
@@ -234,9 +357,87 @@ class _Parser:
             order_by=order_by,
             limit=limit,
             prefixes=dict(self.prefixes),
+            filters=filters,
         )
         self._validate(q)
         return q
+
+    # --- FILTER expressions (precedence: || < && < ! < comparison) -------
+    def _filter_or(self) -> FilterExpr:
+        parts = [self._filter_and()]
+        while self.peek() == "||":
+            self.next()
+            parts.append(self._filter_and())
+        return parts[0] if len(parts) == 1 else Or(parts)
+
+    def _filter_and(self) -> FilterExpr:
+        parts = [self._filter_unary()]
+        while self.peek() == "&&":
+            self.next()
+            parts.append(self._filter_unary())
+        return parts[0] if len(parts) == 1 else And(parts)
+
+    def _filter_unary(self) -> FilterExpr:
+        if self.peek() == "!":
+            self.next()
+            return Not(self._filter_unary())
+        return self._filter_primary()
+
+    def _filter_primary(self) -> FilterExpr:
+        t = self.peek()
+        if t == "(":
+            self.next()
+            e = self._filter_or()
+            self.expect(")")
+            return e
+        if t is not None and t.upper() == "REGEX":
+            self.next()
+            self.expect("(")
+            var = self._filter_operand()
+            if var[0] != "var":
+                raise ValueError("regex(): first argument must be a variable")
+            self.expect(",")
+            pat = self._filter_operand()
+            if pat[0] != "lit":
+                raise ValueError("regex(): pattern must be a string literal")
+            flags = ""
+            if self.peek() == ",":
+                self.next()
+                fl = self._filter_operand()
+                if fl[0] != "lit":
+                    raise ValueError("regex(): flags must be a string literal")
+                flags = fl[1]
+            self.expect(")")
+            return Regex(var[1], pat[1], flags)
+        if t is not None and t.upper() == "BOUND":
+            self.next()
+            self.expect("(")
+            var = self._filter_operand()
+            if var[0] != "var":
+                raise ValueError("bound(): argument must be a variable")
+            self.expect(")")
+            return Bound(var[1])
+        lhs = self._filter_operand()
+        op = self.peek()
+        if op not in ("=", "!=", "<", "<=", ">", ">="):
+            raise ValueError(
+                f"FILTER: expected comparison operator after operand, got {op!r}"
+            )
+        self.next()
+        rhs = self._filter_operand()
+        return Comparison(op, lhs, rhs)
+
+    def _filter_operand(self) -> tuple:
+        t = self.next()
+        if t.startswith(("?", "$")):
+            return ("var", t[1:])
+        if t.startswith('"'):
+            body = re.match(r'"((?:[^"\\]|\\.)*)"', t).group(1)
+            return ("lit", body.replace('\\"', '"').replace("\\\\", "\\"))
+        try:
+            return ("num", float(t))
+        except ValueError:
+            raise ValueError(f"FILTER: cannot interpret operand {t!r}") from None
 
     def _triples_block(self, out: list[Pattern], stop: str) -> None:
         while self.peek() is not None and self.peek() != stop:
@@ -284,17 +485,29 @@ class _Parser:
                 raise ValueError(
                     f"SELECT vars not bound by any pattern: {unknown} (bound: {sorted(bound)})"
                 )
+        for f in q.filters:
+            unknown = [v for v in sorted(filter_vars(f)) if v not in bound]
+            if unknown:
+                raise ValueError(
+                    f"FILTER vars not bound by any pattern: {unknown} "
+                    f"(bound: {sorted(bound)})"
+                )
 
 
-def parse_sparql(text: str, allow_var_predicates: bool = False) -> SparqlQuery:
+def parse_sparql(
+    text: str,
+    allow_var_predicates: bool = False,
+    allow_filter: bool = False,
+) -> SparqlQuery:
     """Parse a SPARQL BGP SELECT query string (see module docstring for the
     accepted subset; everything the reference rejects, we reject by default â€”
     ``allow_var_predicates=True`` opts in to the engine's OSP-backed
-    variable-predicate extension)."""
-    return _Parser(_tokenize(text), allow_var_predicates).parse()
+    variable-predicate extension, ``allow_filter=True`` to FILTER
+    expressions compiled to native Column predicates)."""
+    return _Parser(_tokenize(text), allow_var_predicates, allow_filter).parse()
 
 
-def execute_on_triples(triples, text: str):
+def execute_on_triples(triples, text: str, allow_filter: bool = False):
     """Execute a SPARQL BGP SELECT directly over a (s, p, o) string-typed
     triples DataFrame â€” no dictionary encoding or stats required.
 
@@ -307,7 +520,7 @@ def execute_on_triples(triples, text: str):
     """
     from pyspark.sql import functions as F
 
-    q = parse_sparql(text)
+    q = parse_sparql(text, allow_filter=allow_filter)
 
     def _is_var(t: str) -> bool:
         return t.startswith("?")
@@ -377,6 +590,11 @@ def execute_on_triples(triples, text: str):
             if shared
             else result.join(gdf, F.lit(True), "left")
         )
+
+    # FILTERs apply after OPTIONAL joins but before projection (their vars
+    # need not be selected); compiled to native Column predicates
+    for fexpr in q.filters:
+        result = result.filter(filter_to_column(fexpr, F.col))
 
     opt_flat = [p for g in q.optional for p in g]
     out_vars = q.select or sorted({v for p in q.patterns + opt_flat for v in p.vars()})

@@ -183,3 +183,83 @@ def test_var_predicate_opt_in(engine):
         parse_sparql(q)
     res = engine.sparql(q, var_predicates=True)
     assert res.count() > 0 and set(res.columns) == {"x", "p"}
+
+
+def test_filter_rejected_by_default():
+    with pytest.raises(ValueError, match="allow_filter=True"):
+        parse_sparql(
+            PREFIXES + 'SELECT ?x WHERE { ?x ub:name ?y . FILTER (?y = "A") }'
+        )
+
+
+def test_filter_parse_precedence():
+    from parj_spark.query.sparql import And, Comparison, Not, Or, Regex
+
+    q = parse_sparql(
+        PREFIXES
+        + """SELECT ?x WHERE { ?x ub:name ?y .
+             FILTER (regex(?y, "^A", "i") || ?y >= "U" && !(?y = "Z")) }""",
+        allow_filter=True,
+    )
+    (f,) = q.filters
+    # || binds loosest: Or(Regex, And(Comparison, Not(Comparison)))
+    assert isinstance(f, Or) and isinstance(f.parts[0], Regex)
+    assert f.parts[0].flags == "i"
+    and_part = f.parts[1]
+    assert isinstance(and_part, And)
+    assert isinstance(and_part.parts[0], Comparison) and and_part.parts[0].op == ">="
+    assert isinstance(and_part.parts[1], Not)
+
+
+def test_filter_vars_must_be_bound():
+    with pytest.raises(ValueError, match="FILTER vars not bound"):
+        parse_sparql(
+            PREFIXES + 'SELECT ?x WHERE { ?x ub:name ?y . FILTER (?z = "A") }',
+            allow_filter=True,
+        )
+
+
+def test_filter_engine_matches_manual(engine):
+    """engine.sparql(filters=True) == the unfiltered query + a hand-built
+    Column predicate (same data, two routes)."""
+    base = PREFIXES + "SELECT ?x ?y WHERE { ?x rdf:type ub:Course . ?x ub:name ?y . %s}"
+    got = engine.sparql(
+        base % 'FILTER (regex(?y, "_0$") || ?y = "nope") ', filters=True
+    )
+    want = engine.sparql(base % "").filter(F.col("y").rlike("_0$") | (F.col("y") == "nope"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
+
+
+def test_filter_numeric_try_cast(spark):
+    """Numeric comparison uses try_cast: non-numeric values error -> false
+    (dropped), matching SPARQL's error-is-false FILTER semantics."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("e1", "u:v", "3"), ("e2", "u:v", "10.5"), ("e3", "u:v", "oops")],
+        ["s", "p", "o"],
+    )
+    got = execute_on_triples(
+        t,
+        "SELECT ?s WHERE { ?s <u:v> ?v . FILTER (?v > 2.5) }",
+        allow_filter=True,
+    )
+    assert sorted(r["s"] for r in got.collect()) == ["e1", "e2"]
+
+
+def test_filter_bound_negation_with_optional(spark):
+    """OPTIONAL + FILTER(!bound(?r)) = negation by failure."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("a", "u:name", "A"), ("b", "u:name", "B"), ("a", "u:ref", "x")],
+        ["s", "p", "o"],
+    )
+    got = execute_on_triples(
+        t,
+        """SELECT ?s WHERE { ?s <u:name> ?n .
+           OPTIONAL { ?s <u:ref> ?r } FILTER (!bound(?r)) }""",
+        allow_filter=True,
+    )
+    assert [r["s"] for r in got.collect()] == ["b"]
