@@ -383,6 +383,17 @@ _SPARQL_DISTINCT_LIMIT = """
     SELECT DISTINCT ?nm WHERE { ?x urn:name ?nm } ORDER BY ?nm LIMIT 7
 """
 
+# UNION extension (opt-in; the reference rejects UNION outright,
+# DagCreator.java:269-271): two type alternatives, each planned as its own
+# BGP, column-aligned union, then joined with the core name pattern
+_SPARQL_UNION = """
+    PREFIX urn: <urn:>
+    SELECT ?e ?nm WHERE {
+        ?e urn:name ?nm .
+        { ?e urn:type urn:Nation } UNION { ?e urn:type urn:Region }
+    }
+"""
+
 # FILTER extension (opt-in; the reference rejects FILTER outright,
 # DagCreator.java:269-271): regex + || + != over nation names, compiled to
 # native Column predicates (rlike / comparisons), no UDF
@@ -458,6 +469,16 @@ def kg_sparql_distinct_limit(spark, sf_dir):
 
     return execute_on_triples(
         _derived_triples(spark, sf_dir), _SPARQL_DISTINCT_LIMIT
+    )
+
+
+def kg_sparql_union(spark, sf_dir):
+    """UNION extension (beyond reference parity, opt-in): equal-varset
+    alternatives unioned column-aligned, then equi-joined with the core."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    return execute_on_triples(
+        _derived_triples(spark, sf_dir), _SPARQL_UNION, allow_union=True
     )
 
 
@@ -653,6 +674,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_class_join_stats": kg_class_join_stats,
     "kg_sparql_distinct_limit": kg_sparql_distinct_limit,
     "kg_sparql_filter": kg_sparql_filter,
+    "kg_sparql_union": kg_sparql_union,
     "kg_type_stats": kg_type_stats,
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
@@ -960,6 +982,16 @@ ORACLES: dict[str, str] = {
         FROM triples nm
         LEFT JOIN triples pt ON pt.p = 'urn:partOf' AND pt.s = nm.s
         WHERE nm.p = 'urn:name'
+    """,
+    "kg_sparql_union": f"""
+        WITH triples AS ({_TRIPLES_SQL})
+        SELECT nm.s AS e, nm.o AS nm
+        FROM triples nm JOIN triples ty ON ty.s = nm.s
+        WHERE nm.p = 'urn:name' AND ty.p = 'urn:type' AND ty.o = 'urn:Nation'
+        UNION ALL
+        SELECT nm.s AS e, nm.o AS nm
+        FROM triples nm JOIN triples ty ON ty.s = nm.s
+        WHERE nm.p = 'urn:name' AND ty.p = 'urn:type' AND ty.o = 'urn:Region'
     """,
     "kg_sparql_filter": f"""
         WITH triples AS ({_TRIPLES_SQL})

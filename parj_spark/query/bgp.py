@@ -604,23 +604,31 @@ class BGPEngine:
         decode: bool = True,
         var_predicates: bool = False,
         filters: bool = False,
+        unions: bool = False,
     ) -> DataFrame:
         """Execute a SPARQL BGP SELECT string — the reference's actual entry
         point (QueryTester.java:152 parses SPARQL text; DagCreator.java:55-154
         lowers it to the join DAG). Our lowering target is :meth:`query`.
-        ``filters=True`` opts in to the FILTER extension: the BGP runs over
-        the encoded permutation tables as usual, FILTER predicates apply to
-        the decoded values (they reference term strings), then the solution
-        modifiers."""
+
+        ``filters=True`` / ``unions=True`` opt in to the extensions: the
+        BGPs run over the encoded permutation tables as usual; each UNION
+        alternative is planned as its own BGP, column-aligned (the parser
+        enforces equal variable sets) and unioned, then equi-joined with the
+        core BGP; FILTER predicates apply to the decoded values (they
+        reference term strings), then the solution modifiers. OPTIONAL
+        blocks attach to the core BGP."""
         from parj_spark.query.sparql import filter_to_column, parse_sparql
 
         q = parse_sparql(
-            text, allow_var_predicates=var_predicates, allow_filter=filters
+            text,
+            allow_var_predicates=var_predicates,
+            allow_filter=filters,
+            allow_union=unions,
         )
         order_cols = [
             F.desc(v[1:]) if v.startswith("-") else F.asc(v) for v in q.order_by
         ] or None
-        if not q.filters:
+        if not q.filters and not q.unions:
             return self.query(
                 q.patterns,
                 select=q.select,
@@ -630,20 +638,37 @@ class BGPEngine:
                 order_by=order_cols,
                 limit=q.limit,
             )
-        if not decode:
+        if q.filters and not decode:
             raise ValueError(
                 "FILTER expressions compare decoded term values; "
                 "sparql(..., filters=True) requires decode=True"
             )
-        # run the BGP with every var decoded and no modifiers, filter, then
-        # apply projection/DISTINCT/ORDER/LIMIT in SPARQL's modifier order
-        result = self.query(
-            q.patterns,
-            select=None,
-            distinct=False,
-            decode=True,
-            optional=q.optional or None,
+        if not q.patterns and q.optional:
+            raise ValueError("OPTIONAL without a core BGP is not supported")
+        decode_all = decode or bool(q.filters)
+        # run the core BGP with every var kept and no modifiers, attach
+        # unions and filters, then apply projection/DISTINCT/ORDER/LIMIT in
+        # SPARQL's modifier order
+        result = (
+            self.query(
+                q.patterns,
+                select=None,
+                distinct=False,
+                decode=decode_all,
+                optional=q.optional or None,
+            )
+            if q.patterns
+            else None
         )
+        for grp in q.unions:
+            u = self.query(grp[0], select=None, decode=decode_all)
+            for alt in grp[1:]:
+                u = u.unionByName(self.query(alt, select=None, decode=decode_all))
+            if result is None:
+                result = u
+            else:
+                shared = sorted(set(result.columns) & set(u.columns))
+                result = result.join(u, on=shared) if shared else result.crossJoin(u)
         for fexpr in q.filters:
             result = result.filter(filter_to_column(fexpr, F.col))
         if q.select:

@@ -13,13 +13,16 @@ recursive-descent parser for exactly the SPARQL subset the reference executes â€
 Anything beyond a BGP (FILTER, UNION, GRAPH, subqueries, property paths) is
 rejected with a clear error â€” the same contract as the reference, which
 rejects non-StatementPattern nodes and variable predicates outright
-(DagCreator.java:170-171, 269-271). Two opt-in extensions go beyond that
+(DagCreator.java:170-171, 269-271). Three opt-in extensions go beyond that
 parity: ``allow_var_predicates=True`` enables the engine's OSP-backed
-variable predicates, and ``allow_filter=True`` enables FILTER expressions
+variable predicates; ``allow_filter=True`` enables FILTER expressions
 (comparisons =, !=, <, <=, >, >=; && / || / !; regex(?v, "re" [, "i"]);
 bound(?v)) compiled to native Spark Column predicates â€” SPARQL's
 error-is-false semantics map onto SQL null propagation (a failed numeric
-cast yields null, and a null predicate drops the row).
+cast yields null, and a null predicate drops the row); ``allow_union=True``
+enables ``{ A } UNION { B }`` groups whose alternatives bind the same
+variable set (parse-enforced), each planned as its own BGP and
+column-aligned unioned before joining the core BGP.
 
 Term canonicalization: the engine's dictionary stores *prefixed names*
 ("ub:Course_0_0_0", "rdf:type"), so pnames pass through verbatim and full
@@ -87,6 +90,12 @@ class SparqlQuery:
     prefixes: dict[str, str] = field(default_factory=dict)
     # conjunctive FILTER expressions (opt-in extension; empty at parity)
     filters: list["FilterExpr"] = field(default_factory=list)
+    # UNION groups (opt-in extension; empty at parity): each entry is one
+    # `{ A } UNION { B } (UNION { C })*` group â€” a list of >=2 alternative
+    # BGPs that must bind the SAME variable set (enforced at parse time so
+    # the union is column-aligned and joins with the core BGP stay exact;
+    # SPARQL's unbound-is-compatible join edge case is out of scope)
+    unions: list[list[list[Pattern]]] = field(default_factory=list)
 
 
 # --- FILTER expression AST (opt-in extension beyond reference parity) -----
@@ -190,12 +199,14 @@ class _Parser:
         toks: list[str],
         allow_var_predicates: bool = False,
         allow_filter: bool = False,
+        allow_union: bool = False,
     ):
         self.toks = toks
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self.allow_var_predicates = allow_var_predicates
         self.allow_filter = allow_filter
+        self.allow_union = allow_union
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -282,6 +293,7 @@ class _Parser:
         patterns: list[Pattern] = []
         optional: list[list[Pattern]] = []
         filters: list[FilterExpr] = []
+        unions: list[list[list[Pattern]]] = []
         while True:
             t = self.peek()
             if t is None:
@@ -299,6 +311,30 @@ class _Parser:
                 self._triples_block(group, stop="}")
                 self.expect("}")
                 optional.append(group)
+                continue
+            if t == "{":
+                if not self.allow_union:
+                    # parity by default: the reference rejects group/UNION
+                    # blocks (DagCreator.java:269-271). parse_sparql(...,
+                    # allow_union=True) opts in to the extension.
+                    raise ValueError(
+                        "group blocks / UNION are not supported at reference "
+                        "parity (pass allow_union=True to opt in)"
+                    )
+                alts = [self._group_block()]
+                while self._kw(self.peek(), "UNION"):
+                    self.next()
+                    alts.append(self._group_block())
+                if len(alts) == 1:
+                    patterns.extend(alts[0])  # plain braces: ordinary BGP
+                else:
+                    varsets = [{v for p in a for v in p.vars()} for a in alts]
+                    if any(vs != varsets[0] for vs in varsets[1:]):
+                        raise ValueError(
+                            "UNION alternatives must bind the same variables "
+                            f"(got {[sorted(vs) for vs in varsets]})"
+                        )
+                    unions.append(alts)
                 continue
             if self._kw(t, "FILTER"):
                 if not self.allow_filter:
@@ -358,6 +394,7 @@ class _Parser:
             limit=limit,
             prefixes=dict(self.prefixes),
             filters=filters,
+            unions=unions,
         )
         self._validate(q)
         return q
@@ -439,6 +476,16 @@ class _Parser:
         except ValueError:
             raise ValueError(f"FILTER: cannot interpret operand {t!r}") from None
 
+    def _group_block(self) -> list[Pattern]:
+        """Parse one `{ triples }` UNION alternative."""
+        self.expect("{")
+        out: list[Pattern] = []
+        self._triples_block(out, stop="}")
+        self.expect("}")
+        if not out:
+            raise ValueError("UNION: empty group block")
+        return out
+
     def _triples_block(self, out: list[Pattern], stop: str) -> None:
         while self.peek() is not None and self.peek() != stop:
             if self.peek() == ".":
@@ -475,10 +522,11 @@ class _Parser:
 
     @staticmethod
     def _validate(q: SparqlQuery) -> None:
-        if not q.patterns:
+        if not q.patterns and not q.unions:
             raise ValueError("SPARQL parser: empty basic graph pattern")
         opt_flat = [p for g in q.optional for p in g]
-        bound = {v for p in q.patterns + opt_flat for v in p.vars()}
+        union_flat = [p for grp in q.unions for alt in grp for p in alt]
+        bound = {v for p in q.patterns + opt_flat + union_flat for v in p.vars()}
         if q.select:
             unknown = [v for v in q.select if v not in bound]
             if unknown:
@@ -498,16 +546,22 @@ def parse_sparql(
     text: str,
     allow_var_predicates: bool = False,
     allow_filter: bool = False,
+    allow_union: bool = False,
 ) -> SparqlQuery:
     """Parse a SPARQL BGP SELECT query string (see module docstring for the
     accepted subset; everything the reference rejects, we reject by default â€”
     ``allow_var_predicates=True`` opts in to the engine's OSP-backed
     variable-predicate extension, ``allow_filter=True`` to FILTER
-    expressions compiled to native Column predicates)."""
-    return _Parser(_tokenize(text), allow_var_predicates, allow_filter).parse()
+    expressions compiled to native Column predicates, ``allow_union=True``
+    to equal-varset UNION groups)."""
+    return _Parser(
+        _tokenize(text), allow_var_predicates, allow_filter, allow_union
+    ).parse()
 
 
-def execute_on_triples(triples, text: str, allow_filter: bool = False):
+def execute_on_triples(
+    triples, text: str, allow_filter: bool = False, allow_union: bool = False
+):
     """Execute a SPARQL BGP SELECT directly over a (s, p, o) string-typed
     triples DataFrame â€” no dictionary encoding or stats required.
 
@@ -520,7 +574,7 @@ def execute_on_triples(triples, text: str, allow_filter: bool = False):
     """
     from pyspark.sql import functions as F
 
-    q = parse_sparql(text, allow_filter=allow_filter)
+    q = parse_sparql(text, allow_filter=allow_filter, allow_union=allow_union)
 
     def _is_var(t: str) -> bool:
         return t.startswith("?")
@@ -547,25 +601,39 @@ def execute_on_triples(triples, text: str, allow_filter: bool = False):
     def n_consts(p: Pattern) -> int:
         return sum(not _is_var(t) for t in (p.s, p.o))
 
-    remaining = sorted(q.patterns, key=lambda p: -n_consts(p))
-    ordered = [remaining.pop(0)]
-    bound = set(ordered[0].vars())
-    while remaining:
-        nxt = next((p for p in remaining if p.vars() & bound), remaining[0])
-        remaining.remove(nxt)
-        ordered.append(nxt)
-        bound |= nxt.vars()
+    def join_bgp(pats):
+        remaining = sorted(pats, key=lambda p: -n_consts(p))
+        ordered = [remaining.pop(0)]
+        bound = set(ordered[0].vars())
+        while remaining:
+            nxt = next((p for p in remaining if p.vars() & bound), remaining[0])
+            remaining.remove(nxt)
+            ordered.append(nxt)
+            bound |= nxt.vars()
+        out = None
+        for pat in ordered:
+            sc = scan(pat)
+            if out is None:
+                out = sc
+            else:
+                shared = sorted(set(out.columns) & set(sc.columns) - {"__exists"})
+                out = out.join(sc, on=shared) if shared else out.crossJoin(sc)
+        if "__exists" in out.columns:
+            out = out.drop("__exists")
+        return out
 
-    result = None
-    for pat in ordered:
-        sc = scan(pat)
+    result = join_bgp(q.patterns) if q.patterns else None
+    for grp in q.unions:
+        # alternatives bind the same vars (parse-enforced) -> a plain
+        # column-aligned union, then an equi-join with the core BGP
+        udf_ = join_bgp(grp[0])
+        for alt in grp[1:]:
+            udf_ = udf_.unionByName(join_bgp(alt))
         if result is None:
-            result = sc
+            result = udf_
         else:
-            shared = sorted(set(result.columns) & set(sc.columns) - {"__exists"})
-            result = result.join(sc, on=shared) if shared else result.crossJoin(sc)
-    if "__exists" in result.columns:
-        result = result.drop("__exists")
+            shared = sorted(set(result.columns) & set(udf_.columns))
+            result = result.join(udf_, on=shared) if shared else result.crossJoin(udf_)
     for group in q.optional:
         # SPARQL group semantics: the patterns of one OPTIONAL block join
         # each other first; the assembled group left-joins the core, so the
@@ -597,7 +665,10 @@ def execute_on_triples(triples, text: str, allow_filter: bool = False):
         result = result.filter(filter_to_column(fexpr, F.col))
 
     opt_flat = [p for g in q.optional for p in g]
-    out_vars = q.select or sorted({v for p in q.patterns + opt_flat for v in p.vars()})
+    union_flat = [p for grp in q.unions for alt in grp for p in alt]
+    out_vars = q.select or sorted(
+        {v for p in q.patterns + opt_flat + union_flat for v in p.vars()}
+    )
     result = result.select(*out_vars)
     if q.distinct:
         result = result.distinct()

@@ -263,3 +263,62 @@ def test_filter_bound_negation_with_optional(spark):
         allow_filter=True,
     )
     assert [r["s"] for r in got.collect()] == ["b"]
+
+
+def test_union_rejected_by_default():
+    with pytest.raises(ValueError, match="allow_union=True"):
+        parse_sparql(
+            PREFIXES + "SELECT ?x WHERE { { ?x ub:p ?y } UNION { ?x ub:q ?y } }"
+        )
+
+
+def test_union_requires_equal_varsets():
+    with pytest.raises(ValueError, match="same variables"):
+        parse_sparql(
+            PREFIXES + "SELECT ?x WHERE { { ?x ub:p ?y } UNION { ?x ub:q ?z } }",
+            allow_union=True,
+        )
+
+
+def test_union_plain_group_is_bgp():
+    q = parse_sparql(
+        PREFIXES + "SELECT ?x WHERE { { ?x ub:p ?y . } ?y ub:q ?z }",
+        allow_union=True,
+    )
+    assert len(q.patterns) == 2 and not q.unions
+
+
+def test_union_engine_matches_two_queries(engine):
+    """{A} UNION {B} joined with a core pattern == unionByName of the two
+    conjunctive queries (bag semantics)."""
+    q = (
+        PREFIXES
+        + """SELECT ?x ?n WHERE { ?x ub:name ?n .
+             { ?x rdf:type ub:FullProfessor } UNION { ?x rdf:type ub:Lecturer } }"""
+    )
+    got = engine.sparql(q, unions=True)
+    a = engine.sparql(
+        PREFIXES + "SELECT ?x ?n WHERE { ?x ub:name ?n . ?x rdf:type ub:FullProfessor }"
+    )
+    b = engine.sparql(
+        PREFIXES + "SELECT ?x ?n WHERE { ?x ub:name ?n . ?x rdf:type ub:Lecturer }"
+    )
+    want = a.unionByName(b)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
+
+
+def test_union_keeps_duplicates(spark):
+    """SPARQL UNION is a bag union: a solution produced by both alternatives
+    appears twice."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("a", "u:p", "v"), ("a", "u:q", "v")], ["s", "p", "o"]
+    )
+    got = execute_on_triples(
+        t,
+        "SELECT ?s WHERE { { ?s <u:p> ?v } UNION { ?s <u:q> ?v } }",
+        allow_union=True,
+    )
+    assert [r["s"] for r in got.collect()] == ["a", "a"]
