@@ -322,3 +322,32 @@ def test_union_keeps_duplicates(spark):
         allow_union=True,
     )
     assert [r["s"] for r in got.collect()] == ["a", "a"]
+
+
+def test_parser_roundtrip_property():
+    """Random BGPs serialize -> parse back to the identical pattern list."""
+    from hypothesis import given, settings, strategies as st
+
+    var = st.sampled_from(["?a", "?b", "?c", "?d"])
+    pname = st.sampled_from(["ub:p1", "ub:p2", "rdf:type", "ex:q"])
+    lit = st.text(
+        alphabet="abcXYZ019 _-", min_size=0, max_size=8
+    ).map(lambda s: f'"{s}"')
+    subj = st.one_of(var, pname)
+    pred = st.one_of(pname, st.just("a"))
+    obj = st.one_of(var, pname, lit)
+    triple = st.tuples(subj, pred, obj)
+    bgps = st.lists(triple, min_size=1, max_size=6)
+
+    @settings(max_examples=50, deadline=None)
+    @given(bgp=bgps)
+    def check(bgp):
+        text = "SELECT * WHERE { " + " . ".join(f"{s} {p} {o}" for s, p, o in bgp) + " }"
+        q = parse_sparql(text)
+        want = [
+            Pattern(s, "rdf:type" if p == "a" else p, o.strip('"') if o.startswith('"') else o)
+            for s, p, o in bgp
+        ]
+        assert q.patterns == want
+
+    check()
