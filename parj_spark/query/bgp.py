@@ -581,21 +581,26 @@ class BGPEngine:
         if distinct:
             result = result.distinct()
         if decode and result.columns:
-            for v in list(result.columns):
-                # predicate vars decode through the (tiny) properties
-                # catalog, entity vars through the term dictionary
-                src = (
-                    F.broadcast(self.store.properties())
-                    if v in pvars
-                    else self._decode_dict()
-                )
-                d = src.select(F.col("id").alias(v), F.col("uri").alias(f"{v}_uri"))
-                result = result.join(d, v, "left").drop(v).withColumnRenamed(f"{v}_uri", v)
-            result = result.select(*out_vars)
+            result = self._decode_frame(result, pvars).select(*out_vars)
         if order_by:
             result = result.orderBy(*order_by)
         if limit is not None:
             result = result.limit(limit)
+        return result
+
+    def _decode_frame(self, result: DataFrame, pvars: set[str]) -> DataFrame:
+        """Decode every id column of ``result`` to its term string:
+        predicate vars through the (tiny, broadcast) properties catalog,
+        entity vars through the term dictionary (size-gated broadcast).
+        Column order is not preserved — callers re-select."""
+        for v in list(result.columns):
+            src = (
+                F.broadcast(self.store.properties())
+                if v in pvars
+                else self._decode_dict()
+            )
+            d = src.select(F.col("id").alias(v), F.col("uri").alias(f"{v}_uri"))
+            result = result.join(d, v, "left").drop(v).withColumnRenamed(f"{v}_uri", v)
         return result
 
     def sparql(
@@ -645,30 +650,39 @@ class BGPEngine:
             )
         if not q.patterns and q.optional:
             raise ValueError("OPTIONAL without a core BGP is not supported")
-        decode_all = decode or bool(q.filters)
-        # run the core BGP with every var kept and no modifiers, attach
-        # unions and filters, then apply projection/DISTINCT/ORDER/LIMIT in
-        # SPARQL's modifier order
+        # run the core BGP and every UNION alternative ENCODED (decode=False)
+        # so all joins happen on dictionary ids — decoding each sub-BGP
+        # separately would both repeat the dictionary join per alternative
+        # and shuffle term strings instead of longs; decode once at the end
         result = (
             self.query(
                 q.patterns,
                 select=None,
                 distinct=False,
-                decode=decode_all,
+                decode=False,
                 optional=q.optional or None,
             )
             if q.patterns
             else None
         )
         for grp in q.unions:
-            u = self.query(grp[0], select=None, decode=decode_all)
+            u = self.query(grp[0], select=None, decode=False)
             for alt in grp[1:]:
-                u = u.unionByName(self.query(alt, select=None, decode=decode_all))
+                u = u.unionByName(self.query(alt, select=None, decode=False))
             if result is None:
                 result = u
             else:
                 shared = sorted(set(result.columns) & set(u.columns))
                 result = result.join(u, on=shared) if shared else result.crossJoin(u)
+        if decode and result.columns:
+            all_pats = (
+                list(q.patterns)
+                + [p for g in q.optional for p in g]
+                + [p for grp in q.unions for alt in grp for p in alt]
+            )
+            pvars = {v for p in all_pats for v in [p.pred_var()] if v}
+            cols = list(result.columns)
+            result = self._decode_frame(result, pvars).select(*cols)
         for fexpr in q.filters:
             result = result.filter(filter_to_column(fexpr, F.col))
         if q.select:

@@ -105,3 +105,20 @@ def test_dict_decode_size_gated(spark, tiny_graph):
     assert sorted(r["x"] for r in df_b.collect()) == sorted(
         r["x"] for r in df_s.collect()
     )
+
+
+def test_union_path_decodes_once(spark, tiny_graph):
+    """The UNION engine path joins core and alternatives on encoded ids and
+    decodes each output var exactly once at the end — per-sub-BGP decoding
+    would scan the dictionary once per alternative per var (string-typed
+    joins + repeated dict shuffles at 100 TB)."""
+    eng = BGPEngine(tiny_graph)
+    q = (
+        "PREFIX rdf:<rdf:> PREFIX ub:<ub:> SELECT ?x ?n WHERE { "
+        "?x ub:name ?n . { ?x rdf:type ub:FullProfessor } "
+        "UNION { ?x rdf:type ub:Lecturer } }"
+    )
+    df = eng.sparql(q, unions=True)
+    plan = _plan(df)
+    # two output vars (x, n) -> exactly two scans of the dictionary table
+    assert plan.count("dict_stage") == 2
