@@ -30,15 +30,14 @@ ORIENTATIONS = {
 }
 
 
-def pairwise_join_cardinalities(
+def _key_hists(
     triples_enc: DataFrame, per_key_cap: int | None = None
-) -> DataFrame:
-    """Exact join cardinality for every predicate pair and orientation.
-
-    ``per_key_cap``: optional per-key frequency cap mirroring the
-    reference's STATLIMIT sampling guard — with a cap the result is a
-    lower-bound estimate but immune to degenerate hub keys.
-    """
+) -> dict[str, DataFrame]:
+    """Per-(predicate, join-key) frequency histograms for both columns —
+    the shared input of every T3 variant. Not persisted here: within one
+    action the identical groupBy subplans are deduplicated by Spark's
+    exchange reuse; multi-action callers (write_join_stats) persist and
+    unpersist around their writes."""
     hists = {}
     for col in ("s", "o"):
         h = triples_enc.groupBy("p", F.col(col).alias("k")).agg(
@@ -46,8 +45,11 @@ def pairwise_join_cardinalities(
         )
         if per_key_cap is not None:
             h = h.withColumn("n", F.least(F.col("n"), F.lit(per_key_cap)))
-        hists[col] = h.persist()
+        hists[col] = h
+    return hists
 
+
+def _pairwise_from_hists(hists: dict[str, DataFrame]) -> DataFrame:
     parts = []
     for name, (c1, c2) in ORIENTATIONS.items():
         a = hists[c1].select(F.col("p").alias("p1"), "k", F.col("n").alias("n1"))
@@ -62,6 +64,18 @@ def pairwise_join_cardinalities(
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def pairwise_join_cardinalities(
+    triples_enc: DataFrame, per_key_cap: int | None = None
+) -> DataFrame:
+    """Exact join cardinality for every predicate pair and orientation.
+
+    ``per_key_cap``: optional per-key frequency cap mirroring the
+    reference's STATLIMIT sampling guard — with a cap the result is a
+    lower-bound estimate but immune to degenerate hub keys.
+    """
+    return _pairwise_from_hists(_key_hists(triples_enc, per_key_cap))
 
 
 def class_restricted_join_cardinalities(
@@ -81,6 +95,17 @@ def class_restricted_join_cardinalities(
     unrestricted version — the class filter is a semi-join of the per-key
     histogram against the (broadcastable after top-k) instance set.
     """
+    return _class_from_hists(
+        triples_enc, _key_hists(triples_enc, per_key_cap), type_pid, top_k
+    )
+
+
+def _class_from_hists(
+    triples_enc: DataFrame,
+    hists: dict[str, DataFrame],
+    type_pid: int,
+    top_k: int,
+) -> DataFrame:
     inst = triples_enc.filter(F.col("p") == type_pid).select(
         F.col("s").alias("k"), F.col("o").alias("cls")
     )
@@ -92,14 +117,6 @@ def class_restricted_join_cardinalities(
         .select("cls")
     )
     inst = inst.join(F.broadcast(top), "cls")
-    hists = {}
-    for col in ("s", "o"):
-        h = triples_enc.groupBy("p", F.col(col).alias("k")).agg(
-            F.count("*").alias("n")
-        )
-        if per_key_cap is not None:
-            h = h.withColumn("n", F.least(F.col("n"), F.lit(per_key_cap)))
-        hists[col] = h.persist()
 
     parts = []
     for name, (c1, c2) in ORIENTATIONS.items():
@@ -128,17 +145,45 @@ def write_join_stats(
     out_dir: str,
     type_pid: int | None = None,
     class_top_k: int = 64,
-    **kw,
+    per_key_cap: int | None = None,
 ) -> None:
-    pairwise_join_cardinalities(triples_enc, **kw).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(out_dir, "join_stats"))
-    if type_pid is not None:
-        class_restricted_join_cardinalities(
-            triples_enc, type_pid, top_k=class_top_k, **kw
+    """Write the unrestricted T3 table and (when rdf:type exists) the
+    class-restricted one. Both derive from the same per-key histograms, so
+    those are built ONCE, persisted across the two write actions, and
+    released afterwards — previously each table rebuilt them (4 duplicated
+    shuffles) and leaked the persisted frames, making the analyze phase
+    cost more than construction at the 8M-triple bench scale."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    hists = _key_hists(triples_enc, per_key_cap)
+    multi_action = type_pid is not None
+    if multi_action:
+        hists = {c: h.persist() for c, h in hists.items()}
+
+    def w_plain():
+        _pairwise_from_hists(hists).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "join_stats")
+        )
+
+    def w_class():
+        _class_from_hists(
+            triples_enc, hists, type_pid, class_top_k
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out_dir, "class_join_stats")
         )
+
+    try:
+        if multi_action:
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futures = [pool.submit(w) for w in (w_plain, w_class)]
+                for fut in futures:
+                    fut.result()
+        else:
+            w_plain()
+    finally:
+        if multi_action:
+            for h in hists.values():
+                h.unpersist()
 
 
 DEFAULT_HIST_BUCKETS = 16
