@@ -383,6 +383,14 @@ _SPARQL_DISTINCT_LIMIT = """
     SELECT DISTINCT ?nm WHERE { ?x urn:name ?nm } ORDER BY ?nm LIMIT 7
 """
 
+# variable-predicate extension (opt-in; the reference rejects predicate
+# variables outright, DagCreator.java:170-171): describe one entity — the
+# engine serves this from the OSP permutation table
+_SPARQL_VARPRED = """
+    PREFIX urn: <urn:>
+    SELECT ?p ?o WHERE { <urn:nation:5> ?p ?o }
+"""
+
 # UNION extension (opt-in; the reference rejects UNION outright,
 # DagCreator.java:269-271): two type alternatives, each planned as its own
 # BGP, column-aligned union, then joined with the core name pattern
@@ -469,6 +477,16 @@ def kg_sparql_distinct_limit(spark, sf_dir):
 
     return execute_on_triples(
         _derived_triples(spark, sf_dir), _SPARQL_DISTINCT_LIMIT
+    )
+
+
+def kg_sparql_varpred(spark, sf_dir):
+    """Variable-predicate extension (beyond reference parity, opt-in):
+    describe-an-entity query with ?p in predicate position."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    return execute_on_triples(
+        _derived_triples(spark, sf_dir), _SPARQL_VARPRED, allow_var_predicates=True
     )
 
 
@@ -675,6 +693,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_sparql_distinct_limit": kg_sparql_distinct_limit,
     "kg_sparql_filter": kg_sparql_filter,
     "kg_sparql_union": kg_sparql_union,
+    "kg_sparql_varpred": kg_sparql_varpred,
     "kg_type_stats": kg_type_stats,
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
@@ -982,6 +1001,10 @@ ORACLES: dict[str, str] = {
         FROM triples nm
         LEFT JOIN triples pt ON pt.p = 'urn:partOf' AND pt.s = nm.s
         WHERE nm.p = 'urn:name'
+    """,
+    "kg_sparql_varpred": f"""
+        WITH triples AS ({_TRIPLES_SQL})
+        SELECT p, o FROM triples WHERE s = 'urn:nation:5'
     """,
     "kg_sparql_union": f"""
         WITH triples AS ({_TRIPLES_SQL})

@@ -560,7 +560,11 @@ def parse_sparql(
 
 
 def execute_on_triples(
-    triples, text: str, allow_filter: bool = False, allow_union: bool = False
+    triples,
+    text: str,
+    allow_filter: bool = False,
+    allow_union: bool = False,
+    allow_var_predicates: bool = False,
 ):
     """Execute a SPARQL BGP SELECT directly over a (s, p, o) string-typed
     triples DataFrame — no dictionary encoding or stats required.
@@ -574,25 +578,29 @@ def execute_on_triples(
     """
     from pyspark.sql import functions as F
 
-    q = parse_sparql(text, allow_filter=allow_filter, allow_union=allow_union)
+    q = parse_sparql(
+        text,
+        allow_filter=allow_filter,
+        allow_union=allow_union,
+        allow_var_predicates=allow_var_predicates,
+    )
 
     def _is_var(t: str) -> bool:
         return t.startswith("?")
 
     def scan(pat: Pattern):
-        df = triples.filter(F.col("p") == pat.p)
-        cols = []
-        if _is_var(pat.s):
-            cols.append(F.col("s").alias(pat.s[1:]))
-        else:
-            df = df.filter(F.col("s") == pat.s)
-        if _is_var(pat.o):
-            cols.append(F.col("o").alias(pat.o[1:]))
-        else:
-            df = df.filter(F.col("o") == pat.o)
-        if _is_var(pat.s) and pat.s == pat.o:
-            df = df.filter(F.col("s") == F.col("o"))
-            cols = [F.col("s").alias(pat.s[1:])]
+        # one (var term -> source column) slot per distinct var: a repeated
+        # var adds an equality filter instead of a duplicate column
+        df = triples
+        slots: dict[str, str] = {}
+        for term, col in ((pat.s, "s"), (pat.p, "p"), (pat.o, "o")):
+            if not _is_var(term):
+                df = df.filter(F.col(col) == term)
+            elif term in slots:
+                df = df.filter(F.col(slots[term]) == F.col(col))
+            else:
+                slots[term] = col
+        cols = [F.col(c).alias(v[1:]) for v, c in slots.items()]
         if not cols:  # fully bound: existence probe
             cols = [F.lit(1).alias("__exists")]
             df = df.limit(1)

@@ -351,3 +351,24 @@ def test_parser_roundtrip_property():
         assert q.patterns == want
 
     check()
+
+
+def test_varpred_execute_on_triples(spark):
+    """Variable predicates through the string-triples path (opt-in), incl.
+    a repeated var acting as an equality constraint."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("n5", "type", "Nation"), ("n5", "name", "E"), ("x", "y", "y")],
+        ["s", "p", "o"],
+    )
+    got = execute_on_triples(
+        t, "SELECT ?p ?o WHERE { <u:n5> ?p ?o }".replace("u:n5", "n5"),
+        allow_var_predicates=True,
+    )
+    assert sorted(map(tuple, got.collect())) == [("name", "E"), ("type", "Nation")]
+    # repeated var in p and o: only rows where p == o
+    same = execute_on_triples(
+        t, "SELECT ?s ?v WHERE { ?s ?v ?v }", allow_var_predicates=True
+    )
+    assert sorted(map(tuple, same.collect())) == [("x", "y")]
