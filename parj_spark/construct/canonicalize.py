@@ -134,8 +134,13 @@ def connected_components(
             # ~4x per round, so once it is active Catalyst re-analysis cost
             # goes exponential without a per-round truncation (measured: a
             # 300-deep chain went from minutes-stuck to seconds); in plain
-            # mode every 5 rounds suffices
-            labels = labels.localCheckpoint()
+            # mode every 5 rounds suffices. The eager checkpoint copies the
+            # cache into checkpoint blocks, so the cache entry is released
+            # immediately — leaving it persisted would leak one frame per
+            # checkpointed round
+            ckpt = labels.localCheckpoint()
+            labels.unpersist()
+            labels = ckpt
         if converged:
             break
     sym.unpersist()
