@@ -383,6 +383,13 @@ _SPARQL_DISTINCT_LIMIT = """
     SELECT DISTINCT ?nm WHERE { ?x urn:name ?nm } ORDER BY ?nm LIMIT 7
 """
 
+# ASK extension (opt-in; the reference runs only SELECT): existence of a
+# two-pattern solution, returned as one boolean row
+_SPARQL_ASK = """
+    PREFIX urn: <urn:>
+    ASK { ?n urn:type urn:Nation . ?n urn:name "NATION_7" }
+"""
+
 # variable-predicate extension (opt-in; the reference rejects predicate
 # variables outright, DagCreator.java:170-171): describe one entity — the
 # engine serves this from the OSP permutation table
@@ -477,6 +484,15 @@ def kg_sparql_distinct_limit(spark, sf_dir):
 
     return execute_on_triples(
         _derived_triples(spark, sf_dir), _SPARQL_DISTINCT_LIMIT
+    )
+
+
+def kg_sparql_ask(spark, sf_dir):
+    """ASK form (beyond reference parity, opt-in): one boolean row."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    return execute_on_triples(
+        _derived_triples(spark, sf_dir), _SPARQL_ASK, allow_ask=True
     )
 
 
@@ -694,6 +710,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_sparql_filter": kg_sparql_filter,
     "kg_sparql_union": kg_sparql_union,
     "kg_sparql_varpred": kg_sparql_varpred,
+    "kg_sparql_ask": kg_sparql_ask,
     "kg_type_stats": kg_type_stats,
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
@@ -1005,6 +1022,13 @@ ORACLES: dict[str, str] = {
     "kg_sparql_varpred": f"""
         WITH triples AS ({_TRIPLES_SQL})
         SELECT p, o FROM triples WHERE s = 'urn:nation:5'
+    """,
+    "kg_sparql_ask": f"""
+        WITH triples AS ({_TRIPLES_SQL})
+        SELECT count(*) > 0 AS ask
+        FROM triples ty JOIN triples nm ON nm.s = ty.s
+        WHERE ty.p = 'urn:type' AND ty.o = 'urn:Nation'
+          AND nm.p = 'urn:name' AND nm.o = 'NATION_7'
     """,
     "kg_sparql_union": f"""
         WITH triples AS ({_TRIPLES_SQL})

@@ -610,6 +610,7 @@ class BGPEngine:
         var_predicates: bool = False,
         filters: bool = False,
         unions: bool = False,
+        ask: bool = False,
     ) -> DataFrame:
         """Execute a SPARQL BGP SELECT string — the reference's actual entry
         point (QueryTester.java:152 parses SPARQL text; DagCreator.java:55-154
@@ -629,11 +630,12 @@ class BGPEngine:
             allow_var_predicates=var_predicates,
             allow_filter=filters,
             allow_union=unions,
+            allow_ask=ask,
         )
         order_cols = [
             F.desc(v[1:]) if v.startswith("-") else F.asc(v) for v in q.order_by
         ] or None
-        if not q.filters and not q.unions:
+        if not q.filters and not q.unions and not q.ask:
             return self.query(
                 q.patterns,
                 select=q.select,
@@ -674,7 +676,9 @@ class BGPEngine:
             else:
                 shared = sorted(set(result.columns) & set(u.columns))
                 result = result.join(u, on=shared) if shared else result.crossJoin(u)
-        if decode and result.columns:
+        # an ASK without filters never needs term strings — count ids as-is
+        need_decode = bool(q.filters) or (decode and not q.ask)
+        if need_decode and result.columns:
             all_pats = (
                 list(q.patterns)
                 + [p for g in q.optional for p in g]
@@ -685,6 +689,9 @@ class BGPEngine:
             result = self._decode_frame(result, pvars).select(*cols)
         for fexpr in q.filters:
             result = result.filter(filter_to_column(fexpr, F.col))
+        if q.ask:
+            # ASK: one row, one boolean — any solution exists?
+            return result.agg((F.count(F.lit(1)) > 0).alias("ask"))
         if q.select:
             result = result.select(*[c for c in q.select if c in result.columns])
         if q.distinct:

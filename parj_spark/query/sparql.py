@@ -96,6 +96,8 @@ class SparqlQuery:
     # the union is column-aligned and joins with the core BGP stay exact;
     # SPARQL's unbound-is-compatible join edge case is out of scope)
     unions: list[list[list[Pattern]]] = field(default_factory=list)
+    # ASK form (opt-in extension): result is one row, one boolean column
+    ask: bool = False
 
 
 # --- FILTER expression AST (opt-in extension beyond reference parity) -----
@@ -200,6 +202,7 @@ class _Parser:
         allow_var_predicates: bool = False,
         allow_filter: bool = False,
         allow_union: bool = False,
+        allow_ask: bool = False,
     ):
         self.toks = toks
         self.i = 0
@@ -207,6 +210,7 @@ class _Parser:
         self.allow_var_predicates = allow_var_predicates
         self.allow_filter = allow_filter
         self.allow_union = allow_union
+        self.allow_ask = allow_ask
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -271,21 +275,28 @@ class _Parser:
                 raise ValueError(f"PREFIX: expected <iri>, got {iri!r}")
             self.prefixes[pname[:-1]] = iri[1:-1]
 
-        self.expect("SELECT")
+        ask = False
         distinct = False
-        if self._kw(self.peek(), "DISTINCT"):
+        select: list[str] | None = None
+        if self._kw(self.peek(), "ASK") and self.allow_ask:
+            # parity by default: ASK stays rejected (the reference only
+            # runs SELECT); parse_sparql(..., allow_ask=True) opts in
             self.next()
-            distinct = True
-        select: list[str] | None
-        if self.peek() == "*":
-            self.next()
-            select = None
+            ask = True
         else:
-            select = []
-            while self.peek() is not None and self.peek().startswith(("?", "$")):
-                select.append(self.next()[1:])
-            if not select:
-                raise ValueError("SELECT: expected ?vars or *")
+            self.expect("SELECT")
+            if self._kw(self.peek(), "DISTINCT"):
+                self.next()
+                distinct = True
+            if self.peek() == "*":
+                self.next()
+                select = None
+            else:
+                select = []
+                while self.peek() is not None and self.peek().startswith(("?", "$")):
+                    select.append(self.next()[1:])
+                if not select:
+                    raise ValueError("SELECT: expected ?vars or *")
 
         if self._kw(self.peek(), "WHERE"):
             self.next()
@@ -395,6 +406,7 @@ class _Parser:
             prefixes=dict(self.prefixes),
             filters=filters,
             unions=unions,
+            ask=ask,
         )
         self._validate(q)
         return q
@@ -547,15 +559,16 @@ def parse_sparql(
     allow_var_predicates: bool = False,
     allow_filter: bool = False,
     allow_union: bool = False,
+    allow_ask: bool = False,
 ) -> SparqlQuery:
     """Parse a SPARQL BGP SELECT query string (see module docstring for the
     accepted subset; everything the reference rejects, we reject by default —
     ``allow_var_predicates=True`` opts in to the engine's OSP-backed
     variable-predicate extension, ``allow_filter=True`` to FILTER
     expressions compiled to native Column predicates, ``allow_union=True``
-    to equal-varset UNION groups)."""
+    to equal-varset UNION groups, ``allow_ask=True`` to the ASK form)."""
     return _Parser(
-        _tokenize(text), allow_var_predicates, allow_filter, allow_union
+        _tokenize(text), allow_var_predicates, allow_filter, allow_union, allow_ask
     ).parse()
 
 
@@ -565,6 +578,7 @@ def execute_on_triples(
     allow_filter: bool = False,
     allow_union: bool = False,
     allow_var_predicates: bool = False,
+    allow_ask: bool = False,
 ):
     """Execute a SPARQL BGP SELECT directly over a (s, p, o) string-typed
     triples DataFrame — no dictionary encoding or stats required.
@@ -583,6 +597,7 @@ def execute_on_triples(
         allow_filter=allow_filter,
         allow_union=allow_union,
         allow_var_predicates=allow_var_predicates,
+        allow_ask=allow_ask,
     )
 
     def _is_var(t: str) -> bool:
@@ -671,6 +686,10 @@ def execute_on_triples(
     # need not be selected); compiled to native Column predicates
     for fexpr in q.filters:
         result = result.filter(filter_to_column(fexpr, F.col))
+
+    if q.ask:
+        # ASK: one row, one boolean — any solution exists?
+        return result.agg((F.count(F.lit(1)) > 0).alias("ask"))
 
     opt_flat = [p for g in q.optional for p in g]
     union_flat = [p for grp in q.unions for alt in grp for p in alt]

@@ -372,3 +372,27 @@ def test_varpred_execute_on_triples(spark):
         t, "SELECT ?s ?v WHERE { ?s ?v ?v }", allow_var_predicates=True
     )
     assert sorted(map(tuple, same.collect())) == [("x", "y")]
+
+
+def test_ask_rejected_by_default():
+    with pytest.raises(ValueError):
+        parse_sparql(PREFIXES + "ASK { ?x ub:p ?y }")
+
+
+def test_ask_true_false_and_engine(spark, engine):
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame([("a", "u:p", "b")], ["s", "p", "o"])
+    yes = execute_on_triples(t, "ASK { ?x <u:p> ?y }", allow_ask=True).collect()
+    no = execute_on_triples(t, "ASK { ?x <u:q> ?y }", allow_ask=True).collect()
+    assert [r["ask"] for r in yes] == [True]
+    assert [r["ask"] for r in no] == [False]
+    # engine path over the materialized graph, encoded (no decode needed)
+    got = engine.sparql(
+        PREFIXES + "ASK WHERE { ?x rdf:type ub:Course }", ask=True
+    ).collect()
+    assert [r["ask"] for r in got] == [True]
+    got = engine.sparql(
+        PREFIXES + "ASK { ?x rdf:type ub:NoSuchClass }", ask=True
+    ).collect()
+    assert [r["ask"] for r in got] == [False]
