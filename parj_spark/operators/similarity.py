@@ -254,9 +254,17 @@ def cosine_lsh_topk(
             yield out
 
     with_b = emb.select(id_col, vec_col).mapInPandas(assign, sig_schema)
-    q = with_b.filter(F.col(id_col) == query_id).select(
-        F.col("bucket").alias("qbucket"), F.col(vec_col).alias("qvec")
-    )
+
+    # The query's signature is computed driver-side (one first() for the
+    # vector + the same numpy sign as `assign`, mirroring ivf_topk's
+    # driver-side centroid probe): deriving it by filtering the mapInPandas
+    # output cannot push the id filter below the Python stage, so the whole
+    # table would be signed once to find the query row and again for the
+    # candidates — two Arrow stages per action instead of one.
+    qvec_row = emb.filter(F.col(id_col) == query_id).select(vec_col).first()
+    qv = np.asarray(qvec_row[0], dtype=np.float64)
+    qbucket = int(((qv @ planes.T) > 0) @ (1 << np.arange(n_planes)))
+
     # multi-probe: query bucket plus all <=probe_bits-bit flips
     flips = [0]
     if probe_bits >= 1:
@@ -267,15 +275,11 @@ def cosine_lsh_topk(
             for a in range(n_planes)
             for b in range(a + 1, n_planes)
         ]
-    probe = q.select(
-        F.explode(
-            F.array(*[F.col("qbucket").bitwiseXOR(F.lit(x)) for x in flips])
-        ).alias("bucket"),
-        "qvec",
-    )
-    cands = with_b.filter(F.col(id_col) != query_id).join(
-        F.broadcast(probe), "bucket"
-    )
+    probe_buckets = [qbucket ^ x for x in flips]
+    qdf = spark.createDataFrame([(list(map(float, qv)),)], "qvec array<double>")
+    cands = with_b.filter(
+        F.col("bucket").isin(probe_buckets) & (F.col(id_col) != query_id)
+    ).crossJoin(F.broadcast(qdf))
     scored = cands.select(
         id_col, F.round(cosine_sim(vec_col, "qvec"), 6).alias("cosine")
     )

@@ -690,8 +690,12 @@ class BGPEngine:
         for fexpr in q.filters:
             result = result.filter(filter_to_column(fexpr, F.col))
         if q.ask:
-            # ASK: one row, one boolean — any solution exists?
-            return result.agg((F.count(F.lit(1)) > 0).alias("ask"))
+            # ASK: one row, one boolean — any solution exists? limit(1)
+            # before the aggregate makes it an existence probe (LocalLimit
+            # short-circuits each task's scan after the first solution)
+            # instead of a full count of every solution — the reference's
+            # first-solution semantics at plan level, not just result level.
+            return result.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
         if q.select:
             result = result.select(*[c for c in q.select if c in result.columns])
         if q.distinct:

@@ -688,8 +688,10 @@ def execute_on_triples(
         result = result.filter(filter_to_column(fexpr, F.col))
 
     if q.ask:
-        # ASK: one row, one boolean — any solution exists?
-        return result.agg((F.count(F.lit(1)) > 0).alias("ask"))
+        # ASK: one row, one boolean — any solution exists? limit(1) first so
+        # the plan is an existence probe (LocalLimit stops each task after
+        # the first solution), not a full join + count for a boolean.
+        return result.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
 
     opt_flat = [p for g in q.optional for p in g]
     union_flat = [p for grp in q.unions for alt in grp for p in alt]

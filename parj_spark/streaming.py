@@ -110,6 +110,26 @@ def append_epoch(
         ).select("id", "uri")
     )
 
+    # dict delta BEFORE the triples: readers treat the triples dir as the
+    # epoch's commit witness (combined_triples unions only epochs whose
+    # triples landed), so writing catalogs first means a crash between the
+    # two writes leaves at worst an orphan delta — never a committed epoch
+    # whose negative stream ids are missing from combined_dict, which would
+    # make decode joins return nulls until the epoch is redelivered.
+    terms = triples_uri.select(F.col("s_uri").alias("uri")).union(
+        triples_uri.select(F.col("o_uri").alias("uri"))
+    ).distinct()
+    known = dict_df.select("id", "uri")
+    prior_dict = _prior_delta(spark, stream_dir, "dict", epoch_id)
+    if prior_dict is not None:
+        known = known.union(prior_dict)
+    new_terms = terms.join(known, "uri", "left_anti").select(
+        _neg_id(F.col("uri")).alias("id"), "uri"
+    )
+    new_terms.write.mode("overwrite").parquet(
+        os.path.join(stream_dir, "dict", f"epoch={epoch_id}")
+    )
+
     d_s = dict_df.select(F.col("id").alias("s_id"), F.col("uri").alias("s_uri"))
     d_o = dict_df.select(F.col("id").alias("o_id"), F.col("uri").alias("o_uri"))
     d_p = full_props.select(F.col("id").alias("p"), F.col("uri").alias("p_uri"))
@@ -125,19 +145,6 @@ def append_epoch(
     )
     enc.write.mode("overwrite").parquet(
         os.path.join(stream_dir, "triples", f"epoch={epoch_id}")
-    )
-    terms = triples_uri.select(F.col("s_uri").alias("uri")).union(
-        triples_uri.select(F.col("o_uri").alias("uri"))
-    ).distinct()
-    known = dict_df.select("id", "uri")
-    prior_dict = _prior_delta(spark, stream_dir, "dict", epoch_id)
-    if prior_dict is not None:
-        known = known.union(prior_dict)
-    new_terms = terms.join(known, "uri", "left_anti").select(
-        _neg_id(F.col("uri")).alias("id"), "uri"
-    )
-    new_terms.write.mode("overwrite").parquet(
-        os.path.join(stream_dir, "dict", f"epoch={epoch_id}")
     )
 
 

@@ -34,6 +34,26 @@ def _burn(n: int) -> int:
     return x
 
 
+def physical_cores() -> int:
+    """Distinct (package, core) pairs from /proc/cpuinfo — the SMT-free core
+    budget that decides whether a local[N] -> local[4N] pair is a faithful
+    cluster proxy (both levels on dedicated cores) or crosses into
+    hyperthread sharing."""
+    try:
+        seen, pkg = set(), "0"
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("physical id"):
+                    pkg = line.split(":", 1)[1].strip()
+                elif line.startswith("core id"):
+                    seen.add((pkg, line.split(":", 1)[1].strip()))
+        if seen:
+            return len(seen)
+    except OSError:
+        pass
+    return (os.cpu_count() or 2) // 2
+
+
 def cpu_capacity() -> list[tuple[int, float]]:
     out = []
     for procs in [1, 2, 4, 8, 16, 32]:
@@ -143,11 +163,16 @@ def main() -> None:
         "Identical input layout and shuffle partitioning (64) at both levels.",
         "",
     ]
-    notes = {
-        ns[0]: "(inside physical cores — the cluster-faithful pair)",
-    }
+    # the label follows the machine, not the list position: a pair is
+    # cluster-faithful only when its HIGH level still fits the physical-core
+    # budget (ADVICE r3 — SCALE_NS overrides used to mislabel the SMT pair)
+    phys = physical_cores()
     for n in ns:
-        note = notes.get(n, "(crosses the SMT boundary)")
+        note = (
+            "(inside physical cores — the cluster-faithful pair)"
+            if 4 * n <= phys
+            else "(crosses the SMT boundary)"
+        )
         lines += pair_section(n, *results[n], cap_d, note)
     lines += [
         "## Analysis",

@@ -122,3 +122,17 @@ def test_union_path_decodes_once(spark, tiny_graph):
     plan = _plan(df)
     # two output vars (x, n) -> exactly two scans of the dictionary table
     assert plan.count("dict_stage") == 2
+
+
+def test_ask_is_existence_probe(spark, tiny_graph):
+    """ASK must plan as an existence probe — a Limit under the boolean
+    aggregate (reference first-solution semantics, VERDICT r3 wrong #1) —
+    not a full count of every solution of the BGP join."""
+    eng = BGPEngine(tiny_graph)
+    df = eng.sparql(
+        "PREFIX rdf:<rdf:> PREFIX ub:<ub:> ASK { ?x ub:advisor ?p }",
+        ask=True,
+    )
+    plan = _plan(df)
+    assert "Limit" in plan  # CollectLimit / Global+LocalLimit short-circuit
+    assert [r["ask"] for r in df.collect()] == [True]
