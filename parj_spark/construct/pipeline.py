@@ -86,6 +86,17 @@ class GraphStore:
             return None
         return self.spark.read.parquet(path)
 
+    def bucketed_prefix(self) -> str | None:
+        """Table prefix of this graph's bucketed layout, registering the
+        external tables into the current session's catalog on first use;
+        None when the graph was materialized without one (pre-round-4 dirs
+        or ``bucketed=False``). The engine treats this as the default join
+        path — the layout is built at load like the reference's permutation
+        indexes (parj.c:1972-2189), not an opt-in extra."""
+        return mat.register_bucketed_tables(
+            self.spark, os.path.join(self.out_dir, "bucketed")
+        )
+
     def triples_uri(self) -> DataFrame:
         return self._read("triples_uri")
 
@@ -149,6 +160,7 @@ def run_pipeline(
     hash_ids: bool = False,
     compute_links: bool = False,
     analyze: bool = True,
+    bucketed: bool = True,
 ) -> GraphStore:
     mentions = _run_stage(
         spark, out_dir, "mentions", resume, lambda: extract.extract_mentions(docs)
@@ -244,7 +256,7 @@ def run_pipeline(
     if not (resume and lineage.path_exists(marker, spark)):
         t0 = time.time()
         triples_enc = encode.encode_triples(triples_uri, dict_df, props_df)
-        mat.write_graph(triples_enc, out_dir, salt_buckets)
+        mat.write_graph(triples_enc, out_dir, salt_buckets, bucketed=bucketed)
         store = GraphStore(spark, out_dir)
         lineage.record_stage(
             out_dir, "materialize", None, store.spo().count(), time.time() - t0,

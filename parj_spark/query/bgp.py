@@ -33,7 +33,17 @@ from pyspark.sql import functions as F
 
 from parj_spark.construct.pipeline import GraphStore
 
-BROADCAST_ROWS = 2_000_000
+# Explicit-broadcast-hint gate for pattern scans. Deliberately conservative:
+# a hint OVERRIDES Catalyst/AQE's own cost choice, so it should only assert
+# what the planner can't know (a constant-bound scan the stats say is tiny).
+# Round-3 ran this at 2M rows, force-broadcasting ~30-60 MB hash relations
+# of full-predicate scans on every action — measured at 8.35M triples that
+# was slower on EVERY query shape than hinting at 500k and letting AQE pick
+# strategies for the mid-size joins from observed sizes (q1 0.56s -> 0.29s,
+# chain 0.55 -> 0.44, lubm7 max/min spread 18x -> 1.1x; BENCH/ADDENDUM r4).
+# At 500k rows (~8 MB) a hinted broadcast is also cluster-sane — under the
+# classic 10 MB default threshold, no 8 GB-limit risk at 100 TB.
+BROADCAST_ROWS = 500_000
 
 
 def _is_var(term: str) -> bool:
@@ -80,10 +90,14 @@ def parse_bgp(text: str) -> list[Pattern]:
 class BGPEngine:
     """BGP executor over a GraphStore.
 
-    ``bucketed_prefix``: read the bucketed managed tables written by
-    ``materialize.write_bucketed_tables`` instead of the p-partitioned
-    parquet — first-column-to-first-column joins then run as bucketed
-    sort-merge joins with no shuffle exchange (the 100 TB join path).
+    ``bucketed_prefix``: which permutation-table layout joins read.
+    The default ``"auto"`` picks up the graph's own bucketed layout
+    (``GraphStore.bucketed_prefix()`` — built by the pipeline at load, like
+    the reference's always-built permutation indexes, parj.c:1972-2189):
+    first-column-to-first-column joins then run as bucketed sort-merge
+    joins with no shuffle exchange (the 100 TB join path). Pass an explicit
+    prefix for an ad-hoc layout, or None to force the p-partitioned
+    parquet path (the pre-round-4 default, kept for A/B benching).
     ``broadcast_rows``: scans estimated below this broadcast (set 0 to
     force shuffle joins, e.g. to observe the bucketed plan).
     """
@@ -91,11 +105,13 @@ class BGPEngine:
     def __init__(
         self,
         store: GraphStore,
-        bucketed_prefix: str | None = None,
+        bucketed_prefix: str | None = "auto",
         broadcast_rows: int = BROADCAST_ROWS,
     ):
         self.store = store
         self.spark = store.spark
+        if bucketed_prefix == "auto":
+            bucketed_prefix = getattr(store, "bucketed_prefix", lambda: None)()
         self.bucketed_prefix = bucketed_prefix
         self.broadcast_rows = broadcast_rows
         self._props = {r["uri"]: r["id"] for r in store.properties().collect()}

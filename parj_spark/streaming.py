@@ -223,6 +223,114 @@ def incremental_graph_append(
     )
 
 
+COMPACT_TMP = "_compact_tmp"
+COMPACT_READY = "_COMPACT_READY"
+
+
+def compact_stream(store, stream_dir: str):
+    """Fold the streamed epoch deltas into the base graph's permutation
+    layout and refresh the optimizer statistics, then truncate the deltas.
+
+    Why: :func:`combined_triples` unions raw epoch parquet — unsorted,
+    un-p-partitioned, salt-less, and invisible to the T1/T2/T3 stats — so
+    every query over an appended graph scans an unpruned tail and plans it
+    with stale statistics. At scale the deltas dominate over time; the
+    reference side-steps this by being batch-only (SURVEY.md §2.8), so the
+    compaction step is the streaming extension's analog of its always-at-
+    load index build (parj.c:1972-2189).
+
+    Ids are preserved (base dense non-negative, streamed reserved-negative)
+    — no re-encoding, so in-flight readers' decode joins stay valid and the
+    whole pass is a layout + stats rewrite:
+
+      1. write new dict/properties catalogs (uri-range-sorted, keeping the
+         row-group-pruning layout) and the full permutation layout
+         (spo/pos/osp/stats + bucketed tables) into ``_compact_tmp/``;
+      2. mark ``_COMPACT_READY``, then swap directories into place
+         (idempotent per-dir: a crash mid-swap resumes by re-running
+         compact_stream — the marker routes straight back to the swap);
+      3. truncate the epoch deltas, drop the tmp dir, and rebuild
+         T2/T3/histograms for the merged graph.
+
+    The dir swap is the sandbox analog of an Iceberg snapshot commit: on a
+    real lakehouse step 2 is one atomic metadata pointer flip, and readers
+    pin the old snapshot until it completes. Returns a fresh GraphStore.
+    """
+    import shutil
+
+    from parj_spark.construct import materialize as mat
+    from parj_spark.construct import pipeline as pl
+
+    spark = store.spark
+    out = store.out_dir
+    tmp = os.path.join(out, COMPACT_TMP)
+    ready = os.path.join(tmp, COMPACT_READY)
+    have_deltas = os.path.exists(os.path.join(stream_dir, "triples"))
+    if not have_deltas and not os.path.exists(ready):
+        return store  # nothing to fold
+
+    # remember the current bucketed prefix so its (about to be stale)
+    # catalog entries can be dropped after the swap
+    old_prefix = None
+    old_meta = os.path.join(out, "bucketed", mat.BUCKETED_META)
+    if os.path.exists(old_meta):
+        import json
+
+        with open(old_meta) as f:
+            old_prefix = json.load(f).get("prefix")
+
+    if not os.path.exists(ready):
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        # 1a. merged catalogs, uri-range-sorted like encode.build_dictionary
+        (
+            combined_dict(store, stream_dir)
+            .repartitionByRange(F.col("uri"))
+            .sortWithinPartitions("uri")
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "dict_stage"))
+        )
+        combined_properties(store, stream_dir).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "properties_stage"))
+        # 1b. full permutation layout over the merged triples. The bucketed
+        # table prefix is derived from the delta set (deterministic, so a
+        # crashed+retried compaction reuses the same names) and differs from
+        # the live prefix — the live tables keep serving until the swap.
+        import hashlib
+
+        epochs = sorted(os.listdir(os.path.join(stream_dir, "triples")))
+        gen = hashlib.md5(("|".join(epochs)).encode()).hexdigest()[:6]
+        mat.write_graph(
+            combined_triples(store, stream_dir),
+            tmp,
+            bucketed=True,
+            bucket_prefix=f"{mat.bucket_prefix_for(out)}_{gen}",
+        )
+        with open(ready, "w") as f:
+            f.write("")
+
+    # 2. swap (idempotent: already-moved names are gone from tmp)
+    for name in ("dict_stage", "properties_stage", "spo", "pos", "osp",
+                 "stats", "bucketed"):
+        src = os.path.join(tmp, name)
+        if os.path.exists(src):
+            shutil.rmtree(os.path.join(out, name), ignore_errors=True)
+            os.rename(src, os.path.join(out, name))
+    if old_prefix:
+        spark.sql(f"DROP TABLE IF EXISTS {old_prefix}_spo_b")
+        spark.sql(f"DROP TABLE IF EXISTS {old_prefix}_pos_b")
+
+    # 3. truncate the folded deltas + refresh statistics for the merged
+    # graph (T1 rode the write; T2/T3/histograms need the analyze pass)
+    for name in ("triples", "dict", "properties"):
+        shutil.rmtree(os.path.join(stream_dir, name), ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    fresh = pl.GraphStore(spark, out)
+    pl.analyze_graph(fresh, resume=False)
+    return fresh
+
+
 def combined_triples(store, stream_dir: str) -> DataFrame:
     """Base graph + streamed additions as one (s, p, o) relation."""
     base = store.spo().select("s", "p", "o")

@@ -275,3 +275,74 @@ def test_incremental_graph_append(spark, tiny_graph, tmp_path):
     ).start()
     q2.awaitTermination(180)
     assert spark.read.parquet(f"{stream_dir}/triples").count() == n1
+
+
+def test_compact_stream_folds_deltas(spark, tiny_corpus, tmp_path):
+    """compact_stream folds epoch deltas into the permutation layout: the
+    appended predicate becomes a pruned p-partition with T1 stats, the
+    merged dict stays duplicate-free (decode joins don't fan out), the
+    bucketed layout is rebuilt over the merged graph, the deltas are
+    truncated, and a second call is a no-op (VERDICT r3 missing #2)."""
+    from parj_spark.construct import run_pipeline
+
+    docs, _ = tiny_corpus
+    out = str(tmp_path / "cgraph")
+    stream_dir = str(tmp_path / "stream")
+    store = run_pipeline(spark, docs, out, resume=False, analyze=False)
+    dict_df, props_df = store.dict(), store.properties()
+
+    t0 = spark.createDataFrame(
+        [("ub:CNew_A", "ub:compactPred", "ub:CNew_B")],
+        "s_uri string, p_uri string, o_uri string",
+    )
+    t1 = spark.createDataFrame(
+        [("ub:CNew_B", "ub:compactPred", "ub:CNew_C")],
+        "s_uri string, p_uri string, o_uri string",
+    )
+    streaming.append_epoch(t0, dict_df, props_df, stream_dir, 0)
+    streaming.append_epoch(t1, dict_df, props_df, stream_dir, 1)
+
+    before = streaming.combined_triples(store, stream_dir)
+    n_before = before.count()
+    assert n_before == store.spo().count() + 2
+
+    fresh = streaming.compact_stream(store, stream_dir)
+
+    # deltas truncated; the base layout now IS the combined graph
+    import os
+
+    assert not os.path.exists(os.path.join(stream_dir, "triples"))
+    assert fresh.spo().count() == n_before
+    assert streaming.combined_triples(fresh, stream_dir).count() == n_before
+
+    # the streamed predicate is a first-class partition with T1 stats
+    cprops = fresh.properties()
+    new_pid = cprops.filter(F.col("uri") == "ub:compactPred").first()["id"]
+    assert new_pid < 0  # id preserved from the stream delta
+    scan = fresh.spo().filter(F.col("p") == new_pid)
+    assert scan.count() == 2
+    plan = scan._sc._jvm.PythonSQLUtils.explainString(
+        scan._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(p" in plan
+    assert fresh.stats().filter(F.col("p") == new_pid).first()["n"] == 2
+
+    # merged dict: duplicate-free, so decode joins preserve row counts
+    d = fresh.dict()
+    assert d.groupBy("uri").count().filter(F.col("count") > 1).count() == 0
+    dec = fresh.spo().select("s", "p", "o").join(
+        d.select(F.col("id").alias("s"), F.col("uri").alias("s_uri")), "s"
+    )
+    assert dec.count() == n_before
+
+    # bucketed layout rebuilt over the merged graph and auto-registered
+    prefix = fresh.bucketed_prefix()
+    assert prefix is not None
+    assert spark.table(f"{prefix}_spo_b").count() == n_before
+
+    # statistics refreshed for the merged graph (analyze pass re-ran)
+    assert fresh.join_stats() is not None
+
+    # idempotent: nothing left to fold
+    again = streaming.compact_stream(fresh, stream_dir)
+    assert again.spo().count() == n_before
