@@ -116,42 +116,87 @@ class BGPEngine:
         self.broadcast_rows = broadcast_rows
         self._props = {r["uri"]: r["id"] for r in store.properties().collect()}
         self._stats = {r["p"]: r.asDict() for r in store.stats().collect()}
-        js = store.join_stats()
-        # (p1, p2, orientation) -> exact join cardinality (stat vtab T3)
-        self._join_stats = (
-            {(r["p1"], r["p2"], r["orientation"]): r["card"] for r in js.collect()}
-            if js is not None
-            else {}
-        )
         self._dict = store.dict()
         self._dict_rows: int | None = None  # lazy: counted on first decode
         self._type_pid = self._props.get("rdf:type")
+
+        # Planner statistics hydration is LAZY and per-query (VERDICT r3
+        # missing #3): T1 (per-predicate) and T2 (per-class) are O(catalog)
+        # and load eagerly above/below, but T3 pair cardinalities, the
+        # type-restricted T3 and the per-(p, col) histograms are
+        # O(predicates^2)-shaped tables — an eager collect is a driver-
+        # memory cliff on a 10k-predicate corpus (the reference gets away
+        # with eager because histograms.json is per-workload, QueryTester
+        # .java:126-139). _hydrate() filters each stats parquet down to the
+        # query's predicate ids before collecting (pushdown on p1/p2/p) and
+        # merges into these dicts, which act as the driver-side cache.
+        self._join_stats_df = store.join_stats()
+        # (p1, p2, orientation) -> exact join cardinality (stat vtab T3)
+        self._join_stats: dict[tuple[int, int, str], int] = {}
         # type-restricted T3 (reference getTypeCardinality, parj.c:510-547):
         # {(class, p1, p2, orientation) -> card over class-instance join keys}
-        cjs = getattr(store, "class_join_stats", lambda: None)()
+        self._cjs_df = getattr(store, "class_join_stats", lambda: None)()
         self._class_join_stats: dict[tuple[int, int, int, str], int] = {}
-        self._cjs_classes: set[int] = set()
-        if cjs is not None:
-            for r in cjs.collect():
-                self._class_join_stats[(r["cls"], r["p1"], r["p2"], r["orientation"])] = r["card"]
-                self._cjs_classes.add(r["cls"])
+        # the tracked-class set is O(top_k) and decides "pair absent means
+        # zero" vs "class untracked" — loaded eagerly so lazy pair loading
+        # cannot change anchor semantics
+        self._cjs_classes: set[int] = (
+            {r["cls"] for r in self._cjs_df.select("cls").distinct().collect()}
+            if self._cjs_df is not None
+            else set()
+        )
+        # equi-depth histograms (Histogram.java:106-212 analog): per
+        # (predicate, column) sorted bucket lists for constant selectivity
+        self._hist_df = getattr(store, "histograms", lambda: None)()
+        self._hists: dict[tuple[int, str], list[tuple[int, int, int, int]]] = {}
+        self._hydrated_pids: set[int] = set()
+
         # T2 per-class stats (parj.c:338-364, MemoryStat.java:248-315):
         # {class id -> instance count}, for exact `?x rdf:type C` estimates
         cs = getattr(store, "class_stats", lambda: None)()
         self._class_stats = (
             {r["o"]: r["n"] for r in cs.collect()} if cs is not None else {}
         )
-        # equi-depth histograms (Histogram.java:106-212 analog): per
-        # (predicate, column) sorted bucket lists for constant selectivity
-        hg = getattr(store, "histograms", lambda: None)()
-        self._hists: dict[tuple[int, str], list[tuple[int, int, int, int]]] = {}
-        if hg is not None:
-            for r in hg.collect():
-                self._hists.setdefault((r["p"], r["col"]), []).append(
+
+    def _hydrate(self, patterns: list[Pattern]) -> None:
+        """Load the T3 / class-T3 / histogram rows for ``patterns``'s
+        predicate ids into the driver-side cache dicts (no-op for already-
+        hydrated ids). Only pairs touching a NEW id are fetched — pairs
+        among previously-hydrated ids are already cached — so over an
+        engine's lifetime each stats row is collected at most once and a
+        single query costs O(|query predicates| x hydrated) rows, never
+        O(catalog^2)."""
+        if self._join_stats_df is None and self._cjs_df is None and self._hist_df is None:
+            return
+        pids = {self._props.get(p.p) for p in patterns if not _is_var(p.p)}
+        pids.discard(None)
+        new = pids - self._hydrated_pids
+        if not new:
+            return
+        allp = [int(x) for x in pids | self._hydrated_pids]
+        newl = [int(x) for x in new]
+        pair_pred = (
+            F.col("p1").isin(allp)
+            & F.col("p2").isin(allp)
+            & (F.col("p1").isin(newl) | F.col("p2").isin(newl))
+        )
+        if self._join_stats_df is not None:
+            for r in self._join_stats_df.filter(pair_pred).collect():
+                self._join_stats[(r["p1"], r["p2"], r["orientation"])] = r["card"]
+        if self._cjs_df is not None:
+            for r in self._cjs_df.filter(pair_pred).collect():
+                self._class_join_stats[
+                    (r["cls"], r["p1"], r["p2"], r["orientation"])
+                ] = r["card"]
+        if self._hist_df is not None:
+            fresh: dict[tuple[int, str], list] = {}
+            for r in self._hist_df.filter(F.col("p").isin(newl)).collect():
+                fresh.setdefault((r["p"], r["col"]), []).append(
                     (r["bucket"], r["lo"], r["hi"], r["n"], r["ndv"])
                 )
-            for key in self._hists:
-                self._hists[key] = [t[1:] for t in sorted(self._hists[key])]
+            for key, buckets in fresh.items():
+                self._hists[key] = [t[1:] for t in sorted(buckets)]
+        self._hydrated_pids |= new
 
     def _hist_estimate(self, pid: int, col: str, val: int) -> float | None:
         """Estimated rows with ``col = val`` under predicate ``pid`` from the
@@ -356,6 +401,7 @@ class BGPEngine:
         .java:40-113 — patterns <= 10, so the 2^n lattice is tiny), else the
         greedy most-selective-first order (which matches DP on chain/star/
         triangle shapes but can lock into a bad prefix on 6+ pattern BGPs)."""
+        self._hydrate(patterns)
         if 2 < len(patterns) <= self.MAX_DP_PATTERNS and self._join_stats:
             return self._order_dp(patterns, terms)
         return self._order_greedy(patterns, terms)
@@ -522,6 +568,7 @@ class BGPEngine:
                 f"position: {sorted(pvars & evars)}"
             )
         terms = self._resolve_terms(list(patterns) + opt_patterns)
+        self._hydrate(all_for_check)  # core + optional predicates, one pass
         ordered = self._order(patterns, terms)
 
         result: DataFrame | None = None
