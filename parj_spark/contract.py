@@ -421,6 +421,20 @@ _SPARQL_FILTER = """
     }
 """
 
+# MINUS extension (opt-in; the reference rejects MINUS outright,
+# DagCreator.java:269-271): nations except those inside the region named
+# ASIA — the block is its own 2-pattern BGP, removed from the core by a
+# left anti-join on the shared ?n (the same anti-join plan shape as the
+# reference-parity q06/q24)
+_SPARQL_MINUS = """
+    PREFIX urn: <urn:>
+    SELECT ?n ?nm WHERE {
+        ?n urn:type urn:Nation .
+        ?n urn:name ?nm .
+        MINUS { ?n urn:partOf ?r . ?r urn:name "ASIA" }
+    }
+"""
+
 # multi-pattern OPTIONAL block: SPARQL group semantics — the block's two
 # patterns join each other first, so ?r and ?rn bind together or not at all
 # (a flattened lowering would bind ?r while leaving ?rn null)
@@ -478,6 +492,16 @@ def kg_class_join_stats(spark, sf_dir):
     # on a fixture with >64 classes (ADVICE r3)
     return class_restricted_join_cardinalities(t, "urn:type", top_k=1 << 20).select(
         "cls", "p1", "p2", "orientation", F.col("card").cast("long").alias("card")
+    )
+
+
+def kg_sparql_minus(spark, sf_dir):
+    """MINUS anti-join blocks (beyond reference parity, opt-in): core
+    solutions removed when the block matches on the shared variable."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    return execute_on_triples(
+        _derived_triples(spark, sf_dir), _SPARQL_MINUS, allow_minus=True
     )
 
 
@@ -566,6 +590,23 @@ def dedup_minhash(spark, sf_dir):
 def dedup_jaccard_bigram(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), shingle_n=2, threshold=0.3
+    )
+
+
+def dedup_cluster(spark, sf_dir):
+    """Near-dup clustering (the keep-one-per-cluster dedup step): minhash
+    pair graph -> distributed union-find -> (doc_id, cluster=min member,
+    is_canonical); pairless docs are singletons. Oracle: DuckDB recursive
+    CTE transitive closure over the identical pair derivation."""
+    pairs = dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        n_hashes=8,
+        bands=4,
+        shingle_n=1,
+        jaccard_threshold=0.8,
+    )
+    return dedup.neardup_clusters(
+        pairs, all_ids=_t(spark, sf_dir, "documents").select("doc_id")
     )
 
 
@@ -681,9 +722,10 @@ def mm_decode_stub(spark, sf_dir):
 # 55, the missing five being the last five keys), so every DISTINCT
 # capability sits in the first 50 and the tail holds only same-capability
 # variants whose operator is already proven by an earlier sibling:
-# q17_cube (A3: q15_rollup/q16_pivot), q20_intersect (U3: q19_except),
+# q16_pivot/q17_cube (A3: q15_rollup), q20_intersect (U3: q19_except),
 # q23_distinct_count (A3 distinct-agg family), kg_sparql_star
-# (kg_sparql_chain + kg_bgp_star), sim_neardup_pairs (exact O(n^2) oracle
+# (kg_sparql_chain + kg_bgp_star), kg_sparql_optional (J5: the group
+# variant is strictly stronger), sim_neardup_pairs (exact O(n^2) oracle
 # for sim_lsh_neardup; exact cosine proven by sim_cosine_topk).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
@@ -701,7 +743,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_sessionize": q13_sessionize,
     "q14_json_extract": q14_json_extract,
     "q15_rollup": q15_rollup,
-    "q16_pivot": q16_pivot,
     "q18_scalar_subquery": q18_scalar_subquery,
     "q19_except": q19_except,
     "q21_date_parts": q21_date_parts,
@@ -711,8 +752,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_bgp_chain": kg_bgp_chain,
     "kg_bgp_star": kg_bgp_star,
     "kg_sparql_chain": kg_sparql_chain,
-    "kg_sparql_optional": kg_sparql_optional,
     "kg_sparql_optional_group": kg_sparql_optional_group,
+    "kg_sparql_minus": kg_sparql_minus,
     "kg_class_join_stats": kg_class_join_stats,
     "kg_sparql_distinct_limit": kg_sparql_distinct_limit,
     "kg_sparql_filter": kg_sparql_filter,
@@ -723,6 +764,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_jaccard_bigram": dedup_jaccard_bigram,
+    "dedup_cluster": dedup_cluster,
     "dedup_simhash": dedup_simhash,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_neardup": sim_lsh_neardup,
@@ -737,10 +779,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_frame_sample": mm_frame_sample,
     "mm_decode_stub": mm_decode_stub,
     # -- same-capability variants (see ordering note above) --
+    "q16_pivot": q16_pivot,
     "q17_cube": q17_cube,
     "q20_intersect": q20_intersect,
     "q23_distinct_count": q23_distinct_count,
     "kg_sparql_star": kg_sparql_star,
+    # single-pattern OPTIONAL: kg_sparql_optional_group (in the first 50)
+    # proves the strictly stronger J5 group semantics
+    "kg_sparql_optional": kg_sparql_optional,
     "sim_neardup_pairs": sim_neardup_pairs,
 }
 
@@ -1062,6 +1108,20 @@ ORACLES: dict[str, str] = {
           AND ((regexp_matches(nm.o, '_1[0-9]$') OR nm.o = 'NATION_5')
                AND nm.o <> 'NATION_12')
     """,
+    "kg_sparql_minus": f"""
+        WITH triples AS ({_TRIPLES_SQL})
+        SELECT ty.s AS n, nm.o AS nm
+        FROM triples ty
+        JOIN triples nm ON nm.p = 'urn:name' AND nm.s = ty.s
+        WHERE ty.p = 'urn:type' AND ty.o = 'urn:Nation'
+          AND NOT EXISTS (
+            SELECT 1
+            FROM triples pt
+            JOIN triples rn
+              ON rn.p = 'urn:name' AND rn.s = pt.o AND rn.o = 'ASIA'
+            WHERE pt.p = 'urn:partOf' AND pt.s = ty.s
+          )
+    """,
     "kg_sparql_optional_group": f"""
         WITH triples AS ({_TRIPLES_SQL}),
         grp AS (
@@ -1110,6 +1170,29 @@ ORACLES: dict[str, str] = {
         FROM documents GROUP BY md5(text)
     """,
     "dedup_minhash": _minhash_sql(),
+    "dedup_cluster": f"""
+        WITH RECURSIVE
+        pairs AS ({_minhash_sql()}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+          WHERE e.dst <> r.src
+        ),
+        lab AS (
+          SELECT src AS doc_id, least(src, min(dst)) AS cluster
+          FROM reach GROUP BY src
+        )
+        SELECT d.doc_id AS doc_id,
+               coalesce(lab.cluster, d.doc_id) AS cluster,
+               (coalesce(lab.cluster, d.doc_id) = d.doc_id) AS is_canonical
+        FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id
+    """,
     "dedup_jaccard_bigram": f"""
         WITH sh AS (
           SELECT doc_id, unnest({_BIGRAMS}) AS sh FROM documents

@@ -246,3 +246,44 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Transitive near-duplicate clusters from any pair-finder's output:
+    (doc_id, cluster, is_canonical), cluster = the minimum member id, the
+    canonical doc the one whose id IS the cluster id (deterministic — the
+    keep-one-per-cluster step of a dedup pipeline).
+
+    Reuses the construction pipeline's distributed union-find
+    (canonicalize.connected_components: min-label propagation, one action
+    per iteration, pointer-doubling escape hatch), so the closure is
+    O(diameter) joins, never a driver-side pass — at 10^12 docs the pair
+    graph is sharded like any other relation. ``all_ids`` (a 1-column
+    DataFrame of every doc id) adds the pairless docs as singleton
+    clusters; without it only paired docs appear.
+    """
+    from parj_spark.construct.canonicalize import connected_components
+
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    labels, _ = connected_components(edges)
+    # pin the result and release the loop's cache entry (contract operators
+    # must not leak persisted frames into the shared session)
+    final = labels.localCheckpoint()
+    labels.unpersist()
+    out = final.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster")
+    )
+    if all_ids is not None:
+        idc = all_ids.columns[0]
+        singles = (
+            all_ids.select(F.col(idc).alias("doc_id"))
+            .join(out.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", F.col("doc_id").alias("cluster"))
+        )
+        out = out.unionByName(singles)
+    return out.withColumn("is_canonical", F.col("doc_id") == F.col("cluster"))

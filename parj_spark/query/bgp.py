@@ -118,6 +118,7 @@ class BGPEngine:
         self._stats = {r["p"]: r.asDict() for r in store.stats().collect()}
         self._dict = store.dict()
         self._dict_rows: int | None = None  # lazy: counted on first decode
+        self._total_n: float | None = None  # lazy: total triple count
         self._type_pid = self._props.get("rdf:type")
 
         # Planner statistics hydration is LAZY and per-query (VERDICT r3
@@ -241,7 +242,16 @@ class BGPEngine:
     # --- planning --------------------------------------------------------
     def _estimate(self, pat: Pattern, terms: dict[str, int] | None = None) -> float:
         if _is_var(pat.p):
-            # variable predicate: sum the per-predicate estimates
+            # variable predicate, nothing bound: the scan is the whole
+            # graph — answer from the precomputed total instead of a
+            # Python loop over the catalog (quadratic-ish on pathological
+            # catalogs when called per candidate, VERDICT r3 nit)
+            if _is_var(pat.s) and _is_var(pat.o):
+                if self._total_n is None:
+                    self._total_n = float(sum(st["n"] for st in self._stats.values()))
+                return self._total_n
+            # a constant bound: sum the per-predicate estimates (rare path;
+            # O(catalog) once per pattern, driven by histogram/T2 lookups)
             return sum(
                 self._estimate(Pattern(pat.s, uri, pat.o), terms)
                 for uri in self._props
@@ -674,6 +684,7 @@ class BGPEngine:
         filters: bool = False,
         unions: bool = False,
         ask: bool = False,
+        minus: bool = False,
     ) -> DataFrame:
         """Execute a SPARQL BGP SELECT string — the reference's actual entry
         point (QueryTester.java:152 parses SPARQL text; DagCreator.java:55-154
@@ -694,11 +705,12 @@ class BGPEngine:
             allow_filter=filters,
             allow_union=unions,
             allow_ask=ask,
+            allow_minus=minus,
         )
         order_cols = [
             F.desc(v[1:]) if v.startswith("-") else F.asc(v) for v in q.order_by
         ] or None
-        if not q.filters and not q.unions and not q.ask:
+        if not q.filters and not q.unions and not q.ask and not q.minus:
             return self.query(
                 q.patterns,
                 select=q.select,
@@ -739,6 +751,16 @@ class BGPEngine:
             else:
                 shared = sorted(set(result.columns) & set(u.columns))
                 result = result.join(u, on=shared) if shared else result.crossJoin(u)
+        for group in q.minus:
+            # MINUS on encoded ids BEFORE decode: the anti-join probes long
+            # keys (same plan shape as the reference-parity semi/anti ops),
+            # and removed rows never pay the dictionary join. A block with
+            # no shared variable removes nothing (SPARQL disjoint-domain
+            # rule) — skipped, since anti-joining on no keys annihilates.
+            mdf = self.query(group, select=None, decode=False)
+            shared = sorted(set(result.columns) & set(mdf.columns))
+            if shared:
+                result = result.join(mdf, on=shared, how="left_anti")
         # an ASK without filters never needs term strings — count ids as-is
         need_decode = bool(q.filters) or (decode and not q.ask)
         if need_decode and result.columns:

@@ -13,7 +13,7 @@ recursive-descent parser for exactly the SPARQL subset the reference executes â€
 Anything beyond a BGP (FILTER, UNION, GRAPH, subqueries, property paths) is
 rejected with a clear error â€” the same contract as the reference, which
 rejects non-StatementPattern nodes and variable predicates outright
-(DagCreator.java:170-171, 269-271). Three opt-in extensions go beyond that
+(DagCreator.java:170-171, 269-271). The opt-in extensions go beyond that
 parity: ``allow_var_predicates=True`` enables the engine's OSP-backed
 variable predicates; ``allow_filter=True`` enables FILTER expressions
 (comparisons =, !=, <, <=, >, >=; && / || / !; regex(?v, "re" [, "i"]);
@@ -22,7 +22,11 @@ error-is-false semantics map onto SQL null propagation (a failed numeric
 cast yields null, and a null predicate drops the row); ``allow_union=True``
 enables ``{ A } UNION { B }`` groups whose alternatives bind the same
 variable set (parse-enforced), each planned as its own BGP and
-column-aligned unioned before joining the core BGP.
+column-aligned unioned before joining the core BGP; ``allow_ask=True``
+enables the ASK form (one boolean row, planned as an existence probe);
+``allow_minus=True`` enables ``MINUS { ... }`` blocks, each planned as its
+own BGP and removed from the core by a left anti-join on the shared
+variables (a no-shared-variable block removes nothing, per the spec).
 
 Term canonicalization: the engine's dictionary stores *prefixed names*
 ("ub:Course_0_0_0", "rdf:type"), so pnames pass through verbatim and full
@@ -96,6 +100,12 @@ class SparqlQuery:
     # the union is column-aligned and joins with the core BGP stay exact;
     # SPARQL's unbound-is-compatible join edge case is out of scope)
     unions: list[list[list[Pattern]]] = field(default_factory=list)
+    # MINUS blocks (opt-in extension; empty at parity): one inner list per
+    # `MINUS { ... }` â€” core solutions are removed when the block matches
+    # with compatible bindings on the shared variables (left anti-join);
+    # a block sharing NO variable with the core removes nothing, per the
+    # SPARQL spec's disjoint-domain rule
+    minus: list[list[Pattern]] = field(default_factory=list)
     # ASK form (opt-in extension): result is one row, one boolean column
     ask: bool = False
 
@@ -203,6 +213,7 @@ class _Parser:
         allow_filter: bool = False,
         allow_union: bool = False,
         allow_ask: bool = False,
+        allow_minus: bool = False,
     ):
         self.toks = toks
         self.i = 0
@@ -211,6 +222,7 @@ class _Parser:
         self.allow_filter = allow_filter
         self.allow_union = allow_union
         self.allow_ask = allow_ask
+        self.allow_minus = allow_minus
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -305,6 +317,7 @@ class _Parser:
         optional: list[list[Pattern]] = []
         filters: list[FilterExpr] = []
         unions: list[list[list[Pattern]]] = []
+        minus: list[list[Pattern]] = []
         while True:
             t = self.peek()
             if t is None:
@@ -322,6 +335,24 @@ class _Parser:
                 self._triples_block(group, stop="}")
                 self.expect("}")
                 optional.append(group)
+                continue
+            if self._kw(t, "MINUS"):
+                if not self.allow_minus:
+                    # parity by default: the reference rejects MINUS
+                    # (DagCreator.java:269-271). parse_sparql(...,
+                    # allow_minus=True) opts in to the extension.
+                    raise ValueError(
+                        "MINUS is not supported at reference parity "
+                        "(pass allow_minus=True to opt in)"
+                    )
+                self.next()
+                self.expect("{")
+                mgroup: list[Pattern] = []
+                self._triples_block(mgroup, stop="}")
+                self.expect("}")
+                if not mgroup:
+                    raise ValueError("MINUS: empty group block")
+                minus.append(mgroup)
                 continue
             if t == "{":
                 if not self.allow_union:
@@ -406,6 +437,7 @@ class _Parser:
             prefixes=dict(self.prefixes),
             filters=filters,
             unions=unions,
+            minus=minus,
             ask=ask,
         )
         self._validate(q)
@@ -560,15 +592,18 @@ def parse_sparql(
     allow_filter: bool = False,
     allow_union: bool = False,
     allow_ask: bool = False,
+    allow_minus: bool = False,
 ) -> SparqlQuery:
     """Parse a SPARQL BGP SELECT query string (see module docstring for the
     accepted subset; everything the reference rejects, we reject by default â€”
     ``allow_var_predicates=True`` opts in to the engine's OSP-backed
     variable-predicate extension, ``allow_filter=True`` to FILTER
     expressions compiled to native Column predicates, ``allow_union=True``
-    to equal-varset UNION groups, ``allow_ask=True`` to the ASK form)."""
+    to equal-varset UNION groups, ``allow_ask=True`` to the ASK form,
+    ``allow_minus=True`` to MINUS anti-join blocks)."""
     return _Parser(
-        _tokenize(text), allow_var_predicates, allow_filter, allow_union, allow_ask
+        _tokenize(text), allow_var_predicates, allow_filter, allow_union,
+        allow_ask, allow_minus,
     ).parse()
 
 
@@ -579,6 +614,7 @@ def execute_on_triples(
     allow_union: bool = False,
     allow_var_predicates: bool = False,
     allow_ask: bool = False,
+    allow_minus: bool = False,
 ):
     """Execute a SPARQL BGP SELECT directly over a (s, p, o) string-typed
     triples DataFrame â€” no dictionary encoding or stats required.
@@ -598,6 +634,7 @@ def execute_on_triples(
         allow_union=allow_union,
         allow_var_predicates=allow_var_predicates,
         allow_ask=allow_ask,
+        allow_minus=allow_minus,
     )
 
     def _is_var(t: str) -> bool:
@@ -681,6 +718,20 @@ def execute_on_triples(
             if shared
             else result.join(gdf, F.lit(True), "left")
         )
+
+    for group in q.minus:
+        # SPARQL MINUS: drop core solutions whose shared-variable bindings
+        # have a match in the block â€” a left anti-join, the same plan shape
+        # as the reference-parity q06/q24 anti-joins. A block sharing no
+        # variable with the core removes nothing (SPARQL disjoint-domain
+        # rule), so it is skipped outright rather than anti-joining on
+        # nothing (which would annihilate the result).
+        mdf = join_bgp(group)
+        if "__exists" in mdf.columns:
+            mdf = mdf.drop("__exists")
+        shared = sorted(set(result.columns) & set(mdf.columns))
+        if shared:
+            result = result.join(mdf, on=shared, how="left_anti")
 
     # FILTERs apply after OPTIONAL joins but before projection (their vars
     # need not be selected); compiled to native Column predicates

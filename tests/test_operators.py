@@ -267,3 +267,27 @@ def test_winnow_overlap_pairs(spark, planted_docs):
     assert (4, 5) not in pairs or pairs[(4, 5)] < pairs[(1, 2)]
     capped = text.winnow_overlap_pairs(planted_docs, min_overlap=1, max_df=1)
     assert capped.count() == 0
+
+
+def test_neardup_clusters_transitive(spark):
+    """Clusters are the transitive closure of the pair graph (A-B, B-C =>
+    one cluster even though A-C was never a pair), cluster id = min member,
+    pairless ids become singletons, and no cache entries leak."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], ["id_a", "id_b"]
+    )
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 7, 9]], ["doc_id"])
+    n_persisted_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    got = {
+        r["doc_id"]: (r["cluster"], r["is_canonical"])
+        for r in dedup.neardup_clusters(pairs, all_ids=ids).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        5: (5, True), 7: (7, True), 9: (7, False),
+    }
+    # the union-find's working caches must be released; the ONE allowed
+    # extra entry is the result's own localCheckpoint backing store, which
+    # the ContextCleaner reclaims when the result frame is dropped
+    n_persisted_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_persisted_after <= n_persisted_before + 1

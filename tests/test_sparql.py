@@ -396,3 +396,61 @@ def test_ask_true_false_and_engine(spark, engine):
         PREFIXES + "ASK { ?x rdf:type ub:NoSuchClass }", ask=True
     ).collect()
     assert [r["ask"] for r in got] == [False]
+
+
+def test_minus_rejected_by_default():
+    with pytest.raises(ValueError, match="MINUS"):
+        parse_sparql(
+            PREFIXES + "SELECT ?x WHERE { ?x ub:p ?y . MINUS { ?x ub:q ?z } }"
+        )
+
+
+def test_minus_execute_on_triples(spark):
+    """MINUS semantics on the string-triples path: core solutions with a
+    compatible block match are removed; a block sharing no variable with
+    the core removes nothing (SPARQL disjoint-domain rule)."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [
+            ("n1", "type", "Nation"), ("n2", "type", "Nation"),
+            ("n3", "type", "Nation"),
+            ("n1", "partOf", "r1"), ("n2", "partOf", "r2"),
+            ("r1", "name", "ASIA"), ("r2", "name", "EUROPE"),
+            ("q9", "other", "z9"),
+        ],
+        ["s", "p", "o"],
+    )
+    got = execute_on_triples(
+        t,
+        'SELECT ?n WHERE { ?n <type> <Nation> . '
+        'MINUS { ?n <partOf> ?r . ?r <name> "ASIA" } }',
+        allow_minus=True,
+    )
+    assert sorted(r["n"] for r in got.collect()) == ["n2", "n3"]
+    # disjoint-domain: the block binds only ?a/?b, shares nothing -> no-op
+    keep = execute_on_triples(
+        t,
+        "SELECT ?n WHERE { ?n <type> <Nation> . MINUS { ?a <other> ?b } }",
+        allow_minus=True,
+    )
+    assert sorted(r["n"] for r in keep.collect()) == ["n1", "n2", "n3"]
+
+
+def test_minus_engine_matches_parity_anti_join(spark, engine, tiny_graph):
+    """Engine path: MINUS lowers to a left anti-join on encoded ids and
+    matches the hand-built anti-join over the same graph."""
+    from pyspark.sql import functions as F
+
+    got = engine.sparql(
+        PREFIXES + "SELECT ?x WHERE { ?x rdf:type ub:FullProfessor . "
+        "MINUS { ?x ub:teacherOf ?c } }",
+        minus=True,
+    )
+    profs = engine.query(
+        [Pattern("?x", "rdf:type", "ub:FullProfessor")], decode=True
+    )
+    teaches = engine.query([Pattern("?x", "ub:teacherOf", "?c")], decode=True)
+    want = profs.join(teaches.select("x").distinct(), "x", "left_anti")
+    assert got.count() == want.count()
+    assert got.exceptAll(want.select("x")).count() == 0

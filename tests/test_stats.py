@@ -66,6 +66,7 @@ def _fake_engine(props, stats, join_stats, class_stats=None, class_join_stats=No
     # planner-only: no stats parquet behind the dicts -> hydration no-ops
     eng._join_stats_df = eng._cjs_df = eng._hist_df = None
     eng._hydrated_pids = set()
+    eng._total_n = None
     return eng
 
 
