@@ -34,33 +34,23 @@ def _burn(n: int) -> int:
     return x
 
 
-def physical_cores() -> int:
-    """Distinct (package, core) pairs from /proc/cpuinfo — the SMT-free core
-    budget that decides whether a local[N] -> local[4N] pair is a faithful
-    cluster proxy (both levels on dedicated cores) or crosses into
-    hyperthread sharing."""
-    try:
-        seen, pkg = set(), "0"
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("physical id"):
-                    pkg = line.split(":", 1)[1].strip()
-                elif line.startswith("core id"):
-                    seen.add((pkg, line.split(":", 1)[1].strip()))
-        if seen:
-            return len(seen)
-    except OSError:
-        pass
-    return (os.cpu_count() or 2) // 2
-
-
-def cpu_capacity() -> list[tuple[int, float]]:
+def cpu_capacity(reps: int = 3) -> list[tuple[int, float]]:
+    """Pure-CPU (no Spark) parallel throughput per proc count — the
+    machine's own scaling ceiling. Best of ``reps`` per level: the probe
+    swings +-30% run-to-run on this shared VM, and a capacity ceiling is by
+    definition the best the hardware delivers, so max (not mean) is the
+    meaningful statistic. (/proc/cpuinfo is no use here: the hypervisor
+    presents all 32 vCPUs as distinct single-thread cores, hiding the ~16
+    physical cores — the probe is the only honest topology signal.)"""
     out = []
     for procs in [1, 2, 4, 8, 16, 32]:
-        with mp.Pool(procs) as p:
-            t0 = time.time()
-            p.map(_burn, [4_000_000] * procs)
-            out.append((procs, round(procs / (time.time() - t0), 1)))
+        best = 0.0
+        for _ in range(reps):
+            with mp.Pool(procs) as p:
+                t0 = time.time()
+                p.map(_burn, [4_000_000] * procs)
+                best = max(best, procs / (time.time() - t0))
+        out.append((procs, round(best, 1)))
     return out
 
 
@@ -163,15 +153,18 @@ def main() -> None:
         "Identical input layout and shuffle partitioning (64) at both levels.",
         "",
     ]
-    # the label follows the machine, not the list position: a pair is
-    # cluster-faithful only when its HIGH level still fits the physical-core
-    # budget (ADVICE r3 — SCALE_NS overrides used to mislabel the SMT pair)
-    phys = physical_cores()
+    # the label follows the MEASURED machine, not the list position or the
+    # (hypervisor-flattened, SMT-hiding) /proc/cpuinfo topology: a pair is
+    # cluster-faithful when the pure-CPU probe itself scales near-linearly
+    # over the same n -> 4n range — i.e. the hardware could deliver ~4x, so
+    # any shortfall is the engine's (ADVICE r3, revised)
     for n in ns:
+        hw_eff = cap_d.get(4 * n, 1.0) / max(cap_d.get(n, 1.0), 0.1) / 4
         note = (
-            "(inside physical cores — the cluster-faithful pair)"
-            if 4 * n <= phys
-            else "(crosses the SMT boundary)"
+            "(machine scales near-linearly here — the cluster-faithful pair)"
+            if hw_eff >= 0.75
+            else "(the machine's own ceiling binds here — the normalized row "
+            "isolates what the engine adds)"
         )
         lines += pair_section(n, *results[n], cap_d, note)
     lines += [
