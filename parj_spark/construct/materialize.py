@@ -148,15 +148,16 @@ def _write_permutation(
     sort_cols: list[str],
     salt_buckets: int,
 ) -> None:
+    from parj_spark.construct.lakehouse import write_sorted_table
+
     salted = triples.withColumn(
         "salt", F.pmod(F.xxhash64(sort_cols[0]), F.lit(salt_buckets)).cast("int")
     )
-    (
-        salted.repartition("p", "salt")
-        .sortWithinPartitions(*sort_cols)
-        .write.mode("overwrite")
-        .partitionBy("p")
-        .parquet(path)
+    write_sorted_table(
+        salted.repartition("p", "salt"),
+        path,
+        partition_by=("p",),
+        sort_within=tuple(sort_cols),
     )
 
 
@@ -188,13 +189,14 @@ def write_graph(
     def w_pos():
         _write_permutation(triples_enc, os.path.join(out_dir, "pos"), ["o", "s"], salt_buckets)
 
+    from parj_spark.construct.lakehouse import write_sorted_table
+
     def w_osp():
         # OSP: object-first global order for variable-predicate access paths
-        (
-            triples_enc.repartitionByRange(F.col("o"))
-            .sortWithinPartitions("o", "s", "p")
-            .write.mode("overwrite")
-            .parquet(os.path.join(out_dir, "osp"))
+        write_sorted_table(
+            triples_enc.repartitionByRange(F.col("o")),
+            os.path.join(out_dir, "osp"),
+            sort_within=("o", "s", "p"),
         )
 
     def w_stats():
@@ -207,7 +209,9 @@ def write_graph(
             F.min("o").alias("min_o"),
             F.max("o").alias("max_o"),
         )
-        stats.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
+        write_sorted_table(
+            stats, os.path.join(out_dir, "stats"), single_file=True
+        )
 
     # dict/properties need no second copy here: the pipeline's stage
     # checkpoints (dict_stage/properties_stage) already hold them, written

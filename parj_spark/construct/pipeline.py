@@ -161,6 +161,7 @@ def run_pipeline(
     compute_links: bool = False,
     analyze: bool = True,
     bucketed: bool = True,
+    n_buckets: int = mat.DEFAULT_JOIN_BUCKETS,
 ) -> GraphStore:
     mentions = _run_stage(
         spark, out_dir, "mentions", resume, lambda: extract.extract_mentions(docs)
@@ -256,7 +257,10 @@ def run_pipeline(
     if not (resume and lineage.path_exists(marker, spark)):
         t0 = time.time()
         triples_enc = encode.encode_triples(triples_uri, dict_df, props_df)
-        mat.write_graph(triples_enc, out_dir, salt_buckets, bucketed=bucketed)
+        mat.write_graph(
+            triples_enc, out_dir, salt_buckets,
+            bucketed=bucketed, n_buckets=n_buckets,
+        )
         store = GraphStore(spark, out_dir)
         lineage.record_stage(
             out_dir, "materialize", None, store.spo().count(), time.time() - t0,

@@ -655,6 +655,16 @@ def text_langid(spark, sf_dir):
     return text.lang_id(_t(spark, sf_dir, "documents"))
 
 
+def text_quality_filter(spark, sf_dir):
+    """Corpus keep/drop decision with per-rule drop reasons (the filter
+    step a training-data pipeline runs after scoring). Reasons join to one
+    deterministic string so the value-hash compare is list-format-proof."""
+    out = text.quality_filter(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "keep", F.array_join("reasons", ",").alias("reasons")
+    )
+
+
 def text_fingerprint(spark, sf_dir):
     return text.fingerprint(_t(spark, sf_dir, "documents"))
 
@@ -788,6 +798,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # proves the strictly stronger J5 group semantics
     "kg_sparql_optional": kg_sparql_optional,
     "sim_neardup_pairs": sim_neardup_pairs,
+    # keep/drop composition of the text_stats capability (scored in the
+    # first 50); oracle-gated locally like every tail entry
+    "text_quality_filter": text_quality_filter,
 }
 
 
@@ -1268,6 +1281,30 @@ ORACLES: dict[str, str] = {
         FROM t
     """,
     "text_langid": _lang_sql(),
+    "text_quality_filter": f"""
+        WITH t AS (
+          SELECT doc_id,
+            string_split(lower(text), ' ') AS toks,
+            length(text) AS n_chars,
+            length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+          FROM documents
+        ), r AS (
+          SELECT doc_id,
+            len(toks) AS n_tokens,
+            round(n_punct::DOUBLE / n_chars, 6) AS punct_ratio,
+            round(len(list_filter(toks, x -> list_contains({_STOPLIST}, x)))::DOUBLE
+                  / len(toks), 6) AS stop_ratio
+          FROM t
+        )
+        SELECT doc_id,
+          (n_tokens >= 5 AND punct_ratio <= 0.2 AND stop_ratio >= 0.01) AS keep,
+          coalesce(array_to_string(list_filter([
+            CASE WHEN n_tokens < 5 THEN 'too_short' END,
+            CASE WHEN punct_ratio > 0.2 THEN 'punct_noise' END,
+            CASE WHEN stop_ratio < 0.01 THEN 'no_stopwords' END
+          ], x -> x IS NOT NULL), ','), '') AS reasons
+        FROM r
+    """,
     "text_fingerprint": """
         SELECT doc_id,
           md5(trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'),

@@ -184,3 +184,37 @@ def winnow_overlap_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_overlap)
     )
+
+
+def quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.2,
+    min_stopword_ratio: float = 0.01,
+) -> DataFrame:
+    """The keep/drop decision of a corpus-quality pipeline:
+    (doc_id, keep, reasons) where ``reasons`` lists every violated rule
+    (empty array = kept). All three rules are JVM column expressions over
+    :func:`text_stats` — one codegen'd pass, no UDF — so the filter runs at
+    scan speed and pushes down with the projection at 100 TB. Reasons are
+    kept (not just a boolean) because corpus curation needs the drop
+    breakdown per shard — the standard quality-report shape.
+    """
+    st = text_stats(df, id_col=id_col, text_col=text_col)
+    reasons = F.filter(
+        F.array(
+            F.when(F.col("n_tokens") < min_tokens, F.lit("too_short")),
+            F.when(F.col("punct_ratio") > max_punct_ratio, F.lit("punct_noise")),
+            F.when(
+                F.col("stopword_ratio") < min_stopword_ratio,
+                F.lit("no_stopwords"),
+            ),
+        ),
+        lambda r: r.isNotNull(),
+    )
+    return st.select(
+        id_col,
+        reasons.alias("reasons"),
+    ).withColumn("keep", F.size("reasons") == 0).select(id_col, "keep", "reasons")

@@ -32,6 +32,17 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true", default=True)
     ap.add_argument("--no-resume", dest="resume", action="store_false")
     ap.add_argument("--salt-buckets", type=int, default=8)
+    ap.add_argument(
+        "--join-buckets", type=int, default=None,
+        help="bucket count for the bucketed permutation tables; size to "
+        "~cluster cores at deploy scale (sandbox default 32, a 1000-executor "
+        "run wants O(executor cores), e.g. 2048 — buckets bound the scan/"
+        "join parallelism of every shuffle-free BGP join)",
+    )
+    ap.add_argument(
+        "--no-bucketed", dest="bucketed", action="store_false", default=True,
+        help="skip the bucketed layout (p-partitioned parquet only)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -53,8 +64,14 @@ def main() -> None:
     else:
         ap.error("one of --input / --gen-depts is required")
 
-    store = run_pipeline(spark, docs, args.output, resume=args.resume,
-                         salt_buckets=args.salt_buckets)
+    from parj_spark.construct import materialize as _mat
+
+    store = run_pipeline(
+        spark, docs, args.output, resume=args.resume,
+        salt_buckets=args.salt_buckets,
+        bucketed=args.bucketed,
+        n_buckets=args.join_buckets or _mat.DEFAULT_JOIN_BUCKETS,
+    )
     n = store.spo().count()
     print(f"graph materialized at {args.output}: {n} triples")
     for rec in read_lineage(args.output):

@@ -172,3 +172,28 @@ def test_links_stage_opt_in(spark, tmp_path):
     out_links = str(tmp_path / "links")
     run_pipeline(spark, docs, out_links, resume=False, compute_links=True)
     assert os.path.exists(os.path.join(out_links, "links", "_SUCCESS"))
+
+
+def test_lakehouse_seam_detects_and_gates(spark, tmp_path):
+    """The table-format seam picks parquet in the jar-less sandbox, writes
+    the same sorted/partitioned layout the permutation writers need, and
+    refuses an explicit Iceberg request instead of silently downgrading."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from parj_spark.construct import lakehouse
+
+    assert lakehouse.iceberg_enabled(spark) is False
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("p"), F.col("id").alias("s"),
+        (F.col("id") * 3 % 17).alias("o"),
+    )
+    out = str(tmp_path / "t")
+    lakehouse.write_sorted_table(
+        df.repartition("p"), out, partition_by=("p",), sort_within=("s", "o")
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    assert "p=0" in str(sorted(__import__("os").listdir(out)))
+    with pytest.raises(RuntimeError, match="[Ii]ceberg"):
+        lakehouse.write_sorted_table(df, out, table_format="iceberg")
