@@ -327,8 +327,11 @@ def main() -> None:
     # "parsed": null) — it now lands in a committed file instead, and the
     # printed line stays compact enough to survive the capture.
     detail = dict(summary, spread=spread, bgp_large=bgp_large)
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH", "last_run.json")
+    # BENCH_DETAIL_PATH: redirect the detail artifact (smoke runs must not
+    # clobber the committed full-run record under BENCH/)
+    detail_path = os.environ.get("BENCH_DETAIL_PATH") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_run.json"
+    )
     os.makedirs(os.path.dirname(detail_path), exist_ok=True)
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)

@@ -256,6 +256,12 @@ class BGPEngine:
                 self._estimate(Pattern(pat.s, uri, pat.o), terms)
                 for uri in self._props
             )
+        if pat.p.endswith("+") and pat.p[:-1] in self._props:
+            # property path: the closure is at least the base edge set and
+            # typically a small multiple of it on shallow hierarchies —
+            # estimate 2x base so the planner never treats it as empty
+            # (a 0 estimate would broadcast-hint the whole closure)
+            return 2.0 * self._estimate(Pattern(pat.s, pat.p[:-1], pat.o), terms)
         pid = self._props.get(pat.p)
         st = self._stats.get(pid)
         if st is None:
@@ -281,6 +287,41 @@ class BGPEngine:
             n *= sel
         return n
 
+    MAX_PATH_DEPTH = 64
+
+    def _closure(self, pid: int) -> DataFrame:
+        """Distinct (s, o) pairs connected by one-or-more ``pid`` edges —
+        the SPARQL ``p+`` property path, which the reference (BGP-only)
+        cannot express at all. Semi-naive iteration: each round extends
+        only the previous round's frontier by one edge and subtracts the
+        already-known pairs, so work is O(new pairs) per round, not
+        O(closure) — the standard Datalog delta evaluation, distributed.
+        Lineage is cut with localCheckpoint every round (self-referencing
+        iterative joins grow the logical plan multiplicatively — same
+        discipline as canonicalize.connected_components)."""
+        edges = (
+            self._table("spo")
+            .filter(F.col("p") == pid)
+            .select("s", "o")
+            .localCheckpoint()
+        )
+        paths = edges
+        frontier = edges
+        for _ in range(self.MAX_PATH_DEPTH):
+            ext = (
+                frontier.withColumnRenamed("o", "m")
+                .join(edges.withColumnRenamed("s", "m"), "m")
+                .select("s", "o")
+            )
+            frontier = ext.exceptAll(ext.join(paths, ["s", "o"], "left_semi")).distinct()
+            frontier = frontier.localCheckpoint()
+            if frontier.isEmpty():
+                return paths
+            paths = paths.union(frontier).localCheckpoint()
+        raise RuntimeError(
+            f"property-path closure exceeded {self.MAX_PATH_DEPTH} hops"
+        )
+
     def _scan(
         self, pat: Pattern, terms: dict[str, int], orient_hint: str | None = None
     ) -> DataFrame | None:
@@ -301,6 +342,14 @@ class BGPEngine:
             # the object is bound (global o-sort -> parquet range pruning),
             # else the SPO table; scans every predicate partition
             df = self.store.osp() if o_const is not None else self.store.spo()
+        elif pat.p.endswith("+"):
+            # property path p+ (extension beyond the reference): the scan
+            # is the transitive closure of the predicate's edge set; the
+            # constant/variable handling below applies to it unchanged
+            pid = self._props.get(pat.p[:-1])
+            if pid is None:
+                return None
+            df = self._closure(pid)
         else:
             pid = self._props.get(pat.p)
             if pid is None:
@@ -685,6 +734,7 @@ class BGPEngine:
         unions: bool = False,
         ask: bool = False,
         minus: bool = False,
+        paths: bool = False,
     ) -> DataFrame:
         """Execute a SPARQL BGP SELECT string — the reference's actual entry
         point (QueryTester.java:152 parses SPARQL text; DagCreator.java:55-154
@@ -706,6 +756,7 @@ class BGPEngine:
             allow_union=unions,
             allow_ask=ask,
             allow_minus=minus,
+            allow_paths=paths,
         )
         order_cols = [
             F.desc(v[1:]) if v.startswith("-") else F.asc(v) for v in q.order_by

@@ -26,7 +26,10 @@ column-aligned unioned before joining the core BGP; ``allow_ask=True``
 enables the ASK form (one boolean row, planned as an existence probe);
 ``allow_minus=True`` enables ``MINUS { ... }`` blocks, each planned as its
 own BGP and removed from the core by a left anti-join on the shared
-variables (a no-shared-variable block removes nothing, per the spec).
+variables (a no-shared-variable block removes nothing, per the spec);
+``allow_paths=True`` enables one-or-more property paths ``p+``, planned as
+the transitive closure of the predicate's edge set (semi-naive delta
+iteration, distributed — something the BGP-only reference cannot express).
 
 Term canonicalization: the engine's dictionary stores *prefixed names*
 ("ub:Course_0_0_0", "rdf:type"), so pnames pass through verbatim and full
@@ -57,7 +60,7 @@ _TOKEN_RE = re.compile(
     | (?P<word>     \*|[A-Za-z_][A-Za-z0-9_]* )
     | (?P<num>      -?[0-9]+(?:\.[0-9]+)? )
     | (?P<op>       \|\||&&|!=|<=|>=|[=<>!] )
-    | (?P<punct>    [{}.;,()] )
+    | (?P<punct>    [{}.;,()+] )
     | (?P<ws>       \s+ )
     | (?P<comment>  \#[^\n]* )
     """,
@@ -214,6 +217,7 @@ class _Parser:
         allow_union: bool = False,
         allow_ask: bool = False,
         allow_minus: bool = False,
+        allow_paths: bool = False,
     ):
         self.toks = toks
         self.i = 0
@@ -223,6 +227,7 @@ class _Parser:
         self.allow_union = allow_union
         self.allow_ask = allow_ask
         self.allow_minus = allow_minus
+        self.allow_paths = allow_paths
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -550,6 +555,20 @@ class _Parser:
                     "variable predicates are not supported "
                     "(pass allow_var_predicates=True to opt in)"
                 )
+            if self.peek() == "+":
+                if not self.allow_paths:
+                    # parity by default: the reference rejects property
+                    # paths with the rest of non-BGP SPARQL
+                    # (DagCreator.java:269-271). parse_sparql(...,
+                    # allow_paths=True) opts in to the p+ extension.
+                    raise ValueError(
+                        "property paths are not supported at reference "
+                        "parity (pass allow_paths=True to opt in)"
+                    )
+                if p.startswith("?"):
+                    raise ValueError("property path on a variable predicate")
+                self.next()
+                p = p + "+"
             while True:
                 o = self.term()
                 out.append(Pattern(s, p, o))
@@ -593,6 +612,7 @@ def parse_sparql(
     allow_union: bool = False,
     allow_ask: bool = False,
     allow_minus: bool = False,
+    allow_paths: bool = False,
 ) -> SparqlQuery:
     """Parse a SPARQL BGP SELECT query string (see module docstring for the
     accepted subset; everything the reference rejects, we reject by default —
@@ -600,10 +620,11 @@ def parse_sparql(
     variable-predicate extension, ``allow_filter=True`` to FILTER
     expressions compiled to native Column predicates, ``allow_union=True``
     to equal-varset UNION groups, ``allow_ask=True`` to the ASK form,
-    ``allow_minus=True`` to MINUS anti-join blocks)."""
+    ``allow_minus=True`` to MINUS anti-join blocks, ``allow_paths=True``
+    to one-or-more property paths ``p+``)."""
     return _Parser(
         _tokenize(text), allow_var_predicates, allow_filter, allow_union,
-        allow_ask, allow_minus,
+        allow_ask, allow_minus, allow_paths,
     ).parse()
 
 
@@ -615,6 +636,7 @@ def execute_on_triples(
     allow_var_predicates: bool = False,
     allow_ask: bool = False,
     allow_minus: bool = False,
+    allow_paths: bool = False,
 ):
     """Execute a SPARQL BGP SELECT directly over a (s, p, o) string-typed
     triples DataFrame — no dictionary encoding or stats required.
@@ -635,14 +657,53 @@ def execute_on_triples(
         allow_var_predicates=allow_var_predicates,
         allow_ask=allow_ask,
         allow_minus=allow_minus,
+        allow_paths=allow_paths,
     )
 
     def _is_var(t: str) -> bool:
         return t.startswith("?")
 
+    def _closure(pred: str):
+        """Distinct (s, o) pairs under one-or-more ``pred`` edges —
+        semi-naive delta iteration, lineage cut per round (see
+        BGPEngine._closure for the encoded-id twin)."""
+        edges = (
+            triples.filter(F.col("p") == pred).select("s", "o").localCheckpoint()
+        )
+        paths, frontier = edges, edges
+        for _ in range(64):
+            ext = (
+                frontier.withColumnRenamed("o", "m")
+                .join(edges.withColumnRenamed("s", "m"), "m")
+                .select("s", "o")
+            )
+            frontier = ext.exceptAll(
+                ext.join(paths, ["s", "o"], "left_semi")
+            ).distinct().localCheckpoint()
+            if frontier.isEmpty():
+                return paths
+            paths = paths.union(frontier).localCheckpoint()
+        raise RuntimeError("property-path closure exceeded 64 hops")
+
     def scan(pat: Pattern):
         # one (var term -> source column) slot per distinct var: a repeated
         # var adds an equality filter instead of a duplicate column
+        if not _is_var(pat.p) and pat.p.endswith("+"):
+            # property path p+: the scan is the closure relation (s, o
+            # columns only; the predicate is consumed by the closure)
+            df = _closure(pat.p[:-1])
+            slots: dict[str, str] = {}
+            for term, col in ((pat.s, "s"), (pat.o, "o")):
+                if not _is_var(term):
+                    df = df.filter(F.col(col) == term)
+                elif term in slots:
+                    df = df.filter(F.col(slots[term]) == F.col(col))
+                else:
+                    slots[term] = col
+            cols = [F.col(c).alias(v[1:]) for v, c in slots.items()]
+            if not cols:
+                return df.limit(1).select(F.lit(1).alias("__exists"))
+            return df.select(*cols)
         df = triples
         slots: dict[str, str] = {}
         for term, col in ((pat.s, "s"), (pat.p, "p"), (pat.o, "o")):

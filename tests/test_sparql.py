@@ -454,3 +454,56 @@ def test_minus_engine_matches_parity_anti_join(spark, engine, tiny_graph):
     want = profs.join(teaches.select("x").distinct(), "x", "left_anti")
     assert got.count() == want.count()
     assert got.exceptAll(want.select("x")).count() == 0
+
+
+def test_paths_rejected_by_default():
+    with pytest.raises(ValueError, match="[Pp]roperty path"):
+        parse_sparql(PREFIXES + "SELECT ?x WHERE { ?x ub:p+ ?y }")
+
+
+def test_path_closure_execute_on_triples(spark):
+    """p+ on the string-triples path: transitive closure of a 4-node chain
+    (a->b->c->d) yields all 6 ordered reachable pairs; a bound subject
+    restricts to its reachable set; other predicates are not traversed."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("a", "next", "b"), ("b", "next", "c"), ("c", "next", "d"),
+         ("a", "other", "z")],
+        ["s", "p", "o"],
+    )
+    got = execute_on_triples(
+        t, "SELECT ?x ?y WHERE { ?x <next>+ ?y }", allow_paths=True
+    )
+    pairs = sorted((r["x"], r["y"]) for r in got.collect())
+    assert pairs == [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+    ]
+    fromb = execute_on_triples(
+        t, 'SELECT ?y WHERE { <b> <next>+ ?y }', allow_paths=True
+    )
+    assert sorted(r["y"] for r in fromb.collect()) == ["c", "d"]
+
+
+def test_path_closure_engine(spark, engine, tiny_graph):
+    """Engine path over encoded permutation tables: subOrganizationOf+ from
+    a research group reaches its department AND (2 hops) its university —
+    strictly more than the base predicate's direct pairs."""
+    direct = engine.query(
+        [Pattern("?x", "ub:subOrganizationOf", "?y")], decode=False
+    ).count()
+    closed = engine.sparql(
+        PREFIXES + "SELECT ?x ?y WHERE { ?x ub:subOrganizationOf+ ?y }",
+        decode=False, paths=True,
+    )
+    n_closed = closed.count()
+    assert n_closed > direct  # 2-hop group->department->university pairs
+    # the closure joins with ordinary patterns: universities reachable from
+    # research groups must actually be typed University
+    via = engine.sparql(
+        PREFIXES + "SELECT ?g ?u WHERE { ?g ub:subOrganizationOf+ ?u . "
+        "?u rdf:type ub:University }",
+        paths=True,
+    )
+    assert via.count() > 0
