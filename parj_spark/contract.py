@@ -522,6 +522,23 @@ def kg_sparql_path(spark, sf_dir):
     )
 
 
+def kg_sparql_not_exists(spark, sf_dir):
+    """FILTER NOT EXISTS (beyond reference parity, opt-in with the FILTER
+    forms): anti-join existence test — same answer as kg_sparql_minus here
+    (shared ?n), exercising the semi/anti machinery instead of MINUS."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    q = """
+        PREFIX urn: <urn:>
+        SELECT ?n ?nm WHERE {
+            ?n urn:type urn:Nation .
+            ?n urn:name ?nm .
+            FILTER NOT EXISTS { ?n urn:partOf ?r . ?r urn:name "ASIA" }
+        }
+    """
+    return execute_on_triples(_derived_triples(spark, sf_dir), q, allow_filter=True)
+
+
 def kg_sparql_distinct_limit(spark, sf_dir):
     """SPARQL DISTINCT + ORDER BY + LIMIT solution modifiers (P4/O1/O2)."""
     from parj_spark.query.sparql import execute_on_triples
@@ -818,6 +835,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # measured relationally by q08/q03/q09; the SPARQL plumbing is
     # parser-tested and locally oracle-gated
     "kg_sparql_distinct_limit": kg_sparql_distinct_limit,
+    # NOT EXISTS: the anti-join machinery is measured via kg_sparql_minus
+    # and q06/q24; this exercises the FILTER-form lowering
+    "kg_sparql_not_exists": kg_sparql_not_exists,
     "sim_neardup_pairs": sim_neardup_pairs,
     # keep/drop composition of the text_stats capability (scored in the
     # first 50); oracle-gated locally like every tail entry
@@ -1376,3 +1396,8 @@ ORACLES: dict[str, str] = {
         FROM f
     """,
 }
+
+# NOT EXISTS over the same shared-variable condition yields exactly the
+# MINUS result (the two differ only on no-shared-variable blocks), so the
+# oracle is shared
+ORACLES["kg_sparql_not_exists"] = ORACLES["kg_sparql_minus"]

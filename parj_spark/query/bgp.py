@@ -735,6 +735,7 @@ class BGPEngine:
         ask: bool = False,
         minus: bool = False,
         paths: bool = False,
+        offset: bool = False,
     ) -> DataFrame:
         """Execute a SPARQL BGP SELECT string — the reference's actual entry
         point (QueryTester.java:152 parses SPARQL text; DagCreator.java:55-154
@@ -757,11 +758,15 @@ class BGPEngine:
             allow_ask=ask,
             allow_minus=minus,
             allow_paths=paths,
+            allow_offset=offset,
         )
         order_cols = [
             F.desc(v[1:]) if v.startswith("-") else F.asc(v) for v in q.order_by
         ] or None
-        if not q.filters and not q.unions and not q.ask and not q.minus:
+        if (
+            not q.filters and not q.unions and not q.ask and not q.minus
+            and not q.exists and q.offset is None
+        ):
             return self.query(
                 q.patterns,
                 select=q.select,
@@ -812,6 +817,17 @@ class BGPEngine:
             shared = sorted(set(result.columns) & set(mdf.columns))
             if shared:
                 result = result.join(mdf, on=shared, how="left_anti")
+        for positive, group in q.exists:
+            # FILTER [NOT] EXISTS on encoded ids (same placement rationale
+            # as MINUS); a no-shared-variable block gates globally via a
+            # constant-true semi/anti join against the block's first row
+            gdf = self.query(group, select=None, decode=False)
+            shared = sorted(set(result.columns) & set(gdf.columns))
+            how = "left_semi" if positive else "left_anti"
+            if shared:
+                result = result.join(gdf, on=shared, how=how)
+            else:
+                result = result.join(gdf.limit(1), F.lit(True), how)
         # an ASK without filters never needs term strings — count ids as-is
         need_decode = bool(q.filters) or (decode and not q.ask)
         if need_decode and result.columns:
@@ -838,6 +854,8 @@ class BGPEngine:
             result = result.distinct()
         if order_cols:
             result = result.orderBy(*order_cols)
+        if q.offset is not None:
+            result = result.offset(q.offset)
         if q.limit is not None:
             result = result.limit(q.limit)
         return result

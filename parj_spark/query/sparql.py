@@ -94,6 +94,9 @@ class SparqlQuery:
     optional: list[list[Pattern]] = field(default_factory=list)
     order_by: list[str] = field(default_factory=list)
     limit: int | None = None
+    # OFFSET modifier (opt-in extension; the reference's OFFSET support is
+    # dead Exareme legacy, SURVEY.md §7.4): rows skipped before LIMIT
+    offset: int | None = None
     prefixes: dict[str, str] = field(default_factory=dict)
     # conjunctive FILTER expressions (opt-in extension; empty at parity)
     filters: list["FilterExpr"] = field(default_factory=list)
@@ -109,6 +112,12 @@ class SparqlQuery:
     # a block sharing NO variable with the core removes nothing, per the
     # SPARQL spec's disjoint-domain rule
     minus: list[list[Pattern]] = field(default_factory=list)
+    # FILTER [NOT] EXISTS { ... } blocks (opt-in with the other FILTER
+    # forms): (positive, patterns) — a correlated existence test on the
+    # shared variables (left semi-join; anti for NOT). Differs from MINUS
+    # on the no-shared-variable edge: EXISTS {} with any solution keeps/
+    # drops ALL rows, while MINUS removes nothing.
+    exists: list[tuple[bool, list[Pattern]]] = field(default_factory=list)
     # ASK form (opt-in extension): result is one row, one boolean column
     ask: bool = False
 
@@ -218,6 +227,7 @@ class _Parser:
         allow_ask: bool = False,
         allow_minus: bool = False,
         allow_paths: bool = False,
+        allow_offset: bool = False,
     ):
         self.toks = toks
         self.i = 0
@@ -228,6 +238,7 @@ class _Parser:
         self.allow_ask = allow_ask
         self.allow_minus = allow_minus
         self.allow_paths = allow_paths
+        self.allow_offset = allow_offset
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -323,6 +334,7 @@ class _Parser:
         filters: list[FilterExpr] = []
         unions: list[list[list[Pattern]]] = []
         minus: list[list[Pattern]] = []
+        exists: list[tuple[bool, list[Pattern]]] = []
         while True:
             t = self.peek()
             if t is None:
@@ -393,6 +405,25 @@ class _Parser:
                         "(pass allow_filter=True to opt in)"
                     )
                 self.next()
+                # FILTER [NOT] EXISTS { ... }: a correlated existence test,
+                # not a value expression — parsed as its own BGP block
+                neg = False
+                if self._kw(self.peek(), "NOT") and self._kw(
+                    self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None,
+                    "EXISTS",
+                ):
+                    self.next()
+                    neg = True
+                if self._kw(self.peek(), "EXISTS"):
+                    self.next()
+                    self.expect("{")
+                    egrp: list[Pattern] = []
+                    self._triples_block(egrp, stop="}")
+                    self.expect("}")
+                    if not egrp:
+                        raise ValueError("EXISTS: empty group block")
+                    exists.append((not neg, egrp))
+                    continue
                 self.expect("(")
                 filters.append(self._filter_or())
                 self.expect(")")
@@ -406,6 +437,7 @@ class _Parser:
 
         order_by: list[str] = []
         limit: int | None = None
+        offset: int | None = None
         while self.peek() is not None:
             t = self.peek()
             if self._kw(t, "ORDER"):
@@ -428,6 +460,17 @@ class _Parser:
                 self.next()
                 limit = int(self.next())
                 continue
+            if self._kw(t, "OFFSET"):
+                if not self.allow_offset:
+                    # parity by default: OFFSET is dead legacy in the
+                    # reference (SURVEY.md §7.4); opt in via allow_offset
+                    raise ValueError(
+                        "OFFSET is not supported at reference parity "
+                        "(pass allow_offset=True to opt in)"
+                    )
+                self.next()
+                offset = int(self.next())
+                continue
             if t.upper() in _UNSUPPORTED:
                 raise ValueError(f"non-BGP SPARQL construct {t!r} not supported")
             raise ValueError(f"SPARQL parser: unexpected trailing token {t!r}")
@@ -439,10 +482,12 @@ class _Parser:
             optional=optional,
             order_by=order_by,
             limit=limit,
+            offset=offset,
             prefixes=dict(self.prefixes),
             filters=filters,
             unions=unions,
             minus=minus,
+            exists=exists,
             ask=ask,
         )
         self._validate(q)
@@ -613,6 +658,7 @@ def parse_sparql(
     allow_ask: bool = False,
     allow_minus: bool = False,
     allow_paths: bool = False,
+    allow_offset: bool = False,
 ) -> SparqlQuery:
     """Parse a SPARQL BGP SELECT query string (see module docstring for the
     accepted subset; everything the reference rejects, we reject by default —
@@ -621,10 +667,12 @@ def parse_sparql(
     expressions compiled to native Column predicates, ``allow_union=True``
     to equal-varset UNION groups, ``allow_ask=True`` to the ASK form,
     ``allow_minus=True`` to MINUS anti-join blocks, ``allow_paths=True``
-    to one-or-more property paths ``p+``)."""
+    to one-or-more property paths ``p+``, ``allow_offset=True`` to the
+    OFFSET modifier; ``allow_filter=True`` also enables
+    FILTER [NOT] EXISTS blocks)."""
     return _Parser(
         _tokenize(text), allow_var_predicates, allow_filter, allow_union,
-        allow_ask, allow_minus, allow_paths,
+        allow_ask, allow_minus, allow_paths, allow_offset,
     ).parse()
 
 
@@ -637,6 +685,7 @@ def execute_on_triples(
     allow_ask: bool = False,
     allow_minus: bool = False,
     allow_paths: bool = False,
+    allow_offset: bool = False,
 ):
     """Execute a SPARQL BGP SELECT directly over a (s, p, o) string-typed
     triples DataFrame — no dictionary encoding or stats required.
@@ -658,6 +707,7 @@ def execute_on_triples(
         allow_ask=allow_ask,
         allow_minus=allow_minus,
         allow_paths=allow_paths,
+        allow_offset=allow_offset,
     )
 
     def _is_var(t: str) -> bool:
@@ -794,6 +844,22 @@ def execute_on_triples(
         if shared:
             result = result.join(mdf, on=shared, how="left_anti")
 
+    for positive, group in q.exists:
+        # FILTER [NOT] EXISTS: correlated existence on the shared vars —
+        # semi-join (anti for NOT). Unlike MINUS, a no-shared-variable
+        # block is a GLOBAL gate: any solution keeps (EXISTS) or drops
+        # (NOT EXISTS) every core row, expressed as a constant-true
+        # semi/anti join against the block's first row.
+        gdf = join_bgp(group)
+        if "__exists" in gdf.columns:
+            gdf = gdf.drop("__exists")
+        shared = sorted(set(result.columns) & set(gdf.columns))
+        how = "left_semi" if positive else "left_anti"
+        if shared:
+            result = result.join(gdf, on=shared, how=how)
+        else:
+            result = result.join(gdf.limit(1), F.lit(True), how)
+
     # FILTERs apply after OPTIONAL joins but before projection (their vars
     # need not be selected); compiled to native Column predicates
     for fexpr in q.filters:
@@ -817,6 +883,8 @@ def execute_on_triples(
         result = result.orderBy(
             *[F.desc(v[1:]) if v.startswith("-") else F.asc(v) for v in q.order_by]
         )
+    if q.offset is not None:
+        result = result.offset(q.offset)
     if q.limit is not None:
         result = result.limit(q.limit)
     return result

@@ -507,3 +507,69 @@ def test_path_closure_engine(spark, engine, tiny_graph):
         paths=True,
     )
     assert via.count() > 0
+
+
+def test_exists_and_offset_execute_on_triples(spark):
+    """FILTER [NOT] EXISTS lowers to semi/anti joins on the shared vars;
+    a no-shared-variable block gates globally; OFFSET skips rows after
+    ORDER BY and before LIMIT."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [
+            ("n1", "type", "N"), ("n2", "type", "N"), ("n3", "type", "N"),
+            ("n1", "flag", "y"),
+            ("g1", "global", "on"),
+        ],
+        ["s", "p", "o"],
+    )
+    has = execute_on_triples(
+        t, "SELECT ?n WHERE { ?n <type> <N> . FILTER EXISTS { ?n <flag> ?f } }",
+        allow_filter=True,
+    )
+    assert sorted(r["n"] for r in has.collect()) == ["n1"]
+    hasnt = execute_on_triples(
+        t,
+        "SELECT ?n WHERE { ?n <type> <N> . FILTER NOT EXISTS { ?n <flag> ?f } }",
+        allow_filter=True,
+    )
+    assert sorted(r["n"] for r in hasnt.collect()) == ["n2", "n3"]
+    # global gate: the block shares no var; it has a solution -> NOT EXISTS
+    # drops everything, EXISTS keeps everything
+    kept = execute_on_triples(
+        t, "SELECT ?n WHERE { ?n <type> <N> . FILTER EXISTS { ?a <global> ?b } }",
+        allow_filter=True,
+    )
+    assert kept.count() == 3
+    dropped = execute_on_triples(
+        t,
+        "SELECT ?n WHERE { ?n <type> <N> . FILTER NOT EXISTS { ?a <global> ?b } }",
+        allow_filter=True,
+    )
+    assert dropped.count() == 0
+    # OFFSET: rejected at parity, honored with the flag
+    with pytest.raises(ValueError, match="OFFSET"):
+        execute_on_triples(
+            t, "SELECT ?n WHERE { ?n <type> <N> } ORDER BY ?n LIMIT 2 OFFSET 1"
+        )
+    page = execute_on_triples(
+        t,
+        "SELECT ?n WHERE { ?n <type> <N> } ORDER BY ?n LIMIT 2 OFFSET 1",
+        allow_offset=True,
+    )
+    assert [r["n"] for r in page.collect()] == ["n2", "n3"]
+
+
+def test_exists_engine_matches_semi_join(spark, engine):
+    """Engine path: FILTER EXISTS equals the hand-built semi-join on
+    encoded ids (professors who teach at least one course)."""
+    got = engine.sparql(
+        PREFIXES + "SELECT ?x WHERE { ?x rdf:type ub:FullProfessor . "
+        "FILTER EXISTS { ?x ub:teacherOf ?c } }",
+        filters=True,
+    )
+    profs = engine.query([Pattern("?x", "rdf:type", "ub:FullProfessor")])
+    teaches = engine.query([Pattern("?x", "ub:teacherOf", "?c")])
+    want = profs.join(teaches.select("x").distinct(), "x", "left_semi")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
