@@ -151,6 +151,8 @@ class BGPEngine:
         self._hist_df = getattr(store, "histograms", lambda: None)()
         self._hists: dict[tuple[int, str], list[tuple[int, int, int, int]]] = {}
         self._hydrated_pids: set[int] = set()
+        # per-predicate property-path closures (see _closure)
+        self._closure_cache: dict[int, DataFrame] = {}
 
         # T2 per-class stats (parj.c:338-364, MemoryStat.java:248-315):
         # {class id -> instance count}, for exact `?x rdf:type C` estimates
@@ -293,12 +295,18 @@ class BGPEngine:
         """Distinct (s, o) pairs connected by one-or-more ``pid`` edges —
         the SPARQL ``p+`` property path, which the reference (BGP-only)
         cannot express at all. Semi-naive iteration: each round extends
-        only the previous round's frontier by one edge and subtracts the
-        already-known pairs, so work is O(new pairs) per round, not
+        only the previous round's frontier by one edge and anti-joins away
+        the already-known pairs, so work is O(new pairs) per round, not
         O(closure) — the standard Datalog delta evaluation, distributed.
         Lineage is cut with localCheckpoint every round (self-referencing
         iterative joins grow the logical plan multiplicatively — same
-        discipline as canonicalize.connected_components)."""
+        discipline as canonicalize.connected_components). The computed
+        closure is cached per predicate for the engine's lifetime: the
+        iteration runs actions at plan-build time, so without the cache
+        every rep of a path query would recompute the fixpoint."""
+        cached = self._closure_cache.get(pid)
+        if cached is not None:
+            return cached
         edges = (
             self._table("spo")
             .filter(F.col("p") == pid)
@@ -313,9 +321,11 @@ class BGPEngine:
                 .join(edges.withColumnRenamed("s", "m"), "m")
                 .select("s", "o")
             )
-            frontier = ext.exceptAll(ext.join(paths, ["s", "o"], "left_semi")).distinct()
-            frontier = frontier.localCheckpoint()
+            frontier = (
+                ext.join(paths, ["s", "o"], "left_anti").distinct().localCheckpoint()
+            )
             if frontier.isEmpty():
+                self._closure_cache[pid] = paths
                 return paths
             paths = paths.union(frontier).localCheckpoint()
         raise RuntimeError(

@@ -727,9 +727,9 @@ def execute_on_triples(
                 .join(edges.withColumnRenamed("s", "m"), "m")
                 .select("s", "o")
             )
-            frontier = ext.exceptAll(
-                ext.join(paths, ["s", "o"], "left_semi")
-            ).distinct().localCheckpoint()
+            frontier = (
+                ext.join(paths, ["s", "o"], "left_anti").distinct().localCheckpoint()
+            )
             if frontier.isEmpty():
                 return paths
             paths = paths.union(frontier).localCheckpoint()
