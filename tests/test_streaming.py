@@ -346,3 +346,46 @@ def test_compact_stream_folds_deltas(spark, tiny_corpus, tmp_path):
     # idempotent: nothing left to fold
     again = streaming.compact_stream(fresh, stream_dir)
     assert again.spo().count() == n_before
+
+
+def test_compact_after_incremental_append_end_to_end(spark, tiny_corpus, tmp_path):
+    """Full streaming lifecycle: a base graph ingests a never-seen
+    department corpus through the streaming path, compaction folds the
+    epochs into the permutation layout, and the ENGINE then answers a BGP
+    over the compacted graph that includes streamed-only entities — with
+    partition pruning and fresh statistics."""
+    from parj_spark.construct import run_pipeline
+    from parj_spark.fixtures import gen_corpus
+    from parj_spark.query import BGPEngine, Pattern
+
+    docs, _ = tiny_corpus
+    out = str(tmp_path / "egraph")
+    store = run_pipeline(spark, docs, out, resume=False, analyze=False)
+
+    in_dir = str(tmp_path / "in")
+    stream_dir = str(tmp_path / "stream")
+    new_docs, _ = gen_corpus(spark, n_depts=2, seed=123)
+    new_docs.write.mode("overwrite").parquet(in_dir)
+    q = streaming.incremental_graph_append(
+        streaming.read_docs_stream(spark, in_dir, max_files=1),
+        store, stream_dir, str(tmp_path / "ck"),
+    ).start()
+    q.awaitTermination(180)
+    n_streamed = spark.read.parquet(f"{stream_dir}/triples").count()
+    assert n_streamed > 0
+    n_base = store.spo().count()
+
+    fresh = streaming.compact_stream(store, stream_dir)
+    assert fresh.spo().count() == n_base + n_streamed
+
+    # the engine over the compacted graph sees streamed entities: the
+    # seed-123 corpus contributes advisor triples absent from the base
+    eng = BGPEngine(fresh)
+    n_adv = eng.count([Pattern("?s", "ub:advisor", "?p")])
+    assert n_adv > 0
+    # stats refreshed over the merged graph: per-predicate totals include
+    # the streamed rows for every predicate
+    total_stats = sum(r["n"] for r in fresh.stats().collect())
+    assert total_stats == n_base + n_streamed
+    # bucketed layout rebuilt and used by the engine default
+    assert eng.bucketed_prefix is not None
