@@ -46,14 +46,53 @@ from parj_spark.construct.pipeline import GraphStore
 BROADCAST_ROWS = 500_000
 
 
-def _is_var(term: str) -> bool:
-    return term.startswith("?")
+def _is_var(term) -> bool:
+    # predicate position may hold a Path expression object, never a variable
+    return isinstance(term, str) and term.startswith("?")
+
+
+@dataclass(frozen=True)
+class Path:
+    """Property-path expression tree (opt-in extension beyond reference
+    parity — the BGP-only reference rejects paths with the rest of non-BGP
+    SPARQL, DagCreator.java:269-271).
+
+    op / parts:
+      "link"  (predicate,)          one edge step
+      "inv"   (child,)              ^p  — reversed direction
+      "seq"   (child, child, ...)   p1/p2 — composition, left to right
+      "alt"   (child, child, ...)   p1|p2 — union of step relations (bag)
+      "plus"  (child,)              p+ — one-or-more (distinct closure)
+      "star"  (child,)              p* — zero-or-more (closure + zero-length)
+      "opt"   (child,)              p? — zero-or-one
+
+    Plain predicates stay ``str`` in ``Pattern.p``, and a bare one-or-more
+    path keeps its legacy ``"<pred>+"`` string form (the engine's p+ fast
+    path); only composite paths become Path objects. Zero-length semantics
+    (star/opt): a (t, t) pair for every term occurring as a subject or
+    object in the graph — the SPARQL ZeroLengthPath node domain.
+    """
+
+    op: str
+    parts: tuple
+
+
+def path_link_preds(p) -> set[str]:
+    """Base link predicate names referenced by a predicate-position term
+    (str predicate, "pred+" string path, or Path tree)."""
+    if isinstance(p, str):
+        if _is_var(p):
+            return set()
+        return {p[:-1]} if p.endswith("+") else {p}
+    if p.op == "link":
+        return {p.parts[0]}
+    return {q for c in p.parts for q in path_link_preds(c)}
 
 
 @dataclass(frozen=True)
 class Pattern:
     s: str
-    p: str
+    p: "str | Path"  # predicate name, "?var", "<pred>+", or a Path tree
     o: str
 
     def vars(self) -> set[str]:
@@ -151,8 +190,9 @@ class BGPEngine:
         self._hist_df = getattr(store, "histograms", lambda: None)()
         self._hists: dict[tuple[int, str], list[tuple[int, int, int, int]]] = {}
         self._hydrated_pids: set[int] = set()
-        # per-predicate property-path closures (see _closure)
-        self._closure_cache: dict[int, DataFrame] = {}
+        # property-path relations, keyed by predicate id (p+ closures),
+        # Path tree (composite paths) or "__nodes__" (zero-length domain)
+        self._closure_cache: dict = {}
 
         # T2 per-class stats (parj.c:338-364, MemoryStat.java:248-315):
         # {class id -> instance count}, for exact `?x rdf:type C` estimates
@@ -171,7 +211,11 @@ class BGPEngine:
         O(catalog^2)."""
         if self._join_stats_df is None and self._cjs_df is None and self._hist_df is None:
             return
-        pids = {self._props.get(p.p) for p in patterns if not _is_var(p.p)}
+        pids = {
+            self._props.get(pred)
+            for p in patterns
+            for pred in path_link_preds(p.p)
+        }
         pids.discard(None)
         new = pids - self._hydrated_pids
         if not new:
@@ -258,6 +302,14 @@ class BGPEngine:
                 self._estimate(Pattern(pat.s, uri, pat.o), terms)
                 for uri in self._props
             )
+        if isinstance(pat.p, Path):
+            # composite path: size it as 2x the sum of its base link edge
+            # sets — closure/alternation grow the relation, and a nonzero
+            # estimate keeps the planner from broadcast-hinting it
+            return 2.0 * sum(
+                self._estimate(Pattern(pat.s, pred, pat.o), terms)
+                for pred in path_link_preds(pat.p)
+            )
         if pat.p.endswith("+") and pat.p[:-1] in self._props:
             # property path: the closure is at least the base edge set and
             # typically a small multiple of it on shallow hierarchies —
@@ -307,12 +359,16 @@ class BGPEngine:
         cached = self._closure_cache.get(pid)
         if cached is not None:
             return cached
-        edges = (
-            self._table("spo")
-            .filter(F.col("p") == pid)
-            .select("s", "o")
-            .localCheckpoint()
-        )
+        edges = self._table("spo").filter(F.col("p") == pid).select("s", "o")
+        paths = self._closure_edges(edges)
+        self._closure_cache[pid] = paths
+        return paths
+
+    def _closure_edges(self, edges: DataFrame) -> DataFrame:
+        """Distinct transitive closure of an arbitrary (s, o) edge relation
+        (the general-path twin of :meth:`_closure`; same semi-naive delta
+        iteration and per-round lineage cuts)."""
+        edges = edges.distinct().localCheckpoint()
         paths = edges
         frontier = edges
         for _ in range(self.MAX_PATH_DEPTH):
@@ -325,12 +381,77 @@ class BGPEngine:
                 ext.join(paths, ["s", "o"], "left_anti").distinct().localCheckpoint()
             )
             if frontier.isEmpty():
-                self._closure_cache[pid] = paths
                 return paths
             paths = paths.union(frontier).localCheckpoint()
         raise RuntimeError(
             f"property-path closure exceeded {self.MAX_PATH_DEPTH} hops"
         )
+
+    def _nodes_rel(self) -> DataFrame:
+        """Zero-length path domain: every term id occurring as subject or
+        object (SPARQL ZeroLengthPath over the graph's term set). One
+        distinct over the SPO table, cached for the engine's lifetime —
+        at scale this is the graph's node set, which star/opt paths with
+        unbound endpoints inherently require."""
+        cached = self._closure_cache.get("__nodes__")
+        if cached is None:
+            t = self._table("spo")
+            cached = (
+                t.select(F.col("s").alias("n"))
+                .union(t.select(F.col("o").alias("n")))
+                .distinct()
+                .localCheckpoint()
+            )
+            self._closure_cache["__nodes__"] = cached
+        return cached
+
+    def _path_rel(self, path: Path) -> DataFrame:
+        """Evaluate a composite property path to its (s, o) pair relation
+        over encoded ids, recursively: link = the predicate's edge set,
+        inv = swapped columns, seq = joins o->s left to right, alt = bag
+        union, plus/star = distinct closure (star/opt add the zero-length
+        identity over the node domain). Composite relations are cached per
+        path shape for the engine's lifetime, like the p+ closures."""
+        cached = self._closure_cache.get(path)
+        if cached is not None:
+            return cached
+        if path.op == "link":
+            pid = self._props.get(path.parts[0])
+            df = (
+                self._table("spo")
+                .filter(F.col("p") == pid if pid is not None else F.lit(False))
+                .select("s", "o")
+            )
+        elif path.op == "inv":
+            df = self._path_rel(path.parts[0]).select(
+                F.col("o").alias("s"), F.col("s").alias("o")
+            )
+        elif path.op == "seq":
+            df = self._path_rel(path.parts[0])
+            for nxt in path.parts[1:]:
+                df = (
+                    df.withColumnRenamed("o", "m")
+                    .join(self._path_rel(nxt).withColumnRenamed("s", "m"), "m")
+                    .select("s", "o")
+                )
+        elif path.op == "alt":
+            df = self._path_rel(path.parts[0])
+            for nxt in path.parts[1:]:
+                df = df.unionByName(self._path_rel(nxt))
+        elif path.op == "plus":
+            df = self._closure_edges(self._path_rel(path.parts[0]))
+        elif path.op in ("star", "opt"):
+            zero = self._nodes_rel().select(
+                F.col("n").alias("s"), F.col("n").alias("o")
+            )
+            step = self._path_rel(path.parts[0])
+            if path.op == "star":
+                step = self._closure_edges(step)
+            df = step.unionByName(zero).distinct()
+        else:  # pragma: no cover - parser never emits other ops
+            raise ValueError(f"unknown path op {path.op!r}")
+        self._closure_cache[path] = df
+        return df
 
     def _scan(
         self, pat: Pattern, terms: dict[str, int], orient_hint: str | None = None
@@ -352,6 +473,11 @@ class BGPEngine:
             # the object is bound (global o-sort -> parquet range pruning),
             # else the SPO table; scans every predicate partition
             df = self.store.osp() if o_const is not None else self.store.spo()
+        elif isinstance(pat.p, Path):
+            # composite property path (extension): the scan is the path's
+            # evaluated pair relation; constant/variable handling below
+            # applies to it unchanged
+            df = self._path_rel(pat.p)
         elif pat.p.endswith("+"):
             # property path p+ (extension beyond the reference): the scan
             # is the transitive closure of the predicate's edge set; the
@@ -746,6 +872,8 @@ class BGPEngine:
         minus: bool = False,
         paths: bool = False,
         offset: bool = False,
+        aggregates: bool = False,
+        values: bool = False,
     ) -> DataFrame:
         """Execute a SPARQL BGP SELECT string — the reference's actual entry
         point (QueryTester.java:152 parses SPARQL text; DagCreator.java:55-154
@@ -769,13 +897,16 @@ class BGPEngine:
             allow_minus=minus,
             allow_paths=paths,
             allow_offset=offset,
+            allow_aggregates=aggregates,
+            allow_values=values,
         )
         order_cols = [
             F.desc(v[1:]) if v.startswith("-") else F.asc(v) for v in q.order_by
         ] or None
         if (
             not q.filters and not q.unions and not q.ask and not q.minus
-            and not q.exists and q.offset is None
+            and not q.exists and q.offset is None and not q.aggregates
+            and not q.values
         ):
             return self.query(
                 q.patterns,
@@ -817,6 +948,31 @@ class BGPEngine:
             else:
                 shared = sorted(set(result.columns) & set(u.columns))
                 result = result.join(u, on=shared) if shared else result.crossJoin(u)
+        for vars_, rows in q.values:
+            # VALUES inline bindings, joined on ENCODED ids: each term of
+            # the tiny literal relation is resolved through the dictionary
+            # first (terms absent from the graph bind nothing, per inner-
+            # join semantics), so the constraint prunes the core join on
+            # longs instead of waiting for the decoded strings
+            vdf = self.spark.createDataFrame(
+                [tuple(r) for r in rows],
+                schema=", ".join(f"{v} string" for v in vars_),
+            )
+            for v in vars_:
+                d = self._dict.select(
+                    F.col("uri").alias(v), F.col("id").alias(f"__{v}_id")
+                )
+                vdf = (
+                    vdf.join(d, v)
+                    .drop(v)
+                    .withColumnRenamed(f"__{v}_id", v)
+                )
+            shared = sorted(set(result.columns) & set(vdf.columns))
+            result = (
+                result.join(F.broadcast(vdf), on=shared)
+                if shared
+                else result.crossJoin(F.broadcast(vdf))
+            )
         for group in q.minus:
             # MINUS on encoded ids BEFORE decode: the anti-join probes long
             # keys (same plan shape as the reference-parity semi/anti ops),
@@ -858,7 +1014,19 @@ class BGPEngine:
             # instead of a full count of every solution — the reference's
             # first-solution semantics at plan level, not just result level.
             return result.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
-        if q.select:
+        if q.aggregates:
+            # GROUP BY + aggregates over the decoded solution set (term
+            # strings — matching the SQL oracle's varchar semantics), then
+            # HAVING over the aggregate aliases; one hash aggregate,
+            # partial+final map-side combine for free
+            from parj_spark.query.sparql import aggregate_columns
+
+            grouped = result.groupBy(*q.group_by) if q.group_by else result.groupBy()
+            result = grouped.agg(*aggregate_columns(q.aggregates))
+            for h in q.having:
+                result = result.filter(filter_to_column(h, F.col))
+            result = result.select(*((q.select or []) + [a.alias for a in q.aggregates]))
+        elif q.select:
             result = result.select(*[c for c in q.select if c in result.columns])
         if q.distinct:
             result = result.distinct()

@@ -27,9 +27,15 @@ enables the ASK form (one boolean row, planned as an existence probe);
 ``allow_minus=True`` enables ``MINUS { ... }`` blocks, each planned as its
 own BGP and removed from the core by a left anti-join on the shared
 variables (a no-shared-variable block removes nothing, per the spec);
-``allow_paths=True`` enables one-or-more property paths ``p+``, planned as
-the transitive closure of the predicate's edge set (semi-naive delta
-iteration, distributed — something the BGP-only reference cannot express).
+``allow_paths=True`` enables property paths — ``p+`` planned as the
+transitive closure of the predicate's edge set (semi-naive delta iteration,
+distributed — something the BGP-only reference cannot express) plus the
+composite forms ``^p`` (inverse), ``p1/p2`` (sequence), ``p1|p2``
+(alternation), ``p*`` / ``p?`` (zero-length forms over the graph's term
+domain) with ``( )`` grouping; ``allow_aggregates=True`` enables aggregate
+SELECT items ``(COUNT(*) AS ?n)`` (COUNT/SUM/AVG/MIN/MAX, COUNT DISTINCT)
+with GROUP BY and HAVING; ``allow_values=True`` enables VALUES inline
+bindings (UNDEF unsupported).
 
 Term canonicalization: the engine's dictionary stores *prefixed names*
 ("ub:Course_0_0_0", "rdf:type"), so pnames pass through verbatim and full
@@ -44,7 +50,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from parj_spark.query.bgp import Pattern
+from parj_spark.query.bgp import Path, Pattern
 
 _UNSUPPORTED = {
     "FILTER", "UNION", "GRAPH", "MINUS", "SERVICE", "BIND", "VALUES",
@@ -60,7 +66,7 @@ _TOKEN_RE = re.compile(
     | (?P<word>     \*|[A-Za-z_][A-Za-z0-9_]* )
     | (?P<num>      -?[0-9]+(?:\.[0-9]+)? )
     | (?P<op>       \|\||&&|!=|<=|>=|[=<>!] )
-    | (?P<punct>    [{}.;,()+] )
+    | (?P<punct>    [{}.;,()+/|^?] )
     | (?P<ws>       \s+ )
     | (?P<comment>  \#[^\n]* )
     """,
@@ -120,6 +126,50 @@ class SparqlQuery:
     exists: list[tuple[bool, list[Pattern]]] = field(default_factory=list)
     # ASK form (opt-in extension): result is one row, one boolean column
     ask: bool = False
+    # aggregate SELECT items (opt-in extension): `(COUNT(*) AS ?n)` etc.;
+    # plain `select` vars then hold the grouping keys. group_by = GROUP BY
+    # vars; having = post-aggregation FILTER expressions over the aliases.
+    aggregates: list["AggSelect"] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
+    having: list["FilterExpr"] = field(default_factory=list)
+    # VALUES blocks (opt-in extension): (vars, rows) inline bindings,
+    # inner-joined with the solution set on the shared variables (UNDEF is
+    # not supported — every row binds every listed variable)
+    values: list[tuple[list[str], list[list[str]]]] = field(default_factory=list)
+
+
+@dataclass(frozen=True)
+class AggSelect:
+    """One aggregate SELECT item: ``(FUNC([DISTINCT] ?var | *) AS ?alias)``."""
+
+    func: str  # count / sum / avg / min / max
+    var: str | None  # None = COUNT(*)
+    distinct: bool
+    alias: str
+
+
+def aggregate_columns(aggs: list[AggSelect]):
+    """Spark aggregate expressions for a list of AggSelect items. Values are
+    term strings in both execution paths, so SUM/AVG try_cast to double
+    (SPARQL's error semantics -> SQL null, ignored by the aggregate) and
+    MIN/MAX compare lexicographically (matching the varchar oracle)."""
+    from pyspark.sql import functions as F
+
+    out = []
+    for a in aggs:
+        col = F.col(a.var) if a.var is not None else None
+        if a.func == "count" and a.var is None:
+            e = F.count(F.lit(1))
+        elif a.func == "count" and a.distinct:
+            e = F.countDistinct(col)
+        elif a.func == "count":
+            e = F.count(col)
+        elif a.func in ("sum", "avg"):
+            e = getattr(F, a.func)(col.try_cast("double"))
+        else:
+            e = getattr(F, a.func)(col)
+        out.append(e.alias(a.alias))
+    return out
 
 
 # --- FILTER expression AST (opt-in extension beyond reference parity) -----
@@ -217,6 +267,16 @@ def filter_to_column(e: FilterExpr, colref):
     return out
 
 
+def _normalize_path(p: Path) -> "str | Path":
+    """Collapse trivial path trees back to the legacy string forms: a bare
+    link to its predicate string, a bare one-or-more link to "<pred>+"."""
+    if p.op == "link":
+        return p.parts[0]
+    if p.op == "plus" and p.parts[0].op == "link":
+        return p.parts[0].parts[0] + "+"
+    return p
+
+
 class _Parser:
     def __init__(
         self,
@@ -228,6 +288,8 @@ class _Parser:
         allow_minus: bool = False,
         allow_paths: bool = False,
         allow_offset: bool = False,
+        allow_aggregates: bool = False,
+        allow_values: bool = False,
     ):
         self.toks = toks
         self.i = 0
@@ -239,6 +301,8 @@ class _Parser:
         self.allow_minus = allow_minus
         self.allow_paths = allow_paths
         self.allow_offset = allow_offset
+        self.allow_aggregates = allow_aggregates
+        self.allow_values = allow_values
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -306,6 +370,7 @@ class _Parser:
         ask = False
         distinct = False
         select: list[str] | None = None
+        aggregates: list[AggSelect] = []
         if self._kw(self.peek(), "ASK") and self.allow_ask:
             # parity by default: ASK stays rejected (the reference only
             # runs SELECT); parse_sparql(..., allow_ask=True) opts in
@@ -321,9 +386,24 @@ class _Parser:
                 select = None
             else:
                 select = []
-                while self.peek() is not None and self.peek().startswith(("?", "$")):
-                    select.append(self.next()[1:])
-                if not select:
+                while self.peek() is not None:
+                    t = self.peek()
+                    if t.startswith(("?", "$")):
+                        select.append(self.next()[1:])
+                    elif t == "(":
+                        if not self.allow_aggregates:
+                            # parity by default: the reference's aggregate
+                            # surface is dead Exareme legacy (SURVEY.md
+                            # §2.4 A2); opt in via allow_aggregates
+                            raise ValueError(
+                                "aggregate SELECT items are not supported at "
+                                "reference parity (pass allow_aggregates=True "
+                                "to opt in)"
+                            )
+                        aggregates.append(self._agg_item())
+                    else:
+                        break
+                if not select and not aggregates:
                     raise ValueError("SELECT: expected ?vars or *")
 
         if self._kw(self.peek(), "WHERE"):
@@ -335,6 +415,7 @@ class _Parser:
         unions: list[list[list[Pattern]]] = []
         minus: list[list[Pattern]] = []
         exists: list[tuple[bool, list[Pattern]]] = []
+        values: list[tuple[list[str], list[list[str]]]] = []
         while True:
             t = self.peek()
             if t is None:
@@ -395,6 +476,18 @@ class _Parser:
                         )
                     unions.append(alts)
                 continue
+            if self._kw(t, "VALUES"):
+                if not self.allow_values:
+                    # parity by default: the reference rejects VALUES
+                    # (DagCreator.java:269-271). parse_sparql(...,
+                    # allow_values=True) opts in to the extension.
+                    raise ValueError(
+                        "VALUES is not supported at reference parity "
+                        "(pass allow_values=True to opt in)"
+                    )
+                self.next()
+                values.append(self._values_block())
+                continue
             if self._kw(t, "FILTER"):
                 if not self.allow_filter:
                     # parity by default: the reference rejects FILTER
@@ -438,8 +531,37 @@ class _Parser:
         order_by: list[str] = []
         limit: int | None = None
         offset: int | None = None
+        group_by: list[str] = []
+        having: list[FilterExpr] = []
         while self.peek() is not None:
             t = self.peek()
+            if self._kw(t, "GROUP"):
+                if not self.allow_aggregates:
+                    # parity by default: the reference's GROUP BY surface is
+                    # dead Exareme legacy (SURVEY.md §2.4 A2); opt in via
+                    # allow_aggregates
+                    raise ValueError(
+                        "GROUP BY is not supported at reference parity "
+                        "(pass allow_aggregates=True to opt in)"
+                    )
+                self.next()
+                self.expect("BY")
+                while self.peek() is not None and self.peek().startswith(("?", "$")):
+                    group_by.append(self.next()[1:])
+                if not group_by:
+                    raise ValueError("GROUP BY: expected ?vars")
+                continue
+            if self._kw(t, "HAVING"):
+                if not self.allow_aggregates:
+                    raise ValueError(
+                        "HAVING is not supported at reference parity "
+                        "(pass allow_aggregates=True to opt in)"
+                    )
+                self.next()
+                self.expect("(")
+                having.append(self._filter_or())
+                self.expect(")")
+                continue
             if self._kw(t, "ORDER"):
                 self.next()
                 self.expect("BY")
@@ -489,9 +611,83 @@ class _Parser:
             minus=minus,
             exists=exists,
             ask=ask,
+            aggregates=aggregates,
+            group_by=group_by,
+            having=having,
+            values=values,
         )
         self._validate(q)
         return q
+
+    def _agg_item(self) -> AggSelect:
+        """``( FUNC([DISTINCT] ?var | *) AS ?alias )`` in the SELECT clause."""
+        self.expect("(")
+        func = self.next().lower()
+        if func not in ("count", "sum", "avg", "min", "max"):
+            raise ValueError(f"aggregate function {func!r} not supported")
+        self.expect("(")
+        distinct = False
+        if self._kw(self.peek(), "DISTINCT"):
+            self.next()
+            distinct = True
+        t = self.next()
+        if t == "*":
+            if func != "count" or distinct:
+                raise ValueError("'*' argument only valid for COUNT(*)")
+            var = None
+        elif t.startswith(("?", "$")):
+            var = t[1:]
+        else:
+            raise ValueError(f"aggregate argument must be a ?var or *, got {t!r}")
+        if distinct and func != "count":
+            raise ValueError("DISTINCT only supported inside COUNT()")
+        self.expect(")")
+        self.expect("AS")
+        alias = self.next()
+        if not alias.startswith(("?", "$")):
+            raise ValueError(f"AS: expected ?alias, got {alias!r}")
+        self.expect(")")
+        return AggSelect(func, var, distinct, alias[1:])
+
+    def _values_block(self) -> tuple[list[str], list[list[str]]]:
+        """``VALUES ?v { t1 t2 }`` or ``VALUES (?a ?b) { (t1 t2) ... }``
+        (UNDEF unsupported: every row binds every variable)."""
+        vars_: list[str] = []
+        if self.peek() == "(":
+            self.next()
+            while self.peek() != ")":
+                v = self.next()
+                if not v.startswith(("?", "$")):
+                    raise ValueError(f"VALUES: expected ?var, got {v!r}")
+                vars_.append(v[1:])
+            self.next()
+        else:
+            v = self.next()
+            if not v.startswith(("?", "$")):
+                raise ValueError(f"VALUES: expected ?var, got {v!r}")
+            vars_ = [v[1:]]
+        if not vars_:
+            raise ValueError("VALUES: empty variable list")
+        self.expect("{")
+        rows: list[list[str]] = []
+        while self.peek() != "}":
+            if self.peek() == "(":
+                self.next()
+                row = []
+                while self.peek() != ")":
+                    row.append(self.term())
+                self.next()
+            else:
+                row = [self.term()]
+            if len(row) != len(vars_):
+                raise ValueError(
+                    f"VALUES: row arity {len(row)} != variable count {len(vars_)}"
+                )
+            rows.append(row)
+        self.next()
+        if not rows:
+            raise ValueError("VALUES: empty row set")
+        return vars_, rows
 
     # --- FILTER expressions (precedence: || < && < ! < comparison) -------
     def _filter_or(self) -> FilterExpr:
@@ -590,30 +786,7 @@ class _Parser:
     def _triples_same_subject(self, out: list[Pattern]) -> None:
         s = self.term()
         while True:
-            p = self.term(allow_a=True)
-            if p.startswith("?") and not self.allow_var_predicates:
-                # parity by default: the reference rejects predicate
-                # variables (DagCreator.java:170-171). Opt in via
-                # parse_sparql(..., allow_var_predicates=True) to use the
-                # engine's OSP-backed extension.
-                raise ValueError(
-                    "variable predicates are not supported "
-                    "(pass allow_var_predicates=True to opt in)"
-                )
-            if self.peek() == "+":
-                if not self.allow_paths:
-                    # parity by default: the reference rejects property
-                    # paths with the rest of non-BGP SPARQL
-                    # (DagCreator.java:269-271). parse_sparql(...,
-                    # allow_paths=True) opts in to the p+ extension.
-                    raise ValueError(
-                        "property paths are not supported at reference "
-                        "parity (pass allow_paths=True to opt in)"
-                    )
-                if p.startswith("?"):
-                    raise ValueError("property path on a variable predicate")
-                self.next()
-                p = p + "+"
+            p = self._predicate()
             while True:
                 o = self.term()
                 out.append(Pattern(s, p, o))
@@ -628,6 +801,83 @@ class _Parser:
                 continue
             break
 
+    def _predicate(self) -> "str | Path":
+        """Predicate position: a variable (opt-in), a plain term, or — with
+        allow_paths — a property-path expression. Plain predicates stay
+        strings, a bare one-or-more path keeps the legacy "<pred>+" string
+        form (the engine's p+ fast path); composite paths become Path
+        trees."""
+        t = self.peek()
+        if t is not None and t.startswith(("?", "$")):
+            p = self.term(allow_a=True)
+            if not self.allow_var_predicates:
+                # parity by default: the reference rejects predicate
+                # variables (DagCreator.java:170-171). Opt in via
+                # parse_sparql(..., allow_var_predicates=True) to use the
+                # engine's OSP-backed extension.
+                raise ValueError(
+                    "variable predicates are not supported "
+                    "(pass allow_var_predicates=True to opt in)"
+                )
+            if self.peek() in ("+", "*", "?", "/", "|"):
+                raise ValueError("property path on a variable predicate")
+            return p
+        if not self.allow_paths:
+            if t in ("^", "("):
+                raise ValueError(
+                    "property paths are not supported at reference "
+                    "parity (pass allow_paths=True to opt in)"
+                )
+            p = self.term(allow_a=True)
+            if self.peek() in ("+", "*", "?", "/", "|"):
+                # parity by default: the reference rejects property paths
+                # with the rest of non-BGP SPARQL (DagCreator.java:269-271).
+                # parse_sparql(..., allow_paths=True) opts in.
+                raise ValueError(
+                    "property paths are not supported at reference "
+                    "parity (pass allow_paths=True to opt in)"
+                )
+            return p
+        return _normalize_path(self._path_alt())
+
+    # --- property-path grammar (opt-in): alt < seq < elt(^, mod) < primary
+    def _path_alt(self) -> Path:
+        parts = [self._path_seq()]
+        while self.peek() == "|":
+            self.next()
+            parts.append(self._path_seq())
+        return parts[0] if len(parts) == 1 else Path("alt", tuple(parts))
+
+    def _path_seq(self) -> Path:
+        parts = [self._path_elt()]
+        while self.peek() == "/":
+            self.next()
+            parts.append(self._path_elt())
+        return parts[0] if len(parts) == 1 else Path("seq", tuple(parts))
+
+    def _path_elt(self) -> Path:
+        inv = False
+        if self.peek() == "^":
+            self.next()
+            inv = True
+        prim = self._path_primary()
+        mod = self.peek()
+        if mod in ("+", "*", "?"):
+            self.next()
+            prim = Path({"+": "plus", "*": "star", "?": "opt"}[mod], (prim,))
+        return Path("inv", (prim,)) if inv else prim
+
+    def _path_primary(self) -> Path:
+        if self.peek() == "(":
+            self.next()
+            p = self._path_alt()
+            self.expect(")")
+            return p
+        t = self.term(allow_a=True)
+        if t.startswith("?"):
+            raise ValueError("property path on a variable predicate")
+        return Path("link", (t,))
+
     @staticmethod
     def _validate(q: SparqlQuery) -> None:
         if not q.patterns and not q.unions:
@@ -635,6 +885,7 @@ class _Parser:
         opt_flat = [p for g in q.optional for p in g]
         union_flat = [p for grp in q.unions for alt in grp for p in alt]
         bound = {v for p in q.patterns + opt_flat + union_flat for v in p.vars()}
+        bound |= {v for vars_, _ in q.values for v in vars_}
         if q.select:
             unknown = [v for v in q.select if v not in bound]
             if unknown:
@@ -648,6 +899,42 @@ class _Parser:
                     f"FILTER vars not bound by any pattern: {unknown} "
                     f"(bound: {sorted(bound)})"
                 )
+        if q.group_by and not q.aggregates:
+            raise ValueError("GROUP BY requires at least one aggregate SELECT item")
+        if q.having and not q.aggregates:
+            raise ValueError("HAVING requires aggregate SELECT items")
+        if q.aggregates:
+            if q.ask:
+                raise ValueError("aggregates are not valid in an ASK query")
+            unknown = [v for v in q.group_by if v not in bound]
+            if unknown:
+                raise ValueError(f"GROUP BY vars not bound by any pattern: {unknown}")
+            unknown = [
+                a.var for a in q.aggregates if a.var is not None and a.var not in bound
+            ]
+            if unknown:
+                raise ValueError(f"aggregate vars not bound by any pattern: {unknown}")
+            bad = [v for v in (q.select or []) if v not in q.group_by]
+            if bad:
+                raise ValueError(
+                    f"non-aggregated SELECT vars must appear in GROUP BY: {bad}"
+                )
+            aliases = [a.alias for a in q.aggregates]
+            if len(set(aliases)) != len(aliases):
+                raise ValueError(f"duplicate aggregate aliases: {aliases}")
+            clash = set(aliases) & bound
+            if clash:
+                raise ValueError(
+                    f"aggregate aliases shadow pattern variables: {sorted(clash)}"
+                )
+            visible = set(aliases) | set(q.group_by)
+            for h in q.having:
+                unknown = [v for v in sorted(filter_vars(h)) if v not in visible]
+                if unknown:
+                    raise ValueError(
+                        f"HAVING vars must be aggregate aliases or GROUP BY "
+                        f"vars: {unknown}"
+                    )
 
 
 def parse_sparql(
@@ -659,6 +946,8 @@ def parse_sparql(
     allow_minus: bool = False,
     allow_paths: bool = False,
     allow_offset: bool = False,
+    allow_aggregates: bool = False,
+    allow_values: bool = False,
 ) -> SparqlQuery:
     """Parse a SPARQL BGP SELECT query string (see module docstring for the
     accepted subset; everything the reference rejects, we reject by default —
@@ -667,12 +956,17 @@ def parse_sparql(
     expressions compiled to native Column predicates, ``allow_union=True``
     to equal-varset UNION groups, ``allow_ask=True`` to the ASK form,
     ``allow_minus=True`` to MINUS anti-join blocks, ``allow_paths=True``
-    to one-or-more property paths ``p+``, ``allow_offset=True`` to the
-    OFFSET modifier; ``allow_filter=True`` also enables
-    FILTER [NOT] EXISTS blocks)."""
+    to property paths — ``p+`` plus the composite forms ``^p``, ``p1/p2``,
+    ``p1|p2``, ``p*``, ``p?`` with ``( )`` grouping — ``allow_offset=True``
+    to the OFFSET modifier, ``allow_aggregates=True`` to aggregate SELECT
+    items ``(COUNT(*) AS ?n)`` / SUM / AVG / MIN / MAX (+ COUNT DISTINCT)
+    with GROUP BY and HAVING, ``allow_values=True`` to VALUES inline
+    bindings; ``allow_filter=True`` also enables FILTER [NOT] EXISTS
+    blocks)."""
     return _Parser(
         _tokenize(text), allow_var_predicates, allow_filter, allow_union,
-        allow_ask, allow_minus, allow_paths, allow_offset,
+        allow_ask, allow_minus, allow_paths, allow_offset, allow_aggregates,
+        allow_values,
     ).parse()
 
 
@@ -686,6 +980,8 @@ def execute_on_triples(
     allow_minus: bool = False,
     allow_paths: bool = False,
     allow_offset: bool = False,
+    allow_aggregates: bool = False,
+    allow_values: bool = False,
 ):
     """Execute a SPARQL BGP SELECT directly over a (s, p, o) string-typed
     triples DataFrame — no dictionary encoding or stats required.
@@ -708,18 +1004,20 @@ def execute_on_triples(
         allow_minus=allow_minus,
         allow_paths=allow_paths,
         allow_offset=allow_offset,
+        allow_aggregates=allow_aggregates,
+        allow_values=allow_values,
     )
 
-    def _is_var(t: str) -> bool:
-        return t.startswith("?")
+    def _is_var(t) -> bool:
+        return isinstance(t, str) and t.startswith("?")
 
-    def _closure(pred: str):
-        """Distinct (s, o) pairs under one-or-more ``pred`` edges —
-        semi-naive delta iteration, lineage cut per round (see
-        BGPEngine._closure for the encoded-id twin)."""
-        edges = (
-            triples.filter(F.col("p") == pred).select("s", "o").localCheckpoint()
-        )
+    rel_cache: dict = {}
+
+    def _closure_of(edges):
+        """Distinct (s, o) closure of an edge relation — semi-naive delta
+        iteration, lineage cut per round (see BGPEngine._closure_edges for
+        the encoded-id twin)."""
+        edges = edges.distinct().localCheckpoint()
         paths, frontier = edges, edges
         for _ in range(64):
             ext = (
@@ -735,13 +1033,61 @@ def execute_on_triples(
             paths = paths.union(frontier).localCheckpoint()
         raise RuntimeError("property-path closure exceeded 64 hops")
 
+    def _nodes():
+        # zero-length path domain: every term in subject or object position
+        if "__nodes__" not in rel_cache:
+            rel_cache["__nodes__"] = (
+                triples.select(F.col("s").alias("n"))
+                .union(triples.select(F.col("o").alias("n")))
+                .distinct()
+                .localCheckpoint()
+            )
+        return rel_cache["__nodes__"]
+
+    def _path_rel(path: Path):
+        """(s, o) pair relation of a composite path (see BGPEngine._path_rel
+        for the encoded-id twin and the semantics notes)."""
+        if path in rel_cache:
+            return rel_cache[path]
+        if path.op == "link":
+            df = triples.filter(F.col("p") == path.parts[0]).select("s", "o")
+        elif path.op == "inv":
+            df = _path_rel(path.parts[0]).select(
+                F.col("o").alias("s"), F.col("s").alias("o")
+            )
+        elif path.op == "seq":
+            df = _path_rel(path.parts[0])
+            for nxt in path.parts[1:]:
+                df = (
+                    df.withColumnRenamed("o", "m")
+                    .join(_path_rel(nxt).withColumnRenamed("s", "m"), "m")
+                    .select("s", "o")
+                )
+        elif path.op == "alt":
+            df = _path_rel(path.parts[0])
+            for nxt in path.parts[1:]:
+                df = df.unionByName(_path_rel(nxt))
+        elif path.op == "plus":
+            df = _closure_of(_path_rel(path.parts[0]))
+        else:  # star / opt
+            zero = _nodes().select(F.col("n").alias("s"), F.col("n").alias("o"))
+            step = _path_rel(path.parts[0])
+            if path.op == "star":
+                step = _closure_of(step)
+            df = step.unionByName(zero).distinct()
+        rel_cache[path] = df
+        return df
+
     def scan(pat: Pattern):
         # one (var term -> source column) slot per distinct var: a repeated
         # var adds an equality filter instead of a duplicate column
-        if not _is_var(pat.p) and pat.p.endswith("+"):
-            # property path p+: the scan is the closure relation (s, o
-            # columns only; the predicate is consumed by the closure)
-            df = _closure(pat.p[:-1])
+        p = pat.p
+        if isinstance(p, str) and not _is_var(p) and p.endswith("+"):
+            p = Path("plus", (Path("link", (p[:-1],)),))
+        if isinstance(p, Path):
+            # property path: the scan is the path's pair relation (s, o
+            # columns only; the predicate is consumed by the path)
+            df = _path_rel(p)
             slots: dict[str, str] = {}
             for term, col in ((pat.s, "s"), (pat.o, "o")):
                 if not _is_var(term):
@@ -805,6 +1151,23 @@ def execute_on_triples(
         else:
             shared = sorted(set(result.columns) & set(udf_.columns))
             result = result.join(udf_, on=shared) if shared else result.crossJoin(udf_)
+    for vars_, rows in q.values:
+        # VALUES inline bindings: a tiny literal relation, broadcast and
+        # inner-joined on the shared variables (this path compares term
+        # strings directly; the engine path resolves terms to ids first)
+        vdf = triples.sparkSession.createDataFrame(
+            [tuple(r) for r in rows],
+            schema=", ".join(f"{v} string" for v in vars_),
+        )
+        if result is None:
+            result = vdf
+            continue
+        shared = sorted(set(result.columns) & set(vdf.columns))
+        result = (
+            result.join(F.broadcast(vdf), on=shared)
+            if shared
+            else result.crossJoin(F.broadcast(vdf))
+        )
     for group in q.optional:
         # SPARQL group semantics: the patterns of one OPTIONAL block join
         # each other first; the assembled group left-joins the core, so the
@@ -871,12 +1234,22 @@ def execute_on_triples(
         # the first solution), not a full join + count for a boolean.
         return result.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
 
-    opt_flat = [p for g in q.optional for p in g]
-    union_flat = [p for grp in q.unions for alt in grp for p in alt]
-    out_vars = q.select or sorted(
-        {v for p in q.patterns + opt_flat + union_flat for v in p.vars()}
-    )
-    result = result.select(*out_vars)
+    if q.aggregates:
+        # GROUP BY + aggregates, then HAVING over the aliases — one hash
+        # aggregate (partial+final map-side combine for free)
+        grouped = result.groupBy(*q.group_by) if q.group_by else result.groupBy()
+        result = grouped.agg(*aggregate_columns(q.aggregates))
+        for h in q.having:
+            result = result.filter(filter_to_column(h, F.col))
+        result = result.select(*((q.select or []) + [a.alias for a in q.aggregates]))
+    else:
+        opt_flat = [p for g in q.optional for p in g]
+        union_flat = [p for grp in q.unions for alt in grp for p in alt]
+        out_vars = q.select or sorted(
+            {v for p in q.patterns + opt_flat + union_flat for v in p.vars()}
+            | {v for vars_, _ in q.values for v in vars_}
+        )
+        result = result.select(*out_vars)
     if q.distinct:
         result = result.distinct()
     if q.order_by:

@@ -573,3 +573,210 @@ def test_exists_engine_matches_semi_join(spark, engine):
     want = profs.join(teaches.select("x").distinct(), "x", "left_semi")
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
+
+
+def test_composite_paths_rejected_by_default():
+    for q in (
+        "SELECT ?x ?y WHERE { ?x ub:a/ub:b ?y }",
+        "SELECT ?x ?y WHERE { ?x ub:a|ub:b ?y }",
+        "SELECT ?x ?y WHERE { ?x ^ub:a ?y }",
+        "SELECT ?x ?y WHERE { ?x ub:a* ?y }",
+        "SELECT ?x ?y WHERE { ?x ub:a? ?y }",
+    ):
+        with pytest.raises(ValueError, match="[Pp]roperty path"):
+            parse_sparql(PREFIXES + q)
+
+
+def test_composite_paths_execute_on_triples(spark):
+    """Sequence, alternation, inverse and the zero-length forms on the
+    string-triples path, with exact expected pair sets over a 4-node chain
+    a->b->c->d plus a side edge a-alt->x."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("a", "next", "b"), ("b", "next", "c"), ("c", "next", "d"),
+         ("a", "alt", "x")],
+        ["s", "p", "o"],
+    )
+
+    def rows(q):
+        return sorted(tuple(r) for r in execute_on_triples(
+            t, q, allow_paths=True).collect())
+
+    assert rows("SELECT ?x ?y WHERE { ?x <next>/<next> ?y }") == [
+        ("a", "c"), ("b", "d")]
+    assert rows("SELECT ?x ?y WHERE { ?x <next>|<alt> ?y }") == [
+        ("a", "b"), ("a", "x"), ("b", "c"), ("c", "d")]
+    # x ^next y  ==  y next x
+    assert rows("SELECT ?x ?y WHERE { ?x ^<next> ?y }") == [
+        ("b", "a"), ("c", "b"), ("d", "c")]
+    # star from a constant: zero-length (b itself) + the reachable set
+    assert rows('SELECT ?y WHERE { <b> <next>* ?y }') == [("b",), ("c",), ("d",)]
+    # zero-or-one from a constant
+    assert rows('SELECT ?y WHERE { <b> <next>? ?y }') == [("b",), ("c",)]
+    # grouping + closure over a composite step: (next/next)+ from a gives
+    # the even-distance nodes only
+    assert rows('SELECT ?y WHERE { <a> (<next>/<next>)+ ?y }') == [("c",)]
+    # inverse of a modified path: ^(next+) == everything that reaches me
+    assert rows('SELECT ?y WHERE { <d> ^(<next>+) ?y }') == [
+        ("a",), ("b",), ("c",)]
+
+
+def test_composite_paths_engine(engine):
+    """Engine path over encoded ids: seq equals the manual 2-pattern join,
+    inverse equals the flipped pattern, star is closure + identity."""
+    seq = engine.sparql(
+        PREFIXES + "SELECT ?x ?u WHERE { ?x ub:memberOf/ub:subOrganizationOf ?u }",
+        paths=True,
+    )
+    manual = engine.query(
+        [Pattern("?x", "ub:memberOf", "?d"),
+         Pattern("?d", "ub:subOrganizationOf", "?u")],
+        select=["x", "u"],
+    )
+    assert sorted(map(tuple, seq.collect())) == sorted(map(tuple, manual.collect()))
+    assert seq.count() > 0
+
+    inv = engine.sparql(
+        PREFIXES + "SELECT ?d ?x WHERE { ?d ^ub:memberOf ?x }", paths=True
+    )
+    fwd = engine.query([Pattern("?x", "ub:memberOf", "?d")], select=["d", "x"])
+    assert sorted(map(tuple, inv.collect())) == sorted(map(tuple, fwd.collect()))
+
+    # alternation: bag union of the two edge sets
+    alt = engine.sparql(
+        PREFIXES + "SELECT ?a ?b WHERE { ?a ub:memberOf|ub:worksFor ?b }",
+        paths=True, decode=False,
+    )
+    n_member = engine.count([Pattern("?a", "ub:memberOf", "?b")])
+    n_works = engine.count([Pattern("?a", "ub:worksFor", "?b")])
+    assert alt.count() == n_member + n_works
+
+    # star from a bound subject includes the zero-length pair (itself)
+    star = engine.sparql(
+        PREFIXES
+        + "SELECT ?y WHERE { <ub:Department_0_0> ub:subOrganizationOf* ?y }",
+        paths=True,
+    )
+    got = {r["y"] for r in star.collect()}
+    assert "ub:Department_0_0" in got  # zero-length
+    assert "ub:University_0" in got  # one hop
+
+
+def test_aggregates_rejected_by_default():
+    with pytest.raises(ValueError, match="aggregate"):
+        parse_sparql(PREFIXES + "SELECT (COUNT(*) AS ?n) WHERE { ?x ub:name ?y }")
+    with pytest.raises(ValueError, match="GROUP BY"):
+        parse_sparql(
+            PREFIXES + "SELECT ?x WHERE { ?x ub:name ?y } GROUP BY ?x"
+        )
+
+
+def test_aggregates_parse_validation():
+    base = "SELECT ?x (COUNT(*) AS ?n) WHERE { ?x ub:name ?y } "
+    # plain select var must be a grouping key
+    with pytest.raises(ValueError, match="GROUP BY"):
+        parse_sparql(PREFIXES + base, allow_aggregates=True)
+    # DISTINCT only inside COUNT
+    with pytest.raises(ValueError, match="DISTINCT"):
+        parse_sparql(
+            PREFIXES + "SELECT (SUM(DISTINCT ?y) AS ?t) WHERE { ?x ub:p ?y }",
+            allow_aggregates=True,
+        )
+    # HAVING may only see aliases / group keys
+    with pytest.raises(ValueError, match="HAVING"):
+        parse_sparql(
+            PREFIXES + "SELECT (COUNT(*) AS ?n) WHERE { ?x ub:name ?y } "
+            "HAVING(?y > 1)",
+            allow_aggregates=True,
+        )
+
+
+def test_aggregates_execute_on_triples(spark):
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("a", "size", "3"), ("b", "size", "5"), ("a", "size", "4"),
+         ("a", "tag", "x"), ("b", "tag", "x"), ("b", "tag", "x")],
+        ["s", "p", "o"],
+    )
+    got = execute_on_triples(
+        t,
+        "SELECT ?s (COUNT(*) AS ?n) (SUM(?v) AS ?t) (MAX(?v) AS ?hi) "
+        "WHERE { ?s <size> ?v } GROUP BY ?s ORDER BY ?s",
+        allow_aggregates=True,
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        ("a", 2, 7.0, "4"), ("b", 1, 5.0, "5")]
+    # COUNT(DISTINCT) + HAVING + global (no GROUP BY) aggregation
+    dedup = execute_on_triples(
+        t,
+        "SELECT ?s (COUNT(DISTINCT ?v) AS ?d) WHERE { ?s <tag> ?v } "
+        "GROUP BY ?s HAVING(?d >= 1) ORDER BY ?s",
+        allow_aggregates=True,
+    )
+    assert [tuple(r) for r in dedup.collect()] == [("a", 1), ("b", 1)]
+    total = execute_on_triples(
+        t, "SELECT (COUNT(*) AS ?n) (AVG(?v) AS ?m) WHERE { ?s <size> ?v }",
+        allow_aggregates=True,
+    )
+    assert [tuple(r) for r in total.collect()] == [(3, 4.0)]
+
+
+def test_aggregates_engine_matches_groupby(engine):
+    """Engine path: GROUP BY + COUNT over decoded terms equals the manual
+    groupBy on the equivalent query() result."""
+    got = engine.sparql(
+        PREFIXES + "SELECT ?d (COUNT(*) AS ?n) WHERE "
+        "{ ?x ub:memberOf ?d } GROUP BY ?d ORDER BY ?d",
+        aggregates=True,
+    )
+    manual = (
+        engine.query([Pattern("?x", "ub:memberOf", "?d")])
+        .groupBy("d").agg(F.count(F.lit(1)).alias("n")).orderBy("d")
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in manual.collect()]
+    assert got.count() > 0
+
+
+def test_values_rejected_by_default():
+    with pytest.raises(ValueError, match="VALUES"):
+        parse_sparql(
+            PREFIXES + "SELECT ?x WHERE { ?x ub:name ?y . VALUES ?x { ub:a } }"
+        )
+
+
+def test_values_execute_on_triples(spark):
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("a", "name", "A"), ("b", "name", "B"), ("c", "name", "C")],
+        ["s", "p", "o"],
+    )
+    got = execute_on_triples(
+        t,
+        'SELECT ?s ?nm WHERE { ?s <name> ?nm . VALUES ?s { <a> <c> <zz> } }',
+        allow_values=True,
+    )
+    assert sorted(map(tuple, got.collect())) == [("a", "A"), ("c", "C")]
+    # multi-var form constrains tuples, not columns independently
+    got2 = execute_on_triples(
+        t,
+        'SELECT ?s ?nm WHERE { ?s <name> ?nm . '
+        'VALUES (?s ?nm) { (<a> "A") (<b> "WRONG") } }',
+        allow_values=True,
+    )
+    assert sorted(map(tuple, got2.collect())) == [("a", "A")]
+
+
+def test_values_engine_resolves_ids(engine):
+    """Engine path: VALUES terms resolve through the dictionary to encoded
+    ids (absent terms bind nothing) and the join prunes before decode."""
+    got = engine.sparql(
+        PREFIXES + "SELECT ?x ?y WHERE { ?x ub:name ?y . "
+        "VALUES ?x { <ub:Course_0_0_0> <ub:NoSuchEntity> } }",
+        values=True,
+    )
+    rows = sorted(map(tuple, got.collect()))
+    assert len(rows) == 1 and rows[0][0] == "ub:Course_0_0_0"
