@@ -605,6 +605,40 @@ def kg_sparql_values(spark, sf_dir):
     )
 
 
+def kg_sparql_construct(spark, sf_dir):
+    """CONSTRUCT query form (beyond reference parity, opt-in): derive a new
+    graph — both orientations of the nation->region containment — from one
+    BGP; the result is a distinct (s, p, o) triple set, the same shape the
+    construction pipeline materializes."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    q = """
+        PREFIX urn: <urn:>
+        CONSTRUCT { ?r urn:hasNation ?n . ?n urn:inRegion ?r }
+        WHERE { ?n urn:partOf ?r }
+    """
+    return execute_on_triples(
+        _derived_triples(spark, sf_dir), q, allow_construct=True
+    )
+
+
+def kg_sparql_bind(spark, sf_dir):
+    """BIND computed columns (beyond reference parity, opt-in): string
+    CONCAT and arithmetic on try_cast doubles, evaluated as native Column
+    expressions on the solution set (no UDF)."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    q = """
+        PREFIX urn: <urn:>
+        SELECT ?n ?tag WHERE {
+            ?n urn:type urn:Nation .
+            ?n urn:name ?nm .
+            BIND(CONCAT(?nm, "#tag") AS ?tag)
+        }
+    """
+    return execute_on_triples(_derived_triples(spark, sf_dir), q, allow_bind=True)
+
+
 def kg_sparql_not_exists(spark, sf_dir):
     """FILTER NOT EXISTS (beyond reference parity, opt-in with the FILTER
     forms): anti-join existence test — same answer as kg_sparql_minus here
@@ -887,6 +921,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_sparql_path_star": kg_sparql_path_star,
     "kg_sparql_agg": kg_sparql_agg,
     "kg_sparql_values": kg_sparql_values,
+    "kg_sparql_construct": kg_sparql_construct,
+    "kg_sparql_bind": kg_sparql_bind,
     "kg_sparql_filter": kg_sparql_filter,
     "kg_sparql_union": kg_sparql_union,
     "kg_sparql_varpred": kg_sparql_varpred,
@@ -898,21 +934,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster": dedup_cluster,
     "dedup_simhash": dedup_simhash,
     "sim_cosine_topk": sim_cosine_topk,
-    "sim_lsh_topk": sim_lsh_topk,
     "text_stats": text_stats_q,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
-    "text_winnow": text_winnow,
     "mm_binary_meta": mm_binary_meta,
     "mm_frame_sample": mm_frame_sample,
     # -- same-capability variants (see ordering note above) --
-    # LSH/IVF ANN + near-dup scale paths: rows-only driver evidence by
-    # design (no SQL oracle); correctness lives in the recall/subset
-    # pytest gates, and the capability's oracle-backed exact twins
-    # (sim_cosine_topk, sim_neardup_pairs) are measured — so the
-    # rows-only entries yield the first-50 slots to oracle-green queries
+    # LSH/IVF ANN, near-dup scale paths and winnowing: rows-only driver
+    # evidence by design (no SQL oracle); correctness lives in the
+    # recall/subset/bit-exact pytest gates, and the capabilities'
+    # oracle-backed exact twins (sim_cosine_topk, sim_neardup_pairs,
+    # text_fingerprint) are measured — so the rows-only entries yield
+    # the first-50 slots to oracle-green queries
+    "sim_lsh_topk": sim_lsh_topk,
     "sim_lsh_neardup": sim_lsh_neardup,
     "sim_ivf_topk": sim_ivf_topk,
+    "text_winnow": text_winnow,
     "text_winnow_pairs": text_winnow_pairs,
     "mm_decode_stub": mm_decode_stub,
     "q16_pivot": q16_pivot,
@@ -1310,6 +1347,21 @@ ORACLES: dict[str, str] = {
         JOIN triples nm ON nm.p = 'urn:name' AND nm.s = ty.s
         WHERE ty.p = 'urn:type' AND ty.o = 'urn:Nation'
           AND nm.o IN ('NATION_3', 'NATION_14', 'NATION_NOPE')
+    """,
+    "kg_sparql_construct": f"""
+        WITH triples AS ({_TRIPLES_SQL})
+        SELECT o AS s, 'urn:hasNation' AS p, s AS o
+        FROM triples WHERE p = 'urn:partOf'
+        UNION
+        SELECT s, 'urn:inRegion' AS p, o
+        FROM triples WHERE p = 'urn:partOf'
+    """,
+    "kg_sparql_bind": f"""
+        WITH triples AS ({_TRIPLES_SQL})
+        SELECT ty.s AS n, nm.o || '#tag' AS tag
+        FROM triples ty
+        JOIN triples nm ON nm.p = 'urn:name' AND nm.s = ty.s
+        WHERE ty.p = 'urn:type' AND ty.o = 'urn:Nation'
     """,
     "kg_sparql_minus": f"""
         WITH triples AS ({_TRIPLES_SQL})

@@ -874,6 +874,8 @@ class BGPEngine:
         offset: bool = False,
         aggregates: bool = False,
         values: bool = False,
+        construct: bool = False,
+        bind: bool = False,
     ) -> DataFrame:
         """Execute a SPARQL BGP SELECT string — the reference's actual entry
         point (QueryTester.java:152 parses SPARQL text; DagCreator.java:55-154
@@ -899,6 +901,8 @@ class BGPEngine:
             allow_offset=offset,
             allow_aggregates=aggregates,
             allow_values=values,
+            allow_construct=construct,
+            allow_bind=bind,
         )
         order_cols = [
             F.desc(v[1:]) if v.startswith("-") else F.asc(v) for v in q.order_by
@@ -906,7 +910,7 @@ class BGPEngine:
         if (
             not q.filters and not q.unions and not q.ask and not q.minus
             and not q.exists and q.offset is None and not q.aggregates
-            and not q.values
+            and not q.values and q.construct is None and not q.binds
         ):
             return self.query(
                 q.patterns,
@@ -994,8 +998,12 @@ class BGPEngine:
                 result = result.join(gdf, on=shared, how=how)
             else:
                 result = result.join(gdf.limit(1), F.lit(True), how)
-        # an ASK without filters never needs term strings — count ids as-is
-        need_decode = bool(q.filters) or (decode and not q.ask)
+        # an ASK without filters never needs term strings — count ids as-is;
+        # BIND/CONSTRUCT compute on term strings, so they force the decode
+        need_decode = (
+            bool(q.filters) or bool(q.binds) or q.construct is not None
+            or (decode and not q.ask)
+        )
         if need_decode and result.columns:
             all_pats = (
                 list(q.patterns)
@@ -1005,6 +1013,11 @@ class BGPEngine:
             pvars = {v for p in all_pats for v in [p.pred_var()] if v}
             cols = list(result.columns)
             result = self._decode_frame(result, pvars).select(*cols)
+        if q.binds:
+            from parj_spark.query.sparql import bind_to_column
+
+            for expr, v in q.binds:
+                result = result.withColumn(v, bind_to_column(expr, F.col))
         for fexpr in q.filters:
             result = result.filter(filter_to_column(fexpr, F.col))
         if q.ask:
@@ -1014,6 +1027,22 @@ class BGPEngine:
             # instead of a full count of every solution — the reference's
             # first-solution semantics at plan level, not just result level.
             return result.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
+        if q.construct is not None:
+            # CONSTRUCT over the decoded solution set: instantiate each
+            # template triple per solution, union, dedup (a result graph is
+            # a set of triples)
+            out = None
+            for tp in q.construct:
+                row = result.select(
+                    *(
+                        (F.col(t[1:]) if _is_var(t) else F.lit(t))
+                        .cast("string")  # a graph holds terms, not typed values
+                        .alias(c)
+                        for t, c in ((tp.s, "s"), (tp.p, "p"), (tp.o, "o"))
+                    )
+                )
+                out = row if out is None else out.unionByName(row)
+            return out.distinct()
         if q.aggregates:
             # GROUP BY + aggregates over the decoded solution set (term
             # strings — matching the SQL oracle's varchar semantics), then

@@ -66,7 +66,7 @@ _TOKEN_RE = re.compile(
     | (?P<word>     \*|[A-Za-z_][A-Za-z0-9_]* )
     | (?P<num>      -?[0-9]+(?:\.[0-9]+)? )
     | (?P<op>       \|\||&&|!=|<=|>=|[=<>!] )
-    | (?P<punct>    [{}.;,()+/|^?] )
+    | (?P<punct>    [{}.;,()+/|^?-] )
     | (?P<ws>       \s+ )
     | (?P<comment>  \#[^\n]* )
     """,
@@ -136,6 +136,62 @@ class SparqlQuery:
     # inner-joined with the solution set on the shared variables (UNDEF is
     # not supported — every row binds every listed variable)
     values: list[tuple[list[str], list[list[str]]]] = field(default_factory=list)
+    # CONSTRUCT form (opt-in extension): template triples instantiated once
+    # per solution, returned as a distinct (s, p, o) graph
+    construct: list[Pattern] | None = None
+    # BIND(expr AS ?v) assignments (opt-in extension), in document order
+    binds: list[tuple["BindExpr", str]] = field(default_factory=list)
+
+
+# --- BIND expression AST (opt-in extension) -------------------------------
+# Leaves are the FILTER operand tuples ("var", name) | ("lit", s) |
+# ("num", f); Arith nodes compute on try_cast doubles (SPARQL evaluation
+# error -> null), Concat stringifies each part.
+
+
+@dataclass(frozen=True)
+class Arith:
+    op: str  # + - * /
+    lhs: "BindExpr | tuple"
+    rhs: "BindExpr | tuple"
+
+
+@dataclass(frozen=True)
+class Concat:
+    parts: tuple
+
+
+BindExpr = "Arith | Concat | tuple"
+
+
+def bind_vars(e) -> set[str]:
+    """Variable names referenced by a BIND expression."""
+    if isinstance(e, tuple):
+        return {e[1]} if e[0] == "var" else set()
+    if isinstance(e, Arith):
+        return bind_vars(e.lhs) | bind_vars(e.rhs)
+    return {v for p in e.parts for v in bind_vars(p)}
+
+
+def bind_to_column(e, colref):
+    """Compile a BIND expression to a Spark Column. Arithmetic runs on
+    try_cast doubles (failed casts yield null — SPARQL's error semantics);
+    CONCAT casts every part to string."""
+    from pyspark.sql import functions as F
+
+    if isinstance(e, tuple):
+        if e[0] == "var":
+            return colref(e[1])
+        return F.lit(e[1])
+    if isinstance(e, Arith):
+        def num(x):
+            c = bind_to_column(x, colref)
+            return c.try_cast("double") if not (
+                isinstance(x, tuple) and x[0] == "num"
+            ) else c
+        l, r = num(e.lhs), num(e.rhs)
+        return {"+": l + r, "-": l - r, "*": l * r, "/": l / r}[e.op]
+    return F.concat(*[bind_to_column(p, colref).cast("string") for p in e.parts])
 
 
 @dataclass(frozen=True)
@@ -290,6 +346,8 @@ class _Parser:
         allow_offset: bool = False,
         allow_aggregates: bool = False,
         allow_values: bool = False,
+        allow_construct: bool = False,
+        allow_bind: bool = False,
     ):
         self.toks = toks
         self.i = 0
@@ -303,6 +361,8 @@ class _Parser:
         self.allow_offset = allow_offset
         self.allow_aggregates = allow_aggregates
         self.allow_values = allow_values
+        self.allow_construct = allow_construct
+        self.allow_bind = allow_bind
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -371,11 +431,34 @@ class _Parser:
         distinct = False
         select: list[str] | None = None
         aggregates: list[AggSelect] = []
+        construct: list[Pattern] | None = None
         if self._kw(self.peek(), "ASK") and self.allow_ask:
             # parity by default: ASK stays rejected (the reference only
             # runs SELECT); parse_sparql(..., allow_ask=True) opts in
             self.next()
             ask = True
+        elif self._kw(self.peek(), "CONSTRUCT") and self.allow_construct:
+            # CONSTRUCT form (opt-in): template triples instantiated per
+            # WHERE solution. Template predicates may be variables bound by
+            # the WHERE clause regardless of the var-predicate engine flag
+            # — they are output slots, not scan slots.
+            self.next()
+            self.expect("{")
+            construct = []
+            saved = self.allow_var_predicates
+            self.allow_var_predicates = True
+            try:
+                self._triples_block(construct, stop="}")
+            finally:
+                self.allow_var_predicates = saved
+            self.expect("}")
+            if not construct:
+                raise ValueError("CONSTRUCT: empty template")
+        elif self._kw(self.peek(), "CONSTRUCT"):
+            raise ValueError(
+                "CONSTRUCT is not supported at reference parity "
+                "(pass allow_construct=True to opt in)"
+            )
         else:
             self.expect("SELECT")
             if self._kw(self.peek(), "DISTINCT"):
@@ -416,6 +499,7 @@ class _Parser:
         minus: list[list[Pattern]] = []
         exists: list[tuple[bool, list[Pattern]]] = []
         values: list[tuple[list[str], list[list[str]]]] = []
+        binds: list[tuple] = []
         while True:
             t = self.peek()
             if t is None:
@@ -475,6 +559,25 @@ class _Parser:
                             f"(got {[sorted(vs) for vs in varsets]})"
                         )
                     unions.append(alts)
+                continue
+            if self._kw(t, "BIND"):
+                if not self.allow_bind:
+                    # parity by default: the reference rejects BIND
+                    # (DagCreator.java:269-271). parse_sparql(...,
+                    # allow_bind=True) opts in to the extension.
+                    raise ValueError(
+                        "BIND is not supported at reference parity "
+                        "(pass allow_bind=True to opt in)"
+                    )
+                self.next()
+                self.expect("(")
+                expr = self._bind_expr()
+                self.expect("AS")
+                v = self.next()
+                if not v.startswith(("?", "$")):
+                    raise ValueError(f"BIND: expected ?var after AS, got {v!r}")
+                self.expect(")")
+                binds.append((expr, v[1:]))
                 continue
             if self._kw(t, "VALUES"):
                 if not self.allow_values:
@@ -615,9 +718,56 @@ class _Parser:
             group_by=group_by,
             having=having,
             values=values,
+            construct=construct,
+            binds=binds,
         )
         self._validate(q)
         return q
+
+    # --- BIND expressions (precedence: +,- < *,/ < primary) --------------
+    def _bind_expr(self):
+        e = self._bind_term()
+        while True:
+            t = self.peek()
+            if t in ("+", "-"):
+                self.next()
+                e = Arith(t, e, self._bind_term())
+            elif t is not None and re.fullmatch(r"-[0-9]+(?:\.[0-9]+)?", t):
+                # the tokenizer eats "- 3" as the single number -3; fold it
+                # back into a subtraction so `?v - 3` parses
+                self.next()
+                e = Arith("+", e, ("num", float(t)))
+            else:
+                return e
+
+    def _bind_term(self):
+        e = self._bind_primary()
+        while self.peek() in ("*", "/"):
+            op = self.next()
+            e = Arith(op, e, self._bind_primary())
+        return e
+
+    def _bind_primary(self):
+        t = self.peek()
+        if t == "(":
+            self.next()
+            e = self._bind_expr()
+            self.expect(")")
+            return e
+        if t is not None and t.upper() in ("CONCAT", "STR"):
+            fn = self.next().upper()
+            self.expect("(")
+            parts = [self._bind_expr()]
+            while self.peek() == ",":
+                self.next()
+                parts.append(self._bind_expr())
+            self.expect(")")
+            if fn == "STR":
+                if len(parts) != 1:
+                    raise ValueError("STR() takes exactly one argument")
+                return parts[0]  # values are term strings already
+            return Concat(tuple(parts))
+        return self._filter_operand()
 
     def _agg_item(self) -> AggSelect:
         """``( FUNC([DISTINCT] ?var | *) AS ?alias )`` in the SELECT clause."""
@@ -886,6 +1036,26 @@ class _Parser:
         union_flat = [p for grp in q.unions for alt in grp for p in alt]
         bound = {v for p in q.patterns + opt_flat + union_flat for v in p.vars()}
         bound |= {v for vars_, _ in q.values for v in vars_}
+        for expr, v in q.binds:
+            unknown = [x for x in sorted(bind_vars(expr)) if x not in bound]
+            if unknown:
+                raise ValueError(f"BIND expression vars not bound: {unknown}")
+            if v in bound:
+                raise ValueError(f"BIND target ?{v} is already bound")
+            bound.add(v)
+        if q.construct is not None:
+            if q.aggregates or q.order_by or q.limit is not None or q.offset is not None:
+                raise ValueError(
+                    "CONSTRUCT does not combine with aggregates or solution "
+                    "modifiers (ORDER BY / LIMIT / OFFSET) in this subset"
+                )
+            unknown = sorted(
+                {v for p in q.construct for v in p.vars()} - bound
+            )
+            if unknown:
+                raise ValueError(
+                    f"CONSTRUCT template vars not bound by the WHERE clause: {unknown}"
+                )
         if q.select:
             unknown = [v for v in q.select if v not in bound]
             if unknown:
@@ -948,6 +1118,8 @@ def parse_sparql(
     allow_offset: bool = False,
     allow_aggregates: bool = False,
     allow_values: bool = False,
+    allow_construct: bool = False,
+    allow_bind: bool = False,
 ) -> SparqlQuery:
     """Parse a SPARQL BGP SELECT query string (see module docstring for the
     accepted subset; everything the reference rejects, we reject by default —
@@ -966,7 +1138,7 @@ def parse_sparql(
     return _Parser(
         _tokenize(text), allow_var_predicates, allow_filter, allow_union,
         allow_ask, allow_minus, allow_paths, allow_offset, allow_aggregates,
-        allow_values,
+        allow_values, allow_construct, allow_bind,
     ).parse()
 
 
@@ -982,6 +1154,8 @@ def execute_on_triples(
     allow_offset: bool = False,
     allow_aggregates: bool = False,
     allow_values: bool = False,
+    allow_construct: bool = False,
+    allow_bind: bool = False,
 ):
     """Execute a SPARQL BGP SELECT directly over a (s, p, o) string-typed
     triples DataFrame — no dictionary encoding or stats required.
@@ -1006,6 +1180,8 @@ def execute_on_triples(
         allow_offset=allow_offset,
         allow_aggregates=allow_aggregates,
         allow_values=allow_values,
+        allow_construct=allow_construct,
+        allow_bind=allow_bind,
     )
 
     def _is_var(t) -> bool:
@@ -1168,6 +1344,10 @@ def execute_on_triples(
             if shared
             else result.crossJoin(F.broadcast(vdf))
         )
+    for expr, v in q.binds:
+        # BIND(expr AS ?v): a computed column on the solution set, in
+        # document order (later binds may reference earlier targets)
+        result = result.withColumn(v, bind_to_column(expr, F.col))
     for group in q.optional:
         # SPARQL group semantics: the patterns of one OPTIONAL block join
         # each other first; the assembled group left-joins the core, so the
@@ -1234,6 +1414,22 @@ def execute_on_triples(
         # the first solution), not a full join + count for a boolean.
         return result.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
 
+    if q.construct is not None:
+        # CONSTRUCT: instantiate each template triple once per solution,
+        # union the instantiations and deduplicate — a SPARQL result graph
+        # is a set of triples
+        out = None
+        for tp in q.construct:
+            row = result.select(
+                *(
+                    (F.col(t[1:]) if _is_var(t) else F.lit(t))
+                    .cast("string")  # a graph holds terms, not typed values
+                    .alias(c)
+                    for t, c in ((tp.s, "s"), (tp.p, "p"), (tp.o, "o"))
+                )
+            )
+            out = row if out is None else out.unionByName(row)
+        return out.distinct()
     if q.aggregates:
         # GROUP BY + aggregates, then HAVING over the aliases — one hash
         # aggregate (partial+final map-side combine for free)
@@ -1248,6 +1444,7 @@ def execute_on_triples(
         out_vars = q.select or sorted(
             {v for p in q.patterns + opt_flat + union_flat for v in p.vars()}
             | {v for vars_, _ in q.values for v in vars_}
+            | {v for _, v in q.binds}
         )
         result = result.select(*out_vars)
     if q.distinct:

@@ -780,3 +780,93 @@ def test_values_engine_resolves_ids(engine):
     )
     rows = sorted(map(tuple, got.collect()))
     assert len(rows) == 1 and rows[0][0] == "ub:Course_0_0_0"
+
+
+def test_construct_rejected_by_default():
+    with pytest.raises(ValueError, match="CONSTRUCT"):
+        parse_sparql(
+            PREFIXES + "CONSTRUCT { ?x ub:p ?y } WHERE { ?x ub:name ?y }"
+        )
+
+
+def test_construct_execute_on_triples(spark):
+    """CONSTRUCT instantiates every template triple per solution and
+    returns a distinct (s, p, o) graph."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("n1", "partOf", "r1"), ("n2", "partOf", "r1"), ("n2", "partOf", "r1")],
+        ["s", "p", "o"],
+    )
+    got = execute_on_triples(
+        t,
+        "CONSTRUCT { ?r <hasNation> ?n . ?n <inRegion> ?r } "
+        "WHERE { ?n <partOf> ?r }",
+        allow_construct=True,
+    )
+    assert got.columns == ["s", "p", "o"]
+    assert sorted(map(tuple, got.collect())) == [
+        ("n1", "inRegion", "r1"), ("n2", "inRegion", "r1"),
+        ("r1", "hasNation", "n1"), ("r1", "hasNation", "n2"),
+    ]  # duplicate source triple deduplicated: a graph is a set
+
+
+def test_construct_engine(engine):
+    """Engine path: the constructed graph equals the instantiation of the
+    decoded solution set."""
+    got = engine.sparql(
+        PREFIXES + "CONSTRUCT { ?c ub:taughtBy ?p } "
+        "WHERE { ?p ub:teacherOf ?c }",
+        construct=True,
+    )
+    base = engine.query([Pattern("?p", "ub:teacherOf", "?c")])
+    assert got.columns == ["s", "p", "o"]
+    assert got.count() == base.select("c", "p").distinct().count() > 0
+    one = got.first()
+    assert one["p"] == "ub:taughtBy"
+
+
+def test_bind_rejected_by_default():
+    with pytest.raises(ValueError, match="BIND"):
+        parse_sparql(
+            PREFIXES + "SELECT ?y WHERE { ?x ub:name ?n . BIND(?n AS ?y) }"
+        )
+
+
+def test_bind_execute_on_triples(spark):
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("a", "size", "3"), ("b", "size", "5"), ("c", "size", "oops")],
+        ["s", "p", "o"],
+    )
+    got = execute_on_triples(
+        t,
+        "SELECT ?s ?d WHERE { ?s <size> ?v . BIND(?v * 2 - 1 AS ?d) }",
+        allow_bind=True,
+    )
+    rows = dict((r["s"], r["d"]) for r in got.collect())
+    # non-numeric input -> null (SPARQL evaluation error), row kept by BIND
+    assert rows == {"a": 5.0, "b": 9.0, "c": None}
+    # CONCAT + chained binds + FILTER over a bound column
+    got2 = execute_on_triples(
+        t,
+        'SELECT ?s ?tag WHERE { ?s <size> ?v . BIND(CONCAT("sz:", ?v) AS ?t0) '
+        '. BIND(CONCAT(?t0, "!") AS ?tag) . FILTER(?tag != "sz:3!") }',
+        allow_bind=True, allow_filter=True,
+    )
+    assert sorted(map(tuple, got2.collect())) == [
+        ("b", "sz:5!"), ("c", "sz:oops!")]
+
+
+def test_bind_engine(engine):
+    """Engine path: BIND computes on decoded term strings after the
+    encoded joins."""
+    got = engine.sparql(
+        PREFIXES + 'SELECT ?x ?tag WHERE { ?x rdf:type ub:Course . '
+        'BIND(CONCAT("course/", ?x) AS ?tag) }',
+        bind=True,
+    )
+    rows = list(got.collect())
+    assert len(rows) > 0
+    assert all(r["tag"] == "course/" + r["x"] for r in rows)
