@@ -846,12 +846,17 @@ class BGPEngine:
             result = result.limit(limit)
         return result
 
-    def _decode_frame(self, result: DataFrame, pvars: set[str]) -> DataFrame:
-        """Decode every id column of ``result`` to its term string:
+    def _decode_frame(
+        self, result: DataFrame, pvars: set[str], only: list[str] | None = None
+    ) -> DataFrame:
+        """Decode id columns of ``result`` to their term strings:
         predicate vars through the (tiny, broadcast) properties catalog,
         entity vars through the term dictionary (size-gated broadcast).
-        Column order is not preserved — callers re-select."""
-        for v in list(result.columns):
+        ``only`` restricts decoding to those columns (used by the
+        aggregate path to decode value vars before and group keys after
+        the hash aggregate). Column order is not preserved — callers
+        re-select."""
+        for v in (list(result.columns) if only is None else only):
             src = (
                 F.broadcast(self.store.properties())
                 if v in pvars
@@ -998,19 +1003,31 @@ class BGPEngine:
                 result = result.join(gdf, on=shared, how=how)
             else:
                 result = result.join(gdf.limit(1), F.lit(True), how)
+        all_pats = (
+            list(q.patterns)
+            + [p for g in q.optional for p in g]
+            + [p for grp in q.unions for alt in grp for p in alt]
+        )
+        pvars = {v for p in all_pats for v in [p.pred_var()] if v}
+        # a pure-aggregate query decodes LATE (value vars before the
+        # aggregate, group keys after it — see the q.aggregates branch), so
+        # the hash aggregate shuffles long ids, not term strings; a value
+        # var doubling as a group key would need both forms at once, so
+        # that (rare) shape falls back to the early full decode
+        agg_late_decode = (
+            bool(q.aggregates) and not q.filters and not q.binds
+            and not (
+                {a.var for a in q.aggregates if a.var is not None}
+                & set(q.group_by)
+            )
+        )
         # an ASK without filters never needs term strings — count ids as-is;
         # BIND/CONSTRUCT compute on term strings, so they force the decode
         need_decode = (
             bool(q.filters) or bool(q.binds) or q.construct is not None
-            or (decode and not q.ask)
+            or (decode and not q.ask and not agg_late_decode)
         )
         if need_decode and result.columns:
-            all_pats = (
-                list(q.patterns)
-                + [p for g in q.optional for p in g]
-                + [p for grp in q.unions for alt in grp for p in alt]
-            )
-            pvars = {v for p in all_pats for v in [p.pred_var()] if v}
             cols = list(result.columns)
             result = self._decode_frame(result, pvars).select(*cols)
         if q.binds:
@@ -1044,14 +1061,33 @@ class BGPEngine:
                 out = row if out is None else out.unionByName(row)
             return out.distinct()
         if q.aggregates:
-            # GROUP BY + aggregates over the decoded solution set (term
-            # strings — matching the SQL oracle's varchar semantics), then
-            # HAVING over the aggregate aliases; one hash aggregate,
-            # partial+final map-side combine for free
+            # GROUP BY + aggregates with SQL-oracle (varchar) value
+            # semantics, one hash aggregate, partial+final combine for free.
+            # Scale-critical placement: only the aggregate VALUE vars are
+            # decoded before grouping (SUM/AVG/MIN/MAX read term strings);
+            # the GROUP BY keys stay encoded longs through the shuffle and
+            # decode on the (small) aggregated output — the reference's
+            # decode-outputs-last rule (QueryTester.java:189-223) applied
+            # to the aggregate boundary. HAVING runs after the key decode,
+            # so its string comparisons see terms either way.
             from parj_spark.query.sparql import aggregate_columns
 
+            if agg_late_decode and decode and result.columns:
+                value_vars = sorted(
+                    {a.var for a in q.aggregates if a.var is not None}
+                )
+                if value_vars:
+                    cols = list(result.columns)
+                    result = self._decode_frame(
+                        result, pvars, only=value_vars
+                    ).select(*cols)
             grouped = result.groupBy(*q.group_by) if q.group_by else result.groupBy()
             result = grouped.agg(*aggregate_columns(q.aggregates))
+            if agg_late_decode and decode and q.group_by:
+                cols = list(result.columns)
+                result = self._decode_frame(
+                    result, pvars, only=list(q.group_by)
+                ).select(*cols)
             for h in q.having:
                 result = result.filter(filter_to_column(h, F.col))
             result = result.select(*((q.select or []) + [a.alias for a in q.aggregates]))

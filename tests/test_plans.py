@@ -136,3 +136,27 @@ def test_ask_is_existence_probe(spark, tiny_graph):
     plan = _plan(df)
     assert "Limit" in plan  # CollectLimit / Global+LocalLimit short-circuit
     assert [r["ask"] for r in df.collect()] == [True]
+
+
+def test_aggregate_groups_on_encoded_ids(spark, tiny_graph):
+    """A pure-aggregate SPARQL query must hash-aggregate on the ENCODED
+    long group key and decode it on the aggregated output — grouping on
+    decoded term strings would shuffle strings instead of longs and scan
+    the dictionary for every solution row instead of every group."""
+    eng = BGPEngine(tiny_graph)
+    df = eng.sparql(
+        "PREFIX rdf:<rdf:> PREFIX ub:<ub:> "
+        "SELECT ?d (COUNT(*) AS ?n) WHERE { ?x ub:memberOf ?d } GROUP BY ?d",
+        aggregates=True,
+    )
+    plan = _plan(df)
+    import re
+
+    # the aggregate's shuffle key is the long id column (suffix L), never a
+    # decoded string column
+    m = re.search(r"hashpartitioning\(d#\d+(L?)", plan)
+    assert m is not None, plan
+    assert m.group(1) == "L", f"aggregate grouped on a decoded string:\n{plan}"
+    # one dict scan: only the group key decodes (after the aggregate);
+    # COUNT(*) needs no value decode
+    assert plan.count("dict_stage") == 1
