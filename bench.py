@@ -215,6 +215,20 @@ def main() -> None:
     )
     record("bgp_sparql_lubm7", lambda: engine.sparql(lubm7, decode=False).count())
 
+    # opt-in extension surfaces at bench scale: a grouped aggregate over the
+    # hot memberOf predicate (hash-aggregate on encoded ids, keys decoded
+    # post-agg) and a sequence property path (o->s join of two edge sets)
+    agg_q = (
+        "PREFIX rdf:<rdf:> PREFIX ub:<ub:> "
+        "SELECT ?d (COUNT(*) AS ?n) WHERE { ?x ub:memberOf ?d } GROUP BY ?d"
+    )
+    record("bgp_sparql_agg_members", lambda: engine.sparql(agg_q, aggregates=True).count())
+    seq_q = (
+        "PREFIX ub:<ub:> SELECT ?x ?u WHERE "
+        "{ ?x ub:memberOf/ub:subOrganizationOf ?u }"
+    )
+    record("bgp_sparql_path_seq", lambda: engine.sparql(seq_q, decode=False, paths=True).count())
+
     if cleanup:
         shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -267,9 +281,16 @@ def main() -> None:
                 kept = _timed_reps(lambda: eng.count(pats), reps)
                 avgs[name] = round(sum(kept) / len(kept), 3)
                 spreads[name] = [round(min(kept), 3), round(max(kept), 3)]
-            kept = _timed_reps(lambda: eng.sparql(lubm7, decode=False).count(), reps)
-            avgs["bgp_sparql_lubm7"] = round(sum(kept) / len(kept), 3)
-            spreads["bgp_sparql_lubm7"] = [round(min(kept), 3), round(max(kept), 3)]
+            for nm, fn in (
+                ("bgp_sparql_lubm7", lambda: eng.sparql(lubm7, decode=False).count()),
+                ("bgp_sparql_agg_members",
+                 lambda: eng.sparql(agg_q, aggregates=True).count()),
+                ("bgp_sparql_path_seq",
+                 lambda: eng.sparql(seq_q, decode=False, paths=True).count()),
+            ):
+                kept = _timed_reps(fn, reps)
+                avgs[nm] = round(sum(kept) / len(kept), 3)
+                spreads[nm] = [round(min(kept), 3), round(max(kept), 3)]
             return avgs, spreads
 
         # the pipeline builds the bucketed layout as part of construct now
