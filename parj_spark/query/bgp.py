@@ -303,6 +303,16 @@ class BGPEngine:
                 for uri in self._props
             )
         if isinstance(pat.p, Path):
+            if pat.p.op == "negset":
+                # everything-but-the-listed-predicates: total minus the
+                # excluded edge sets
+                if self._total_n is None:
+                    self._total_n = float(sum(st["n"] for st in self._stats.values()))
+                listed = sum(
+                    float(self._stats.get(self._props.get(x), {}).get("n", 0))
+                    for x in pat.p.parts
+                )
+                return max(self._total_n - listed, 1.0)
             # composite path: size it as 2x the sum of its base link edge
             # sets — closure/alternation grow the relation, and a nonzero
             # estimate keeps the planner from broadcast-hinting it
@@ -438,6 +448,16 @@ class BGPEngine:
             df = self._path_rel(path.parts[0])
             for nxt in path.parts[1:]:
                 df = df.unionByName(self._path_rel(nxt))
+        elif path.op == "negset":
+            # any single edge whose predicate is NOT in the listed set:
+            # scans every predicate partition except the excluded ones
+            # (partition pruning still drops the listed partitions)
+            pids = [self._props[x] for x in path.parts if x in self._props]
+            df = (
+                self._table("spo")
+                .filter(~F.col("p").isin(pids) if pids else F.lit(True))
+                .select("s", "o")
+            )
         elif path.op == "plus":
             df = self._closure_edges(self._path_rel(path.parts[0]))
         elif path.op in ("star", "opt"):
@@ -477,7 +497,33 @@ class BGPEngine:
             # composite property path (extension): the scan is the path's
             # evaluated pair relation; constant/variable handling below
             # applies to it unchanged
-            df = self._path_rel(pat.p)
+            if pat.p.op in ("star", "opt") and (
+                s_const is not None or o_const is not None
+            ):
+                # constant-anchored zero-length form: the identity
+                # contribution is just (c, c) — gated on c occurring in the
+                # graph via a lazy limit(1) probe — so the whole-graph
+                # node-domain distinct is never built for an anchored path
+                c = s_const if s_const is not None else o_const
+                # reuse the cached plus-closure for star (one fixpoint per
+                # engine lifetime, like every other path relation)
+                step = self._path_rel(
+                    Path("plus", (pat.p.parts[0],))
+                    if pat.p.op == "star"
+                    else pat.p.parts[0]
+                )
+                t = self._table("spo")
+                zero = (
+                    t.filter((F.col("s") == c) | (F.col("o") == c))
+                    .limit(1)
+                    .select(
+                        F.lit(c).cast("long").alias("s"),
+                        F.lit(c).cast("long").alias("o"),
+                    )
+                )
+                df = step.unionByName(zero).distinct()
+            else:
+                df = self._path_rel(pat.p)
         elif pat.p.endswith("+"):
             # property path p+ (extension beyond the reference): the scan
             # is the transitive closure of the predicate's edge set; the

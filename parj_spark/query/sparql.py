@@ -973,7 +973,7 @@ class _Parser:
                 raise ValueError("property path on a variable predicate")
             return p
         if not self.allow_paths:
-            if t in ("^", "("):
+            if t in ("^", "(", "!"):
                 raise ValueError(
                     "property paths are not supported at reference "
                     "parity (pass allow_paths=True to opt in)"
@@ -1023,10 +1023,35 @@ class _Parser:
             p = self._path_alt()
             self.expect(")")
             return p
+        if self.peek() == "!":
+            # negated property set !p / !(p1|p2): any single forward edge
+            # whose predicate is NOT one of the listed IRIs
+            self.next()
+            preds = []
+            if self.peek() == "(":
+                self.next()
+                preds.append(self._negset_member())
+                while self.peek() == "|":
+                    self.next()
+                    preds.append(self._negset_member())
+                self.expect(")")
+            else:
+                preds.append(self._negset_member())
+            return Path("negset", tuple(preds))
         t = self.term(allow_a=True)
         if t.startswith("?"):
             raise ValueError("property path on a variable predicate")
         return Path("link", (t,))
+
+    def _negset_member(self) -> str:
+        if self.peek() == "^":
+            raise ValueError(
+                "inverse members in a negated property set are not supported"
+            )
+        t = self.term(allow_a=True)
+        if t.startswith("?"):
+            raise ValueError("property path on a variable predicate")
+        return t
 
     @staticmethod
     def _validate(q: SparqlQuery) -> None:
@@ -1243,6 +1268,9 @@ def execute_on_triples(
             df = _path_rel(path.parts[0])
             for nxt in path.parts[1:]:
                 df = df.unionByName(_path_rel(nxt))
+        elif path.op == "negset":
+            # any single edge whose predicate is NOT in the listed set
+            df = triples.filter(~F.col("p").isin(list(path.parts))).select("s", "o")
         elif path.op == "plus":
             df = _closure_of(_path_rel(path.parts[0]))
         else:  # star / opt
@@ -1263,7 +1291,24 @@ def execute_on_triples(
         if isinstance(p, Path):
             # property path: the scan is the path's pair relation (s, o
             # columns only; the predicate is consumed by the path)
-            df = _path_rel(p)
+            consts = [t for t in (pat.s, pat.o) if not _is_var(t)]
+            if p.op in ("star", "opt") and consts:
+                # constant-anchored zero-length form: the identity pair is
+                # (c, c), gated on c occurring in the graph by a lazy
+                # limit(1) probe — never the whole node-domain distinct
+                # (see BGPEngine._scan for the encoded-id twin)
+                c = consts[0]
+                step = _path_rel(
+                    Path("plus", (p.parts[0],)) if p.op == "star" else p.parts[0]
+                )
+                zero = (
+                    triples.filter((F.col("s") == c) | (F.col("o") == c))
+                    .limit(1)
+                    .select(F.lit(c).alias("s"), F.lit(c).alias("o"))
+                )
+                df = step.unionByName(zero).distinct()
+            else:
+                df = _path_rel(p)
             slots: dict[str, str] = {}
             for term, col in ((pat.s, "s"), (pat.o, "o")):
                 if not _is_var(term):

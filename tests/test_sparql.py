@@ -870,3 +870,63 @@ def test_bind_engine(engine):
     rows = list(got.collect())
     assert len(rows) > 0
     assert all(r["tag"] == "course/" + r["x"] for r in rows)
+
+
+def test_negated_property_set_execute_on_triples(spark):
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("a", "p1", "b"), ("a", "p2", "c"), ("a", "p3", "d")],
+        ["s", "p", "o"],
+    )
+    got = execute_on_triples(
+        t, "SELECT ?x ?y WHERE { ?x !<p1> ?y }", allow_paths=True
+    )
+    assert sorted(map(tuple, got.collect())) == [("a", "c"), ("a", "d")]
+    got2 = execute_on_triples(
+        t, "SELECT ?x ?y WHERE { ?x !(<p1>|<p2>) ?y }", allow_paths=True
+    )
+    assert sorted(map(tuple, got2.collect())) == [("a", "d")]
+    with pytest.raises(ValueError, match="inverse members"):
+        parse_sparql(
+            "SELECT ?x ?y WHERE { ?x !(^<p1>) ?y }", allow_paths=True
+        )
+    with pytest.raises(ValueError, match="[Pp]roperty path"):
+        parse_sparql("SELECT ?x ?y WHERE { ?x !<p1> ?y }")
+
+
+def test_negated_property_set_engine(engine):
+    """Engine path: !(rdf:type) matches every non-type edge — exactly the
+    total minus the type partition (partition pruning drops it)."""
+    got = engine.sparql(
+        PREFIXES + "SELECT ?x ?y WHERE { ?x !(rdf:type) ?y }",
+        paths=True, decode=False,
+    ).count()
+    total = engine.store.spo().count()
+    n_type = engine.count([Pattern("?x", "rdf:type", "?y")])
+    assert got == total - n_type > 0
+
+
+def test_bound_star_skips_node_domain(engine, monkeypatch):
+    """A star/opt path with a constant endpoint must NOT build the
+    whole-graph node-domain relation — its zero-length contribution is the
+    single (c, c) pair, gated by a lazy membership probe."""
+    import parj_spark.query.bgp as bgp_mod
+
+    def _boom(self):
+        raise AssertionError("node-domain relation built for a bound path")
+
+    monkeypatch.setattr(bgp_mod.BGPEngine, "_nodes_rel", _boom)
+    got = engine.sparql(
+        PREFIXES
+        + "SELECT ?y WHERE { <ub:Department_0_0> ub:subOrganizationOf* ?y }",
+        paths=True,
+    )
+    vals = {r["y"] for r in got.collect()}
+    assert "ub:Department_0_0" in vals and "ub:University_0" in vals
+    # a constant absent from the graph: no zero-length pair, empty result
+    none = engine.sparql(
+        PREFIXES + "SELECT ?y WHERE { <ub:NoSuchThing> ub:subOrganizationOf* ?y }",
+        paths=True,
+    )
+    assert none.count() == 0
