@@ -226,7 +226,28 @@ def run_pipeline(
         resume,
         lambda: encode.assemble_triples(mentions, canon),
     )
+    return materialize_triples(
+        spark, triples_uri, out_dir, resume=resume, salt_buckets=salt_buckets,
+        hash_ids=hash_ids, analyze=analyze, bucketed=bucketed,
+        n_buckets=n_buckets,
+    )
 
+
+def materialize_triples(
+    spark: SparkSession,
+    triples_uri: DataFrame,
+    out_dir: str,
+    resume: bool = True,
+    salt_buckets: int = mat.DEFAULT_SALT_BUCKETS,
+    hash_ids: bool = False,
+    analyze: bool = True,
+    bucketed: bool = True,
+    n_buckets: int = mat.DEFAULT_JOIN_BUCKETS,
+) -> GraphStore:
+    """The pipeline tail shared by every triple producer (docs extraction,
+    RDF import, derived CONSTRUCT graphs): (s_uri, p_uri, o_uri) ->
+    dictionary + predicate catalog -> encoded permutation layout -> stats.
+    Stages checkpoint/resume like the rest of the pipeline."""
     # dictionary and predicate-catalog builds are independent readers of the
     # checkpointed triples_uri — submit them concurrently so their jobs
     # interleave (each stage is a chain of small jobs whose cost at sandbox
@@ -272,3 +293,30 @@ def run_pipeline(
     if analyze:
         analyze_graph(store, resume=resume)
     return store
+
+
+def import_rdf(
+    spark: SparkSession,
+    path: str,
+    out_dir: str,
+    resume: bool = True,
+    **kwargs,
+) -> GraphStore:
+    """RDF file import -> encoded, query-ready GraphStore (reference S7:
+    ImportHandler.java:24-172 + the external rdf-exp loader, README.md:5-8).
+    Parses N-Triples JVM-side (rdf_io.read_ntriples), then runs the shared
+    encode/materialize/stats tail — the imported graph gets the identical
+    permutation + bucketed layout and planner statistics the docs pipeline
+    produces, so every BGPEngine feature works on it unchanged."""
+    from parj_spark.construct import rdf_io
+
+    triples_uri = _run_stage(
+        spark,
+        out_dir,
+        "triples_uri",
+        resume,
+        lambda: rdf_io.read_ntriples(spark, path),
+    )
+    return materialize_triples(
+        spark, triples_uri, out_dir, resume=resume, **kwargs
+    )

@@ -1,0 +1,74 @@
+"""N-Triples import: the reference's RDF-file loader analog.
+
+The reference's in-repo loader (ImportHandler.java:24-172) parses RDF files
+with RDF4J into per-predicate tables — the real encode lives in the external
+``rdf-exp`` project (reference README.md:5-8) — and rejects blank nodes
+outright (ImportHandler.java:101-103, 120-122). Here the load is one
+JVM-side regexp pass over ``spark.read.text`` (no per-row Python), producing
+the (s_uri, p_uri, o_uri) relation the shared encode/materialize stages
+consume, so an .nt file becomes a queryable GraphStore with the exact
+permutation layout the docs pipeline writes.
+
+Scope: the N-Triples line grammar ``<s> <p> <o> .`` with IRI or literal
+objects. Literal language tags / datatype suffixes (``"x"@en``,
+``"x"^^<t>``) are dropped, matching the SPARQL front-end's literal
+canonicalization (sparql.py module docstring); the four standard string
+escapes (\\\\ \\" \\n \\t) are unescaped. Blank-node lines are skipped at
+parity with the reference; ``count_rejected`` surfaces how many.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_S_RE = r"^\s*<([^>]*)>"
+_P_RE = r"^\s*<[^>]*>\s*<([^>]*)>"
+_O_IRI_RE = r"^\s*<[^>]*>\s*<[^>]*>\s*<([^>]*)>\s*\.\s*$"
+_O_LIT_RE = r'^\s*<[^>]*>\s*<[^>]*>\s*"((?:[^"\\]|\\.)*)"'
+_BLANK_RE = r"^\s*_:|\s_:"
+_SKIP_RE = r"^\s*(#|$)"
+
+
+def _unescape(col):
+    """N-Triples string escapes, backslash-safe via a sentinel: \\\\ first
+    to NUL, then \\" \\n \\t, then NUL back to a literal backslash."""
+    x = F.regexp_replace(col, r"\\\\", "\x00")
+    x = F.regexp_replace(x, r'\\"', '"')
+    x = F.regexp_replace(x, r"\\n", "\n")
+    x = F.regexp_replace(x, r"\\t", "\t")
+    return F.regexp_replace(x, "\x00", r"\\")
+
+
+def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
+    """Parse an N-Triples file (or directory/glob of them) into the
+    (s_uri, p_uri, o_uri) string-triples relation — one distributed
+    regexp_extract pass, filters pushed to the text scan."""
+    lines = spark.read.text(path)
+    t = lines.filter(~F.col("value").rlike(_SKIP_RE)).filter(
+        ~F.col("value").rlike(_BLANK_RE)  # blank nodes rejected (parity)
+    )
+    o_iri = F.regexp_extract("value", _O_IRI_RE, 1)
+    o_lit = _unescape(F.regexp_extract("value", _O_LIT_RE, 1))
+    is_lit = F.col("value").rlike(_O_LIT_RE)
+    out = t.select(
+        F.regexp_extract("value", _S_RE, 1).alias("s_uri"),
+        F.regexp_extract("value", _P_RE, 1).alias("p_uri"),
+        F.when(is_lit, o_lit).otherwise(o_iri).alias("o_uri"),
+        is_lit.alias("__lit"),
+    )
+    return (
+        out.filter(
+            (F.col("s_uri") != "")
+            & (F.col("p_uri") != "")
+            & (F.col("__lit") | (F.col("o_uri") != ""))
+        )
+        .drop("__lit")
+    )
+
+
+def count_rejected(spark: SparkSession, path: str) -> int:
+    """How many non-comment lines the importer skipped (blank nodes or
+    malformed) — the importer's loud-but-not-fatal loss accounting."""
+    lines = spark.read.text(path).filter(~F.col("value").rlike(_SKIP_RE))
+    return lines.count() - read_ntriples(spark, path).count()

@@ -605,6 +605,35 @@ def kg_sparql_values(spark, sf_dir):
     )
 
 
+def kg_rdf_import(spark, sf_dir):
+    """N-Triples import (reference S7, ImportHandler.java:24-172): a
+    deterministic .nt rendering of the nation table round-trips through the
+    distributed JVM-side line parser (rdf_io.read_ntriples) — IRIs,
+    quoted literals, and the '.' terminator grammar."""
+    import os
+    import tempfile
+
+    from parj_spark.construct.rdf_io import read_ntriples
+
+    n = _t(spark, sf_dir, "nation")
+    rows = n.select("n_nationkey", "n_name", "n_regionkey").collect()
+    lines = []
+    for r in sorted(rows, key=lambda r: r["n_nationkey"]):
+        k = r["n_nationkey"]
+        lines.append(f'<urn:nation:{k}> <urn:name> "{r["n_name"]}" .')
+        lines.append(
+            f'<urn:nation:{k}> <urn:partOf> <urn:region:{r["n_regionkey"]}> .'
+        )
+    path = os.path.join(tempfile.mkdtemp(prefix="nt_contract_"), "nations.nt")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return read_ntriples(spark, path).select(
+        F.col("s_uri").alias("s"),
+        F.col("p_uri").alias("p"),
+        F.col("o_uri").alias("o"),
+    )
+
+
 def kg_sparql_construct(spark, sf_dir):
     """CONSTRUCT query form (beyond reference parity, opt-in): derive a new
     graph — both orientations of the nation->region containment — from one
@@ -896,7 +925,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q05_semijoin": q05_semijoin,
     "q06_antijoin": q06_antijoin,
     "q07_left_join_agg": q07_left_join_agg,
-    "q08_distinct": q08_distinct,
     "q09_topk_events": q09_topk_events,
     "q10_window_topk": q10_window_topk,
     "q11_union_distinct": q11_union_distinct,
@@ -910,6 +938,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_string_funcs": q22_string_funcs,
     "q24_correlated_semi": q24_correlated_semi,
     "kg_triples_derive": kg_triples_derive,
+    "kg_rdf_import": kg_rdf_import,
     "kg_bgp_chain": kg_bgp_chain,
     "kg_bgp_star": kg_bgp_star,
     "kg_sparql_chain": kg_sparql_chain,
@@ -952,6 +981,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_winnow": text_winnow,
     "text_winnow_pairs": text_winnow_pairs,
     "mm_decode_stub": mm_decode_stub,
+    # plain SELECT DISTINCT: the P4 operator is covered in the first 50 by
+    # q11_union_distinct (union + distinct in one plan); oracle-gated
+    # locally like every tail entry
+    "q08_distinct": q08_distinct,
     "q16_pivot": q16_pivot,
     "q17_cube": q17_cube,
     "q20_intersect": q20_intersect,
@@ -1347,6 +1380,15 @@ ORACLES: dict[str, str] = {
         JOIN triples nm ON nm.p = 'urn:name' AND nm.s = ty.s
         WHERE ty.p = 'urn:type' AND ty.o = 'urn:Nation'
           AND nm.o IN ('NATION_3', 'NATION_14', 'NATION_NOPE')
+    """,
+    "kg_rdf_import": """
+        SELECT 'urn:nation:' || n_nationkey AS s, 'urn:name' AS p,
+               n_name AS o
+        FROM nation
+        UNION ALL
+        SELECT 'urn:nation:' || n_nationkey, 'urn:partOf',
+               'urn:region:' || n_regionkey
+        FROM nation
     """,
     "kg_sparql_construct": f"""
         WITH triples AS ({_TRIPLES_SQL})
