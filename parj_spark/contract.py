@@ -668,6 +668,25 @@ def kg_sparql_bind(spark, sf_dir):
     return execute_on_triples(_derived_triples(spark, sf_dir), q, allow_bind=True)
 
 
+def kg_sparql_subquery(spark, sf_dir):
+    """Nested ``{ SELECT }`` subquery (beyond reference parity, opt-in):
+    a grouped-count inner query evaluated bottom-up and joined with the
+    outer pattern on the shared variable."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    q = """
+        PREFIX urn: <urn:>
+        SELECT ?r ?nm ?n WHERE {
+            ?r urn:name ?nm .
+            { SELECT ?r (COUNT(*) AS ?n) WHERE { ?x urn:partOf ?r } GROUP BY ?r }
+        }
+    """
+    return execute_on_triples(
+        _derived_triples(spark, sf_dir), q,
+        allow_subquery=True, allow_aggregates=True,
+    )
+
+
 def kg_sparql_not_exists(spark, sf_dir):
     """FILTER NOT EXISTS (beyond reference parity, opt-in with the FILTER
     forms): anti-join existence test — same answer as kg_sparql_minus here
@@ -934,7 +953,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q15_rollup": q15_rollup,
     "q18_scalar_subquery": q18_scalar_subquery,
     "q19_except": q19_except,
-    "q21_date_parts": q21_date_parts,
     "q22_string_funcs": q22_string_funcs,
     "q24_correlated_semi": q24_correlated_semi,
     "kg_triples_derive": kg_triples_derive,
@@ -952,6 +970,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_sparql_values": kg_sparql_values,
     "kg_sparql_construct": kg_sparql_construct,
     "kg_sparql_bind": kg_sparql_bind,
+    "kg_sparql_subquery": kg_sparql_subquery,
     "kg_sparql_filter": kg_sparql_filter,
     "kg_sparql_union": kg_sparql_union,
     "kg_sparql_varpred": kg_sparql_varpred,
@@ -985,6 +1004,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # q11_union_distinct (union + distinct in one plan); oracle-gated
     # locally like every tail entry
     "q08_distinct": q08_distinct,
+    # date-part scalars: the §2.7 scalar-function family keeps q22 (string)
+    # and q14 (JSON) up front
+    "q21_date_parts": q21_date_parts,
     "q16_pivot": q16_pivot,
     "q17_cube": q17_cube,
     "q20_intersect": q20_intersect,
@@ -1404,6 +1426,16 @@ ORACLES: dict[str, str] = {
         FROM triples ty
         JOIN triples nm ON nm.p = 'urn:name' AND nm.s = ty.s
         WHERE ty.p = 'urn:type' AND ty.o = 'urn:Nation'
+    """,
+    "kg_sparql_subquery": f"""
+        WITH triples AS ({_TRIPLES_SQL}),
+        counts AS (
+          SELECT o AS r, count(*) AS n FROM triples
+          WHERE p = 'urn:partOf' GROUP BY o
+        )
+        SELECT nm.s AS r, nm.o AS nm, counts.n AS n
+        FROM triples nm JOIN counts ON counts.r = nm.s
+        WHERE nm.p = 'urn:name'
     """,
     "kg_sparql_minus": f"""
         WITH triples AS ({_TRIPLES_SQL})

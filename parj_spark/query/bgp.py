@@ -927,6 +927,7 @@ class BGPEngine:
         values: bool = False,
         construct: bool = False,
         bind: bool = False,
+        subquery: bool = False,
     ) -> DataFrame:
         """Execute a SPARQL BGP SELECT string — the reference's actual entry
         point (QueryTester.java:152 parses SPARQL text; DagCreator.java:55-154
@@ -938,8 +939,10 @@ class BGPEngine:
         enforces equal variable sets) and unioned, then equi-joined with the
         core BGP; FILTER predicates apply to the decoded values (they
         reference term strings), then the solution modifiers. OPTIONAL
-        blocks attach to the core BGP."""
-        from parj_spark.query.sparql import filter_to_column, parse_sparql
+        blocks attach to the core BGP. A query containing a ``{ SELECT }``
+        subquery runs its whole group decoded (subquery solutions surface
+        term strings), so prefer flat BGPs for the hot path at scale."""
+        from parj_spark.query.sparql import parse_sparql
 
         q = parse_sparql(
             text,
@@ -954,7 +957,19 @@ class BGPEngine:
             allow_values=values,
             allow_construct=construct,
             allow_bind=bind,
+            allow_subquery=subquery,
         )
+        return self._sparql_query(q, decode)
+
+    def _sparql_query(self, q, decode: bool) -> DataFrame:
+        """Lower one parsed (sub)query over the permutation tables —
+        recursive for nested ``{ SELECT }`` groups."""
+        from parj_spark.query.sparql import filter_to_column
+
+        # subquery solutions are decoded term strings, so the enclosing
+        # group's sub-BGPs run decoded too (string joins) — only flat
+        # queries keep the encoded-join pipeline
+        sub_dec = bool(q.subqueries)
         order_cols = [
             F.desc(v[1:]) if v.startswith("-") else F.asc(v) for v in q.order_by
         ] or None
@@ -962,6 +977,7 @@ class BGPEngine:
             not q.filters and not q.unions and not q.ask and not q.minus
             and not q.exists and q.offset is None and not q.aggregates
             and not q.values and q.construct is None and not q.binds
+            and not q.subqueries
         ):
             return self.query(
                 q.patterns,
@@ -988,21 +1004,30 @@ class BGPEngine:
                 q.patterns,
                 select=None,
                 distinct=False,
-                decode=False,
+                decode=sub_dec,
                 optional=q.optional or None,
             )
             if q.patterns
             else None
         )
         for grp in q.unions:
-            u = self.query(grp[0], select=None, decode=False)
+            u = self.query(grp[0], select=None, decode=sub_dec)
             for alt in grp[1:]:
-                u = u.unionByName(self.query(alt, select=None, decode=False))
+                u = u.unionByName(self.query(alt, select=None, decode=sub_dec))
             if result is None:
                 result = u
             else:
                 shared = sorted(set(result.columns) & set(u.columns))
                 result = result.join(u, on=shared) if shared else result.crossJoin(u)
+        for sub in q.subqueries:
+            # nested SELECT: its own lowering (recursively), solutions
+            # joined with the enclosing group on the shared projected vars
+            sdf = self._sparql_query(sub, decode=True)
+            if result is None:
+                result = sdf
+                continue
+            shared = sorted(set(result.columns) & set(sdf.columns))
+            result = result.join(sdf, on=shared) if shared else result.crossJoin(sdf)
         for vars_, rows in q.values:
             # VALUES inline bindings, joined on ENCODED ids: each term of
             # the tiny literal relation is resolved through the dictionary
@@ -1013,15 +1038,16 @@ class BGPEngine:
                 [tuple(r) for r in rows],
                 schema=", ".join(f"{v} string" for v in vars_),
             )
-            for v in vars_:
-                d = self._dict.select(
-                    F.col("uri").alias(v), F.col("id").alias(f"__{v}_id")
-                )
-                vdf = (
-                    vdf.join(d, v)
-                    .drop(v)
-                    .withColumnRenamed(f"__{v}_id", v)
-                )
+            if not sub_dec:  # strings join directly on a decoded pipeline
+                for v in vars_:
+                    d = self._dict.select(
+                        F.col("uri").alias(v), F.col("id").alias(f"__{v}_id")
+                    )
+                    vdf = (
+                        vdf.join(d, v)
+                        .drop(v)
+                        .withColumnRenamed(f"__{v}_id", v)
+                    )
             shared = sorted(set(result.columns) & set(vdf.columns))
             result = (
                 result.join(F.broadcast(vdf), on=shared)
@@ -1034,7 +1060,7 @@ class BGPEngine:
             # and removed rows never pay the dictionary join. A block with
             # no shared variable removes nothing (SPARQL disjoint-domain
             # rule) — skipped, since anti-joining on no keys annihilates.
-            mdf = self.query(group, select=None, decode=False)
+            mdf = self.query(group, select=None, decode=sub_dec)
             shared = sorted(set(result.columns) & set(mdf.columns))
             if shared:
                 result = result.join(mdf, on=shared, how="left_anti")
@@ -1042,7 +1068,7 @@ class BGPEngine:
             # FILTER [NOT] EXISTS on encoded ids (same placement rationale
             # as MINUS); a no-shared-variable block gates globally via a
             # constant-true semi/anti join against the block's first row
-            gdf = self.query(group, select=None, decode=False)
+            gdf = self.query(group, select=None, decode=sub_dec)
             shared = sorted(set(result.columns) & set(gdf.columns))
             how = "left_semi" if positive else "left_anti"
             if shared:
@@ -1061,15 +1087,16 @@ class BGPEngine:
         # var doubling as a group key would need both forms at once, so
         # that (rare) shape falls back to the early full decode
         agg_late_decode = (
-            bool(q.aggregates) and not q.filters and not q.binds
+            bool(q.aggregates) and not q.filters and not q.binds and not sub_dec
             and not (
                 {a.var for a in q.aggregates if a.var is not None}
                 & set(q.group_by)
             )
         )
         # an ASK without filters never needs term strings — count ids as-is;
-        # BIND/CONSTRUCT compute on term strings, so they force the decode
-        need_decode = (
+        # BIND/CONSTRUCT compute on term strings, so they force the decode;
+        # a subquery pipeline (sub_dec) is already decoded end to end
+        need_decode = not sub_dec and (
             bool(q.filters) or bool(q.binds) or q.construct is not None
             or (decode and not q.ask and not agg_late_decode)
         )

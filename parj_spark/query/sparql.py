@@ -139,6 +139,9 @@ class SparqlQuery:
     # CONSTRUCT form (opt-in extension): template triples instantiated once
     # per solution, returned as a distinct (s, p, o) graph
     construct: list[Pattern] | None = None
+    # nested `{ SELECT ... }` subqueries (opt-in extension): each evaluated
+    # independently and joined with the enclosing group on its projection
+    subqueries: list["SparqlQuery"] = field(default_factory=list)
     # BIND(expr AS ?v) assignments (opt-in extension), in document order
     binds: list[tuple["BindExpr", str]] = field(default_factory=list)
 
@@ -323,6 +326,22 @@ def filter_to_column(e: FilterExpr, colref):
     return out
 
 
+def query_projection(q: SparqlQuery) -> set[str]:
+    """The variable set a query's solutions expose — its SELECT list (plus
+    aggregate aliases), or every bound variable for SELECT *."""
+    if q.aggregates:
+        return set(q.select or []) | {a.alias for a in q.aggregates}
+    if q.select is not None:
+        return set(q.select)
+    opt_flat = [p for g in q.optional for p in g]
+    union_flat = [p for grp in q.unions for alt in grp for p in alt]
+    out = {v for p in q.patterns + opt_flat + union_flat for v in p.vars()}
+    out |= {v for vars_, _ in q.values for v in vars_}
+    out |= {v for _, v in q.binds}
+    out |= {v for sub in q.subqueries for v in query_projection(sub)}
+    return out
+
+
 def _normalize_path(p: Path) -> "str | Path":
     """Collapse trivial path trees back to the legacy string forms: a bare
     link to its predicate string, a bare one-or-more link to "<pred>+"."""
@@ -348,6 +367,7 @@ class _Parser:
         allow_values: bool = False,
         allow_construct: bool = False,
         allow_bind: bool = False,
+        allow_subquery: bool = False,
     ):
         self.toks = toks
         self.i = 0
@@ -363,6 +383,7 @@ class _Parser:
         self.allow_values = allow_values
         self.allow_construct = allow_construct
         self.allow_bind = allow_bind
+        self.allow_subquery = allow_subquery
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -460,38 +481,85 @@ class _Parser:
                 "(pass allow_construct=True to opt in)"
             )
         else:
-            self.expect("SELECT")
-            if self._kw(self.peek(), "DISTINCT"):
-                self.next()
-                distinct = True
-            if self.peek() == "*":
-                self.next()
-                select = None
-            else:
-                select = []
-                while self.peek() is not None:
-                    t = self.peek()
-                    if t.startswith(("?", "$")):
-                        select.append(self.next()[1:])
-                    elif t == "(":
-                        if not self.allow_aggregates:
-                            # parity by default: the reference's aggregate
-                            # surface is dead Exareme legacy (SURVEY.md
-                            # §2.4 A2); opt in via allow_aggregates
-                            raise ValueError(
-                                "aggregate SELECT items are not supported at "
-                                "reference parity (pass allow_aggregates=True "
-                                "to opt in)"
-                            )
-                        aggregates.append(self._agg_item())
-                    else:
-                        break
-                if not select and not aggregates:
-                    raise ValueError("SELECT: expected ?vars or *")
+            distinct, select, aggregates = self._select_clause()
 
         if self._kw(self.peek(), "WHERE"):
             self.next()
         self.expect("{")
+        body = self._where_body()
+        mods = self._modifiers(in_subquery=False)
+        q = SparqlQuery(
+            select=select,
+            distinct=distinct,
+            prefixes=dict(self.prefixes),
+            ask=ask,
+            aggregates=aggregates,
+            construct=construct,
+            **body,
+            **mods,
+        )
+        self._validate(q)
+        return q
+
+    def _select_clause(self) -> tuple[bool, list[str] | None, list[AggSelect]]:
+        """``SELECT [DISTINCT] (*|?vars|(AGG .. AS ?alias)...)`` — shared by
+        the top-level query and subqueries."""
+        self.expect("SELECT")
+        distinct = False
+        if self._kw(self.peek(), "DISTINCT"):
+            self.next()
+            distinct = True
+        aggregates: list[AggSelect] = []
+        if self.peek() == "*":
+            self.next()
+            return distinct, None, aggregates
+        select: list[str] = []
+        while self.peek() is not None:
+            t = self.peek()
+            if t.startswith(("?", "$")):
+                select.append(self.next()[1:])
+            elif t == "(":
+                if not self.allow_aggregates:
+                    # parity by default: the reference's aggregate
+                    # surface is dead Exareme legacy (SURVEY.md
+                    # §2.4 A2); opt in via allow_aggregates
+                    raise ValueError(
+                        "aggregate SELECT items are not supported at "
+                        "reference parity (pass allow_aggregates=True "
+                        "to opt in)"
+                    )
+                aggregates.append(self._agg_item())
+            else:
+                break
+        if not select and not aggregates:
+            raise ValueError("SELECT: expected ?vars or *")
+        return distinct, select, aggregates
+
+    def _subselect(self) -> SparqlQuery:
+        """``{ SELECT ... WHERE { ... } <modifiers> }`` — a nested query
+        evaluated independently and joined with the enclosing group on its
+        projected variables. The opening '{' is already consumed; this
+        parses through the closing '}'."""
+        distinct, select, aggregates = self._select_clause()
+        if self._kw(self.peek(), "WHERE"):
+            self.next()
+        self.expect("{")
+        body = self._where_body()
+        mods = self._modifiers(in_subquery=True)
+        self.expect("}")
+        q = SparqlQuery(
+            select=select,
+            distinct=distinct,
+            prefixes=dict(self.prefixes),
+            aggregates=aggregates,
+            **body,
+            **mods,
+        )
+        self._validate(q)
+        return q
+
+    def _where_body(self) -> dict:
+        """Parse the contents of a WHERE group; consumes the closing '}'."""
         patterns: list[Pattern] = []
         optional: list[list[Pattern]] = []
         filters: list[FilterExpr] = []
@@ -500,6 +568,7 @@ class _Parser:
         exists: list[tuple[bool, list[Pattern]]] = []
         values: list[tuple[list[str], list[list[str]]]] = []
         binds: list[tuple] = []
+        subqueries: list[SparqlQuery] = []
         while True:
             t = self.peek()
             if t is None:
@@ -537,6 +606,19 @@ class _Parser:
                 minus.append(mgroup)
                 continue
             if t == "{":
+                nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+                if self._kw(nxt, "SELECT"):
+                    if not self.allow_subquery:
+                        # parity by default: the reference rejects nested
+                        # queries (DagCreator.java:269-271). parse_sparql(
+                        # ..., allow_subquery=True) opts in.
+                        raise ValueError(
+                            "subqueries are not supported at reference "
+                            "parity (pass allow_subquery=True to opt in)"
+                        )
+                    self.next()
+                    subqueries.append(self._subselect())
+                    continue
                 if not self.allow_union:
                     # parity by default: the reference rejects group/UNION
                     # blocks (DagCreator.java:269-271). parse_sparql(...,
@@ -630,7 +712,22 @@ class _Parser:
                     "(parity with the reference: DagCreator.java:269-271)"
                 )
             self._triples_same_subject(patterns)
+        return {
+            "patterns": patterns,
+            "optional": optional,
+            "filters": filters,
+            "unions": unions,
+            "minus": minus,
+            "exists": exists,
+            "values": values,
+            "binds": binds,
+            "subqueries": subqueries,
+        }
 
+    def _modifiers(self, in_subquery: bool) -> dict:
+        """Trailing solution modifiers (GROUP BY / HAVING / ORDER BY /
+        LIMIT / OFFSET). For a subquery, stops at the enclosing '}' without
+        consuming it."""
         order_by: list[str] = []
         limit: int | None = None
         offset: int | None = None
@@ -638,6 +735,8 @@ class _Parser:
         having: list[FilterExpr] = []
         while self.peek() is not None:
             t = self.peek()
+            if in_subquery and t == "}":
+                break
             if self._kw(t, "GROUP"):
                 if not self.allow_aggregates:
                     # parity by default: the reference's GROUP BY surface is
@@ -699,30 +798,13 @@ class _Parser:
             if t.upper() in _UNSUPPORTED:
                 raise ValueError(f"non-BGP SPARQL construct {t!r} not supported")
             raise ValueError(f"SPARQL parser: unexpected trailing token {t!r}")
-
-        q = SparqlQuery(
-            select=select,
-            distinct=distinct,
-            patterns=patterns,
-            optional=optional,
-            order_by=order_by,
-            limit=limit,
-            offset=offset,
-            prefixes=dict(self.prefixes),
-            filters=filters,
-            unions=unions,
-            minus=minus,
-            exists=exists,
-            ask=ask,
-            aggregates=aggregates,
-            group_by=group_by,
-            having=having,
-            values=values,
-            construct=construct,
-            binds=binds,
-        )
-        self._validate(q)
-        return q
+        return {
+            "order_by": order_by,
+            "limit": limit,
+            "offset": offset,
+            "group_by": group_by,
+            "having": having,
+        }
 
     # --- BIND expressions (precedence: +,- < *,/ < primary) --------------
     def _bind_expr(self):
@@ -1055,12 +1137,15 @@ class _Parser:
 
     @staticmethod
     def _validate(q: SparqlQuery) -> None:
-        if not q.patterns and not q.unions:
+        if not q.patterns and not q.unions and not q.subqueries:
             raise ValueError("SPARQL parser: empty basic graph pattern")
         opt_flat = [p for g in q.optional for p in g]
         union_flat = [p for grp in q.unions for alt in grp for p in alt]
         bound = {v for p in q.patterns + opt_flat + union_flat for v in p.vars()}
         bound |= {v for vars_, _ in q.values for v in vars_}
+        # subquery projections are visible to the enclosing group (the
+        # subqueries themselves were validated when parsed)
+        bound |= {v for sub in q.subqueries for v in query_projection(sub)}
         for expr, v in q.binds:
             unknown = [x for x in sorted(bind_vars(expr)) if x not in bound]
             if unknown:
@@ -1145,6 +1230,7 @@ def parse_sparql(
     allow_values: bool = False,
     allow_construct: bool = False,
     allow_bind: bool = False,
+    allow_subquery: bool = False,
 ) -> SparqlQuery:
     """Parse a SPARQL BGP SELECT query string (see module docstring for the
     accepted subset; everything the reference rejects, we reject by default —
@@ -1158,12 +1244,14 @@ def parse_sparql(
     to the OFFSET modifier, ``allow_aggregates=True`` to aggregate SELECT
     items ``(COUNT(*) AS ?n)`` / SUM / AVG / MIN / MAX (+ COUNT DISTINCT)
     with GROUP BY and HAVING, ``allow_values=True`` to VALUES inline
-    bindings; ``allow_filter=True`` also enables FILTER [NOT] EXISTS
-    blocks)."""
+    bindings, ``allow_construct=True`` to the CONSTRUCT form,
+    ``allow_bind=True`` to BIND computed columns, ``allow_subquery=True``
+    to nested ``{ SELECT ... }`` groups; ``allow_filter=True`` also
+    enables FILTER [NOT] EXISTS blocks)."""
     return _Parser(
         _tokenize(text), allow_var_predicates, allow_filter, allow_union,
         allow_ask, allow_minus, allow_paths, allow_offset, allow_aggregates,
-        allow_values, allow_construct, allow_bind,
+        allow_values, allow_construct, allow_bind, allow_subquery,
     ).parse()
 
 
@@ -1181,6 +1269,7 @@ def execute_on_triples(
     allow_values: bool = False,
     allow_construct: bool = False,
     allow_bind: bool = False,
+    allow_subquery: bool = False,
 ):
     """Execute a SPARQL BGP SELECT directly over a (s, p, o) string-typed
     triples DataFrame — no dictionary encoding or stats required.
@@ -1207,6 +1296,7 @@ def execute_on_triples(
         allow_values=allow_values,
         allow_construct=allow_construct,
         allow_bind=allow_bind,
+        allow_subquery=allow_subquery,
     )
 
     def _is_var(t) -> bool:
@@ -1360,146 +1450,161 @@ def execute_on_triples(
             out = out.drop("__exists")
         return out
 
-    result = join_bgp(q.patterns) if q.patterns else None
-    for grp in q.unions:
-        # alternatives bind the same vars (parse-enforced) -> a plain
-        # column-aligned union, then an equi-join with the core BGP
-        udf_ = join_bgp(grp[0])
-        for alt in grp[1:]:
-            udf_ = udf_.unionByName(join_bgp(alt))
-        if result is None:
-            result = udf_
-        else:
-            shared = sorted(set(result.columns) & set(udf_.columns))
-            result = result.join(udf_, on=shared) if shared else result.crossJoin(udf_)
-    for vars_, rows in q.values:
-        # VALUES inline bindings: a tiny literal relation, broadcast and
-        # inner-joined on the shared variables (this path compares term
-        # strings directly; the engine path resolves terms to ids first)
-        vdf = triples.sparkSession.createDataFrame(
-            [tuple(r) for r in rows],
-            schema=", ".join(f"{v} string" for v in vars_),
-        )
-        if result is None:
-            result = vdf
-            continue
-        shared = sorted(set(result.columns) & set(vdf.columns))
-        result = (
-            result.join(F.broadcast(vdf), on=shared)
-            if shared
-            else result.crossJoin(F.broadcast(vdf))
-        )
-    for expr, v in q.binds:
-        # BIND(expr AS ?v): a computed column on the solution set, in
-        # document order (later binds may reference earlier targets)
-        result = result.withColumn(v, bind_to_column(expr, F.col))
-    for group in q.optional:
-        # SPARQL group semantics: the patterns of one OPTIONAL block join
-        # each other first; the assembled group left-joins the core, so the
-        # block matches as a whole or leaves all its vars unbound
-        gdf = None
-        for pat in group:
-            sc = scan(pat)
-            if gdf is None:
-                gdf = sc
+    def _lower(q: SparqlQuery):
+        """Recursive lowering of one (sub)query to a DataFrame."""
+        result = join_bgp(q.patterns) if q.patterns else None
+        for grp in q.unions:
+            # alternatives bind the same vars (parse-enforced) -> a plain
+            # column-aligned union, then an equi-join with the core BGP
+            udf_ = join_bgp(grp[0])
+            for alt in grp[1:]:
+                udf_ = udf_.unionByName(join_bgp(alt))
+            if result is None:
+                result = udf_
             else:
-                shared = sorted(set(gdf.columns) & set(sc.columns) - {"__exists"})
-                gdf = gdf.join(sc, on=shared) if shared else gdf.crossJoin(sc)
-        if "__exists" in gdf.columns:
-            gdf = gdf.drop("__exists")
-        if not gdf.columns:
-            continue  # fully-bound block binds nothing
-        shared = sorted(set(result.columns) & set(gdf.columns))
-        # no shared vars: constant-true left join (row-preserving even when
-        # the optional side is empty — crossJoin would annihilate the core)
-        result = (
-            result.join(gdf, on=shared, how="left")
-            if shared
-            else result.join(gdf, F.lit(True), "left")
-        )
-
-    for group in q.minus:
-        # SPARQL MINUS: drop core solutions whose shared-variable bindings
-        # have a match in the block — a left anti-join, the same plan shape
-        # as the reference-parity q06/q24 anti-joins. A block sharing no
-        # variable with the core removes nothing (SPARQL disjoint-domain
-        # rule), so it is skipped outright rather than anti-joining on
-        # nothing (which would annihilate the result).
-        mdf = join_bgp(group)
-        if "__exists" in mdf.columns:
-            mdf = mdf.drop("__exists")
-        shared = sorted(set(result.columns) & set(mdf.columns))
-        if shared:
-            result = result.join(mdf, on=shared, how="left_anti")
-
-    for positive, group in q.exists:
-        # FILTER [NOT] EXISTS: correlated existence on the shared vars —
-        # semi-join (anti for NOT). Unlike MINUS, a no-shared-variable
-        # block is a GLOBAL gate: any solution keeps (EXISTS) or drops
-        # (NOT EXISTS) every core row, expressed as a constant-true
-        # semi/anti join against the block's first row.
-        gdf = join_bgp(group)
-        if "__exists" in gdf.columns:
-            gdf = gdf.drop("__exists")
-        shared = sorted(set(result.columns) & set(gdf.columns))
-        how = "left_semi" if positive else "left_anti"
-        if shared:
-            result = result.join(gdf, on=shared, how=how)
-        else:
-            result = result.join(gdf.limit(1), F.lit(True), how)
-
-    # FILTERs apply after OPTIONAL joins but before projection (their vars
-    # need not be selected); compiled to native Column predicates
-    for fexpr in q.filters:
-        result = result.filter(filter_to_column(fexpr, F.col))
-
-    if q.ask:
-        # ASK: one row, one boolean — any solution exists? limit(1) first so
-        # the plan is an existence probe (LocalLimit stops each task after
-        # the first solution), not a full join + count for a boolean.
-        return result.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
-
-    if q.construct is not None:
-        # CONSTRUCT: instantiate each template triple once per solution,
-        # union the instantiations and deduplicate — a SPARQL result graph
-        # is a set of triples
-        out = None
-        for tp in q.construct:
-            row = result.select(
-                *(
-                    (F.col(t[1:]) if _is_var(t) else F.lit(t))
-                    .cast("string")  # a graph holds terms, not typed values
-                    .alias(c)
-                    for t, c in ((tp.s, "s"), (tp.p, "p"), (tp.o, "o"))
-                )
+                shared = sorted(set(result.columns) & set(udf_.columns))
+                result = result.join(udf_, on=shared) if shared else result.crossJoin(udf_)
+        for sub in q.subqueries:
+            # nested SELECT: evaluated independently (its own lowering,
+            # recursively), then joined with the enclosing group on the
+            # shared projected variables — SPARQL bottom-up semantics
+            sdf = _lower(sub)
+            if result is None:
+                result = sdf
+                continue
+            shared = sorted(set(result.columns) & set(sdf.columns))
+            result = result.join(sdf, on=shared) if shared else result.crossJoin(sdf)
+        for vars_, rows in q.values:
+            # VALUES inline bindings: a tiny literal relation, broadcast and
+            # inner-joined on the shared variables (this path compares term
+            # strings directly; the engine path resolves terms to ids first)
+            vdf = triples.sparkSession.createDataFrame(
+                [tuple(r) for r in rows],
+                schema=", ".join(f"{v} string" for v in vars_),
             )
-            out = row if out is None else out.unionByName(row)
-        return out.distinct()
-    if q.aggregates:
-        # GROUP BY + aggregates, then HAVING over the aliases — one hash
-        # aggregate (partial+final map-side combine for free)
-        grouped = result.groupBy(*q.group_by) if q.group_by else result.groupBy()
-        result = grouped.agg(*aggregate_columns(q.aggregates))
-        for h in q.having:
-            result = result.filter(filter_to_column(h, F.col))
-        result = result.select(*((q.select or []) + [a.alias for a in q.aggregates]))
-    else:
-        opt_flat = [p for g in q.optional for p in g]
-        union_flat = [p for grp in q.unions for alt in grp for p in alt]
-        out_vars = q.select or sorted(
-            {v for p in q.patterns + opt_flat + union_flat for v in p.vars()}
-            | {v for vars_, _ in q.values for v in vars_}
-            | {v for _, v in q.binds}
-        )
-        result = result.select(*out_vars)
-    if q.distinct:
-        result = result.distinct()
-    if q.order_by:
-        result = result.orderBy(
-            *[F.desc(v[1:]) if v.startswith("-") else F.asc(v) for v in q.order_by]
-        )
-    if q.offset is not None:
-        result = result.offset(q.offset)
-    if q.limit is not None:
-        result = result.limit(q.limit)
-    return result
+            if result is None:
+                result = vdf
+                continue
+            shared = sorted(set(result.columns) & set(vdf.columns))
+            result = (
+                result.join(F.broadcast(vdf), on=shared)
+                if shared
+                else result.crossJoin(F.broadcast(vdf))
+            )
+        for expr, v in q.binds:
+            # BIND(expr AS ?v): a computed column on the solution set, in
+            # document order (later binds may reference earlier targets)
+            result = result.withColumn(v, bind_to_column(expr, F.col))
+        for group in q.optional:
+            # SPARQL group semantics: the patterns of one OPTIONAL block join
+            # each other first; the assembled group left-joins the core, so the
+            # block matches as a whole or leaves all its vars unbound
+            gdf = None
+            for pat in group:
+                sc = scan(pat)
+                if gdf is None:
+                    gdf = sc
+                else:
+                    shared = sorted(set(gdf.columns) & set(sc.columns) - {"__exists"})
+                    gdf = gdf.join(sc, on=shared) if shared else gdf.crossJoin(sc)
+            if "__exists" in gdf.columns:
+                gdf = gdf.drop("__exists")
+            if not gdf.columns:
+                continue  # fully-bound block binds nothing
+            shared = sorted(set(result.columns) & set(gdf.columns))
+            # no shared vars: constant-true left join (row-preserving even when
+            # the optional side is empty — crossJoin would annihilate the core)
+            result = (
+                result.join(gdf, on=shared, how="left")
+                if shared
+                else result.join(gdf, F.lit(True), "left")
+            )
+
+        for group in q.minus:
+            # SPARQL MINUS: drop core solutions whose shared-variable bindings
+            # have a match in the block — a left anti-join, the same plan shape
+            # as the reference-parity q06/q24 anti-joins. A block sharing no
+            # variable with the core removes nothing (SPARQL disjoint-domain
+            # rule), so it is skipped outright rather than anti-joining on
+            # nothing (which would annihilate the result).
+            mdf = join_bgp(group)
+            if "__exists" in mdf.columns:
+                mdf = mdf.drop("__exists")
+            shared = sorted(set(result.columns) & set(mdf.columns))
+            if shared:
+                result = result.join(mdf, on=shared, how="left_anti")
+
+        for positive, group in q.exists:
+            # FILTER [NOT] EXISTS: correlated existence on the shared vars —
+            # semi-join (anti for NOT). Unlike MINUS, a no-shared-variable
+            # block is a GLOBAL gate: any solution keeps (EXISTS) or drops
+            # (NOT EXISTS) every core row, expressed as a constant-true
+            # semi/anti join against the block's first row.
+            gdf = join_bgp(group)
+            if "__exists" in gdf.columns:
+                gdf = gdf.drop("__exists")
+            shared = sorted(set(result.columns) & set(gdf.columns))
+            how = "left_semi" if positive else "left_anti"
+            if shared:
+                result = result.join(gdf, on=shared, how=how)
+            else:
+                result = result.join(gdf.limit(1), F.lit(True), how)
+
+        # FILTERs apply after OPTIONAL joins but before projection (their vars
+        # need not be selected); compiled to native Column predicates
+        for fexpr in q.filters:
+            result = result.filter(filter_to_column(fexpr, F.col))
+
+        if q.ask:
+            # ASK: one row, one boolean — any solution exists? limit(1) first so
+            # the plan is an existence probe (LocalLimit stops each task after
+            # the first solution), not a full join + count for a boolean.
+            return result.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
+
+        if q.construct is not None:
+            # CONSTRUCT: instantiate each template triple once per solution,
+            # union the instantiations and deduplicate — a SPARQL result graph
+            # is a set of triples
+            out = None
+            for tp in q.construct:
+                row = result.select(
+                    *(
+                        (F.col(t[1:]) if _is_var(t) else F.lit(t))
+                        .cast("string")  # a graph holds terms, not typed values
+                        .alias(c)
+                        for t, c in ((tp.s, "s"), (tp.p, "p"), (tp.o, "o"))
+                    )
+                )
+                out = row if out is None else out.unionByName(row)
+            return out.distinct()
+        if q.aggregates:
+            # GROUP BY + aggregates, then HAVING over the aliases — one hash
+            # aggregate (partial+final map-side combine for free)
+            grouped = result.groupBy(*q.group_by) if q.group_by else result.groupBy()
+            result = grouped.agg(*aggregate_columns(q.aggregates))
+            for h in q.having:
+                result = result.filter(filter_to_column(h, F.col))
+            result = result.select(*((q.select or []) + [a.alias for a in q.aggregates]))
+        else:
+            opt_flat = [p for g in q.optional for p in g]
+            union_flat = [p for grp in q.unions for alt in grp for p in alt]
+            out_vars = q.select or sorted(
+                {v for p in q.patterns + opt_flat + union_flat for v in p.vars()}
+                | {v for vars_, _ in q.values for v in vars_}
+                | {v for _, v in q.binds}
+                | {v for sub in q.subqueries for v in query_projection(sub)}
+            )
+            result = result.select(*out_vars)
+        if q.distinct:
+            result = result.distinct()
+        if q.order_by:
+            result = result.orderBy(
+                *[F.desc(v[1:]) if v.startswith("-") else F.asc(v) for v in q.order_by]
+            )
+        if q.offset is not None:
+            result = result.offset(q.offset)
+        if q.limit is not None:
+            result = result.limit(q.limit)
+        return result
+
+    return _lower(q)

@@ -930,3 +930,55 @@ def test_bound_star_skips_node_domain(engine, monkeypatch):
         paths=True,
     )
     assert none.count() == 0
+
+
+def test_subquery_rejected_by_default():
+    with pytest.raises(ValueError, match="[Ss]ubquer"):
+        parse_sparql(
+            PREFIXES + "SELECT ?d WHERE { { SELECT ?d WHERE { ?x ub:memberOf ?d } } }"
+        )
+
+
+def test_subquery_execute_on_triples(spark):
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("d1", "label", "L1"), ("d2", "label", "L2"),
+         ("x1", "memberOf", "d1"), ("x2", "memberOf", "d1"),
+         ("x3", "memberOf", "d2")],
+        ["s", "p", "o"],
+    )
+    got = execute_on_triples(
+        t,
+        "SELECT ?lbl ?n WHERE { ?d <label> ?lbl . "
+        "{ SELECT ?d (COUNT(*) AS ?n) WHERE { ?x <memberOf> ?d } GROUP BY ?d } }",
+        allow_subquery=True, allow_aggregates=True,
+    )
+    assert sorted(map(tuple, got.collect())) == [("L1", 2), ("L2", 1)]
+    # inner LIMIT applies before the outer join (bottom-up evaluation)
+    got2 = execute_on_triples(
+        t,
+        "SELECT ?d ?lbl WHERE { ?d <label> ?lbl . "
+        "{ SELECT ?d WHERE { ?x <memberOf> ?d } ORDER BY ?d LIMIT 2 } }",
+        allow_subquery=True, allow_offset=True,
+    )
+    assert sorted(map(tuple, got2.collect())) == [("d1", "L1"), ("d1", "L1")]
+
+
+def test_subquery_engine_matches_manual(engine):
+    """Engine path: a grouped-count subquery joined with the outer name
+    pattern equals the manual groupBy + join."""
+    got = engine.sparql(
+        PREFIXES + "SELECT ?d ?n WHERE { ?d ub:subOrganizationOf ?u . "
+        "{ SELECT ?d (COUNT(*) AS ?n) WHERE { ?x ub:memberOf ?d } GROUP BY ?d } }",
+        subquery=True, aggregates=True,
+    )
+    members = engine.query([Pattern("?x", "ub:memberOf", "?d")])
+    outer = engine.query(
+        [Pattern("?d", "ub:subOrganizationOf", "?u")]
+    ).select("d")
+    manual = (
+        members.groupBy("d").agg(F.count(F.lit(1)).alias("n")).join(outer, "d")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, manual.collect()))
+    assert got.count() > 0
