@@ -32,10 +32,16 @@ transitive closure of the predicate's edge set (semi-naive delta iteration,
 distributed — something the BGP-only reference cannot express) plus the
 composite forms ``^p`` (inverse), ``p1/p2`` (sequence), ``p1|p2``
 (alternation), ``p*`` / ``p?`` (zero-length forms over the graph's term
-domain) with ``( )`` grouping; ``allow_aggregates=True`` enables aggregate
-SELECT items ``(COUNT(*) AS ?n)`` (COUNT/SUM/AVG/MIN/MAX, COUNT DISTINCT)
-with GROUP BY and HAVING; ``allow_values=True`` enables VALUES inline
-bindings (UNDEF unsupported).
+domain), ``!p`` / ``!(p1|p2)`` (negated property sets) with ``( )``
+grouping; ``allow_aggregates=True`` enables aggregate SELECT items
+``(COUNT(*) AS ?n)`` (COUNT/SUM/AVG/MIN/MAX, COUNT DISTINCT) with GROUP BY
+and HAVING; ``allow_values=True`` enables VALUES inline bindings (UNDEF
+unsupported); ``allow_construct=True`` enables the CONSTRUCT form
+(template instantiation into a distinct result graph);
+``allow_bind=True`` enables BIND(expr AS ?v) computed columns (arithmetic
+on try_cast doubles, CONCAT/STR); ``allow_subquery=True`` enables nested
+``{ SELECT ... }`` groups, evaluated bottom-up and joined with the
+enclosing group on their projection.
 
 Term canonicalization: the engine's dictionary stores *prefixed names*
 ("ub:Course_0_0_0", "rdf:type"), so pnames pass through verbatim and full
