@@ -207,17 +207,21 @@ def bind_to_column(e, colref):
 class AggSelect:
     """One aggregate SELECT item: ``(FUNC([DISTINCT] ?var | *) AS ?alias)``."""
 
-    func: str  # count / sum / avg / min / max
+    func: str  # count / sum / avg / min / max / sample / group_concat
     var: str | None  # None = COUNT(*)
     distinct: bool
     alias: str
+    separator: str = " "  # GROUP_CONCAT only (SPARQL default: single space)
 
 
 def aggregate_columns(aggs: list[AggSelect]):
     """Spark aggregate expressions for a list of AggSelect items. Values are
     term strings in both execution paths, so SUM/AVG try_cast to double
     (SPARQL's error semantics -> SQL null, ignored by the aggregate) and
-    MIN/MAX compare lexicographically (matching the varchar oracle)."""
+    MIN/MAX compare lexicographically (matching the varchar oracle).
+    GROUP_CONCAT sorts the collected values before joining and SAMPLE takes
+    the minimum — both deterministic refinements the SPARQL spec permits
+    (any order / any element), chosen so results are oracle-comparable."""
     from pyspark.sql import functions as F
 
     out = []
@@ -231,6 +235,11 @@ def aggregate_columns(aggs: list[AggSelect]):
             e = F.count(col)
         elif a.func in ("sum", "avg"):
             e = getattr(F, a.func)(col.try_cast("double"))
+        elif a.func == "sample":
+            e = F.min(col)
+        elif a.func == "group_concat":
+            vals = F.collect_set(col) if a.distinct else F.collect_list(col)
+            e = F.array_join(F.sort_array(vals), a.separator)
         else:
             e = getattr(F, a.func)(col)
         out.append(e.alias(a.alias))
@@ -858,10 +867,13 @@ class _Parser:
         return self._filter_operand()
 
     def _agg_item(self) -> AggSelect:
-        """``( FUNC([DISTINCT] ?var | *) AS ?alias )`` in the SELECT clause."""
+        """``( FUNC([DISTINCT] ?var | *) AS ?alias )`` in the SELECT clause;
+        GROUP_CONCAT also accepts ``; SEPARATOR = "sep"`` before its ')'."""
         self.expect("(")
         func = self.next().lower()
-        if func not in ("count", "sum", "avg", "min", "max"):
+        if func not in (
+            "count", "sum", "avg", "min", "max", "sample", "group_concat",
+        ):
             raise ValueError(f"aggregate function {func!r} not supported")
         self.expect("(")
         distinct = False
@@ -877,15 +889,30 @@ class _Parser:
             var = t[1:]
         else:
             raise ValueError(f"aggregate argument must be a ?var or *, got {t!r}")
-        if distinct and func != "count":
-            raise ValueError("DISTINCT only supported inside COUNT()")
+        if distinct and func not in ("count", "group_concat"):
+            raise ValueError(
+                "DISTINCT only supported inside COUNT() / GROUP_CONCAT()"
+            )
+        separator = " "
+        if self.peek() == ";":
+            if func != "group_concat":
+                raise ValueError("';' modifier only valid in GROUP_CONCAT()")
+            self.next()
+            if not self._kw(self.peek(), "SEPARATOR"):
+                raise ValueError("expected SEPARATOR after ';'")
+            self.next()
+            self.expect("=")
+            sep = self.next()
+            if not sep.startswith('"'):
+                raise ValueError("SEPARATOR must be a string literal")
+            separator = re.match(r'"((?:[^"\\]|\\.)*)"', sep).group(1)
         self.expect(")")
         self.expect("AS")
         alias = self.next()
         if not alias.startswith(("?", "$")):
             raise ValueError(f"AS: expected ?alias, got {alias!r}")
         self.expect(")")
-        return AggSelect(func, var, distinct, alias[1:])
+        return AggSelect(func, var, distinct, alias[1:], separator)
 
     def _values_block(self) -> tuple[list[str], list[list[str]]]:
         """``VALUES ?v { t1 t2 }`` or ``VALUES (?a ?b) { (t1 t2) ... }``

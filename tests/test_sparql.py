@@ -982,3 +982,22 @@ def test_subquery_engine_matches_manual(engine):
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, manual.collect()))
     assert got.count() > 0
+
+
+def test_group_concat_and_sample(spark):
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("g1", "p", "b"), ("g1", "p", "a"), ("g1", "p", "b"), ("g2", "p", "z")],
+        ["s", "p", "o"],
+    )
+    got = execute_on_triples(
+        t,
+        'SELECT ?s (GROUP_CONCAT(?v) AS ?all) '
+        '(GROUP_CONCAT(DISTINCT ?v; SEPARATOR = ",") AS ?ds) '
+        "(SAMPLE(?v) AS ?one) WHERE { ?s <p> ?v } GROUP BY ?s ORDER BY ?s",
+        allow_aggregates=True,
+    )
+    # collected values sorted before joining; SAMPLE = deterministic min
+    assert [tuple(r) for r in got.collect()] == [
+        ("g1", "a b b", "a,b", "a"), ("g2", "z", "z", "z")]
