@@ -753,6 +753,52 @@ def kg_sparql_filter(spark, sf_dir):
     )
 
 
+def kg_sparql_filter_fns(spark, sf_dir):
+    """FILTER builtin functions (beyond reference parity, opt-in):
+    STRSTARTS / STRLEN / LCASE compiled to native startswith / length /
+    lower Column expressions, plus NOT IN membership — no UDFs."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    return execute_on_triples(
+        _derived_triples(spark, sf_dir),
+        """SELECT ?n ?nm WHERE {
+             ?n <urn:type> <urn:Nation> . ?n <urn:name> ?nm .
+             FILTER (STRSTARTS(?nm, "NATION_1") && STRLEN(?nm) >= 8
+                     && LCASE(?nm) NOT IN ("nation_12", "nation_15")) }""",
+        allow_filter=True,
+    )
+
+
+def kg_sparql_describe(spark, sf_dir):
+    """DESCRIBE query form (beyond reference parity, opt-in): the distinct
+    outgoing edges of every resource matched by the WHERE clause — a
+    semi-join of the triples on the described id set."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    return execute_on_triples(
+        _derived_triples(spark, sf_dir),
+        "DESCRIBE ?c WHERE { ?c <urn:memberOf> <urn:nation:3> }",
+        allow_describe=True,
+    )
+
+
+def kg_sparql_path_quant(spark, sf_dir):
+    """Path quantifiers p{n,m} (beyond reference parity, opt-in): bounded
+    repetition lowered at parse time onto the seq/opt/star path algebra —
+    1-or-2 hops over the derived region-successor chain."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    r = _t(spark, sf_dir, "region")
+    reg = F.concat(F.lit("urn:region:"), F.col("r_regionkey"))
+    nxt = F.concat(F.lit("urn:region:"), F.col("r_regionkey") + 1)
+    edges = r.filter(F.col("r_regionkey") < 4).select(
+        reg.alias("s"), F.lit("urn:next").alias("p"), nxt.alias("o")
+    )
+    return execute_on_triples(
+        edges, "SELECT ?a ?b WHERE { ?a <urn:next>{1,2} ?b }", allow_paths=True
+    )
+
+
 def kg_bgp_star(spark, sf_dir):
     """BGP star: ?c type Customer . ?c memberOf urn:nation:5 . ?c name ?nm."""
     t = _derived_triples(spark, sf_dir)
@@ -932,10 +978,13 @@ def mm_decode_stub(spark, sf_dir):
 # capability sits in the first 50 and the tail holds only same-capability
 # variants whose operator is already proven by an earlier sibling:
 # q16_pivot/q17_cube (A3: q15_rollup), q20_intersect (U3: q19_except),
-# q23_distinct_count (A3 distinct-agg family), kg_sparql_star
-# (kg_sparql_chain + kg_bgp_star), kg_sparql_optional (J5: the group
-# variant is strictly stronger), sim_neardup_pairs (exact O(n^2) oracle
-# for sim_lsh_neardup; exact cosine proven by sim_cosine_topk).
+# q23_distinct_count (A3 distinct-agg family), q11_union_distinct (U1:
+# kg_sparql_union; P4: q08), q24_correlated_semi (J7: q05/q06),
+# kg_sparql_star (kg_sparql_chain + kg_bgp_star), kg_sparql_optional
+# (J5: the group variant is strictly stronger), kg_sparql_path_quant
+# (seq/opt/star algebra: kg_sparql_path_ops/_star), sim_neardup_pairs
+# (exact O(n^2) oracle for sim_lsh_neardup; exact cosine proven by
+# sim_cosine_topk).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_scan": q02_filter_scan,
@@ -946,7 +995,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q07_left_join_agg": q07_left_join_agg,
     "q09_topk_events": q09_topk_events,
     "q10_window_topk": q10_window_topk,
-    "q11_union_distinct": q11_union_distinct,
     "q12_groupby_having": q12_groupby_having,
     "q13_sessionize": q13_sessionize,
     "q14_json_extract": q14_json_extract,
@@ -954,7 +1002,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_scalar_subquery": q18_scalar_subquery,
     "q19_except": q19_except,
     "q22_string_funcs": q22_string_funcs,
-    "q24_correlated_semi": q24_correlated_semi,
     "kg_triples_derive": kg_triples_derive,
     "kg_rdf_import": kg_rdf_import,
     "kg_bgp_chain": kg_bgp_chain,
@@ -969,9 +1016,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_sparql_agg": kg_sparql_agg,
     "kg_sparql_values": kg_sparql_values,
     "kg_sparql_construct": kg_sparql_construct,
+    "kg_sparql_describe": kg_sparql_describe,
     "kg_sparql_bind": kg_sparql_bind,
     "kg_sparql_subquery": kg_sparql_subquery,
     "kg_sparql_filter": kg_sparql_filter,
+    "kg_sparql_filter_fns": kg_sparql_filter_fns,
     "kg_sparql_union": kg_sparql_union,
     "kg_sparql_varpred": kg_sparql_varpred,
     "kg_sparql_ask": kg_sparql_ask,
@@ -1000,9 +1049,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_winnow": text_winnow,
     "text_winnow_pairs": text_winnow_pairs,
     "mm_decode_stub": mm_decode_stub,
-    # plain SELECT DISTINCT: the P4 operator is covered in the first 50 by
-    # q11_union_distinct (union + distinct in one plan); oracle-gated
-    # locally like every tail entry
+    # path quantifiers p{n,m}: parse-time sugar over the seq/opt/star
+    # algebra already measured by kg_sparql_path_ops / kg_sparql_path_star
+    "kg_sparql_path_quant": kg_sparql_path_quant,
+    # UNION + DISTINCT in one plan: U1 stays measured via kg_sparql_union
+    # (bag union on encoded ids) and P4 via q08; yielded its first-50 slot
+    # to the new filter-builtin / DESCRIBE capabilities
+    "q11_union_distinct": q11_union_distinct,
+    # correlated semi: the J7 semi/anti family keeps q05/q06 up front
+    "q24_correlated_semi": q24_correlated_semi,
+    # plain SELECT DISTINCT (P4); oracle-gated locally like every tail entry
     "q08_distinct": q08_distinct,
     # date-part scalars: the §2.7 scalar-function family keeps q22 (string)
     # and q14 (JSON) up front
@@ -1345,6 +1401,34 @@ ORACLES: dict[str, str] = {
         WHERE ty.p = 'urn:type' AND ty.o = 'urn:Nation'
           AND ((regexp_matches(nm.o, '_1[0-9]$') OR nm.o = 'NATION_5')
                AND nm.o <> 'NATION_12')
+    """,
+    "kg_sparql_filter_fns": f"""
+        WITH triples AS ({_TRIPLES_SQL})
+        SELECT ty.s AS n, nm.o AS nm
+        FROM triples ty
+        JOIN triples nm ON nm.p = 'urn:name' AND nm.s = ty.s
+        WHERE ty.p = 'urn:type' AND ty.o = 'urn:Nation'
+          AND starts_with(nm.o, 'NATION_1') AND length(nm.o) >= 8
+          AND lower(nm.o) NOT IN ('nation_12', 'nation_15')
+    """,
+    "kg_sparql_describe": f"""
+        WITH triples AS ({_TRIPLES_SQL}),
+        res AS (
+          SELECT DISTINCT s FROM triples
+          WHERE p = 'urn:memberOf' AND o = 'urn:nation:3'
+        )
+        SELECT DISTINCT t.s AS s, t.p AS p, t.o AS o
+        FROM triples t JOIN res ON t.s = res.s
+    """,
+    "kg_sparql_path_quant": """
+        WITH edges AS (
+          SELECT 'urn:region:' || r_regionkey AS s,
+                 'urn:region:' || (r_regionkey + 1) AS o
+          FROM region WHERE r_regionkey < 4
+        )
+        SELECT s AS a, o AS b FROM edges
+        UNION ALL
+        SELECT a.s AS a, b.o AS b FROM edges a JOIN edges b ON a.o = b.s
     """,
     "kg_sparql_path": """
         WITH RECURSIVE edges AS (

@@ -928,6 +928,7 @@ class BGPEngine:
         construct: bool = False,
         bind: bool = False,
         subquery: bool = False,
+        describe: bool = False,
     ) -> DataFrame:
         """Execute a SPARQL BGP SELECT string — the reference's actual entry
         point (QueryTester.java:152 parses SPARQL text; DagCreator.java:55-154
@@ -958,6 +959,7 @@ class BGPEngine:
             allow_construct=construct,
             allow_bind=bind,
             allow_subquery=subquery,
+            allow_describe=describe,
         )
         return self._sparql_query(q, decode)
 
@@ -977,7 +979,7 @@ class BGPEngine:
             not q.filters and not q.unions and not q.ask and not q.minus
             and not q.exists and q.offset is None and not q.aggregates
             and not q.values and q.construct is None and not q.binds
-            and not q.subqueries
+            and not q.subqueries and q.describe is None
         ):
             return self.query(
                 q.patterns,
@@ -1098,7 +1100,10 @@ class BGPEngine:
         # a subquery pipeline (sub_dec) is already decoded end to end
         need_decode = not sub_dec and (
             bool(q.filters) or bool(q.binds) or q.construct is not None
-            or (decode and not q.ask and not agg_late_decode)
+            or (
+                decode and not q.ask and q.describe is None
+                and not agg_late_decode
+            )
         )
         if need_decode and result.columns:
             cols = list(result.columns)
@@ -1133,6 +1138,42 @@ class BGPEngine:
                 )
                 out = row if out is None else out.unionByName(row)
             return out.distinct()
+        if q.describe is not None:
+            # DESCRIBE: the distinct outgoing edges of the described
+            # resources (concise bounded description, one hop). The
+            # resource set is assembled on ENCODED ids — solution columns
+            # are ids unless FILTER/BIND forced an early decode, and
+            # constants resolve through the uri-sorted dictionary (pruned
+            # point lookups) — so the edge fetch is a semi-join of SPO on
+            # long keys; the (usually small) result decodes at the end.
+            decoded_vals = need_decode or sub_dec
+            ids = None
+            for t in q.describe:
+                if t.startswith("?"):
+                    c = result.select(F.col(t[1:]).alias("rid")).distinct()
+                    if decoded_vals:  # term strings -> resolve back to ids
+                        c = c.join(
+                            self._decode_dict().select(
+                                F.col("uri").alias("rid"),
+                                F.col("id").alias("__rid"),
+                            ),
+                            "rid",
+                        ).select(F.col("__rid").alias("rid"))
+                else:
+                    c = (
+                        self._decode_dict()
+                        .filter(F.col("uri") == t)
+                        .select(F.col("id").alias("rid"))
+                    )
+                ids = c if ids is None else ids.unionByName(c)
+            edges = self.store.spo().join(
+                ids.distinct().withColumnRenamed("rid", "s"), "s", "left_semi"
+            ).select("s", "p", "o")
+            # SPO is a set by construction and the semi-join preserves
+            # that, so no extra distinct is needed before or after decode
+            if decode:
+                edges = self._decode_frame(edges, pvars={"p"}).select("s", "p", "o")
+            return edges
         if q.aggregates:
             # GROUP BY + aggregates with SQL-oracle (varchar) value
             # semantics, one hash aggregate, partial+final combine for free.

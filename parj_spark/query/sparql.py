@@ -17,9 +17,11 @@ rejects non-StatementPattern nodes and variable predicates outright
 parity: ``allow_var_predicates=True`` enables the engine's OSP-backed
 variable predicates; ``allow_filter=True`` enables FILTER expressions
 (comparisons =, !=, <, <=, >, >=; && / || / !; regex(?v, "re" [, "i"]);
-bound(?v)) compiled to native Spark Column predicates — SPARQL's
-error-is-false semantics map onto SQL null propagation (a failed numeric
-cast yields null, and a null predicate drops the row); ``allow_union=True``
+bound(?v); STRSTARTS/STRENDS/CONTAINS string tests; STRLEN/UCASE/LCASE/STR
+term functions usable as operands; ``[NOT] IN (...)`` membership) compiled
+to native Spark Column predicates — SPARQL's error-is-false semantics map
+onto SQL null propagation (a failed numeric cast yields null, and a null
+predicate drops the row); ``allow_union=True``
 enables ``{ A } UNION { B }`` groups whose alternatives bind the same
 variable set (parse-enforced), each planned as its own BGP and
 column-aligned unioned before joining the core BGP; ``allow_ask=True``
@@ -32,12 +34,17 @@ transitive closure of the predicate's edge set (semi-naive delta iteration,
 distributed — something the BGP-only reference cannot express) plus the
 composite forms ``^p`` (inverse), ``p1/p2`` (sequence), ``p1|p2``
 (alternation), ``p*`` / ``p?`` (zero-length forms over the graph's term
-domain), ``!p`` / ``!(p1|p2)`` (negated property sets) with ``( )``
-grouping; ``allow_aggregates=True`` enables aggregate SELECT items
-``(COUNT(*) AS ?n)`` (COUNT/SUM/AVG/MIN/MAX, COUNT DISTINCT) with GROUP BY
-and HAVING; ``allow_values=True`` enables VALUES inline bindings (UNDEF
+domain), ``!p`` / ``!(p1|p2)`` (negated property sets), ``p{n}`` /
+``p{n,}`` / ``p{n,m}`` quantifiers (lowered at parse time onto seq/opt/
+star) with ``( )`` grouping; ``allow_aggregates=True`` enables aggregate
+SELECT items ``(COUNT(*) AS ?n)`` (COUNT/SUM/AVG/MIN/MAX/SAMPLE/
+GROUP_CONCAT, COUNT DISTINCT) with GROUP BY and HAVING;
+``allow_values=True`` enables VALUES inline bindings (UNDEF
 unsupported); ``allow_construct=True`` enables the CONSTRUCT form
 (template instantiation into a distinct result graph);
+``allow_describe=True`` enables the DESCRIBE form (the distinct outgoing
+edges of the described resources — ?vars bound by WHERE and/or constant
+terms, which may omit the WHERE clause entirely);
 ``allow_bind=True`` enables BIND(expr AS ?v) computed columns (arithmetic
 on try_cast doubles, CONCAT/STR); ``allow_subquery=True`` enables nested
 ``{ SELECT ... }`` groups, evaluated bottom-up and joined with the
@@ -150,6 +157,11 @@ class SparqlQuery:
     subqueries: list["SparqlQuery"] = field(default_factory=list)
     # BIND(expr AS ?v) assignments (opt-in extension), in document order
     binds: list[tuple["BindExpr", str]] = field(default_factory=list)
+    # DESCRIBE form (opt-in extension): resources to describe — "?var"
+    # entries are bound by the WHERE clause, plain terms are constants; the
+    # result is the distinct (s, p, o) set of the resources' outgoing edges
+    # (concise bounded description = one hop, subject position)
+    describe: list[str] | None = None
 
 
 # --- BIND expression AST (opt-in extension) -------------------------------
@@ -270,6 +282,24 @@ class Bound:
 
 
 @dataclass
+class StrTest:
+    """STRSTARTS / STRENDS / CONTAINS(arg, probe) — boolean string tests."""
+
+    func: str  # strstarts / strends / contains
+    arg: tuple  # operand (var/lit/func)
+    probe: tuple  # operand
+
+
+@dataclass
+class InList:
+    """``operand [NOT] IN (t1, t2, ...)`` membership test."""
+
+    arg: tuple
+    values: list  # operand tuples ("lit"/"num" only)
+    negated: bool = False
+
+
+@dataclass
 class Not:
     expr: "FilterExpr"
 
@@ -284,15 +314,27 @@ class Or:
     parts: list
 
 
-FilterExpr = Comparison | Regex | Bound | Not | And | Or
+FilterExpr = Comparison | Regex | Bound | StrTest | InList | Not | And | Or
+
+
+def _operand_vars(t: tuple) -> set[str]:
+    if t[0] == "var":
+        return {t[1]}
+    if t[0] == "func":
+        return _operand_vars(t[2])
+    return set()
 
 
 def filter_vars(e: FilterExpr) -> set[str]:
     """Variable names referenced by a FILTER expression."""
     if isinstance(e, Comparison):
-        return {t[1] for t in (e.lhs, e.rhs) if t[0] == "var"}
+        return _operand_vars(e.lhs) | _operand_vars(e.rhs)
     if isinstance(e, (Regex, Bound)):
         return {e.var}
+    if isinstance(e, StrTest):
+        return _operand_vars(e.arg) | _operand_vars(e.probe)
+    if isinstance(e, InList):
+        return _operand_vars(e.arg)
     if isinstance(e, Not):
         return filter_vars(e.expr)
     return {v for p in e.parts for v in filter_vars(p)}
@@ -308,17 +350,30 @@ def filter_to_column(e: FilterExpr, colref):
     same outcome, fully JVM-side (no UDF)."""
     from pyspark.sql import functions as F
 
-    def operand(t, numeric: bool):
+    def operand(t, numeric: bool = False):
         if t[0] == "var":
             c = colref(t[1])
             return c.try_cast("double") if numeric else c
-        if t[0] == "num":
-            return F.lit(t[1])
+        if t[0] == "func":
+            # unary term functions: STRLEN yields a numeric column (no cast
+            # needed — F.length is int-typed); UCASE/LCASE rewrap the
+            # string; STR is the identity on our plain-string term model
+            inner = operand(t[2])
+            return {
+                "strlen": F.length, "ucase": F.upper,
+                "lcase": F.lower, "str": lambda c: c,
+            }[t[1]](inner)
         return F.lit(t[1])
 
+    def is_numeric(t) -> bool:
+        return t[0] == "num" or (t[0] == "func" and t[1] == "strlen")
+
     if isinstance(e, Comparison):
-        numeric = e.lhs[0] == "num" or e.rhs[0] == "num"
-        l, r = operand(e.lhs, numeric), operand(e.rhs, numeric)
+        # try_cast only the STRING operands of a numeric comparison
+        # (STRLEN is already int; casting it again would be wasted work)
+        numeric = is_numeric(e.lhs) or is_numeric(e.rhs)
+        l = operand(e.lhs, numeric and not is_numeric(e.lhs))
+        r = operand(e.rhs, numeric and not is_numeric(e.rhs))
         return {
             "=": l == r, "!=": l != r,
             "<": l < r, "<=": l <= r, ">": l > r, ">=": l >= r,
@@ -328,6 +383,19 @@ def filter_to_column(e: FilterExpr, colref):
         return colref(e.var).rlike(pat)
     if isinstance(e, Bound):
         return colref(e.var).isNotNull()
+    if isinstance(e, StrTest):
+        arg, probe = operand(e.arg), operand(e.probe)
+        return {
+            "strstarts": arg.startswith(probe),
+            "strends": arg.endswith(probe),
+            "contains": arg.contains(probe),
+        }[e.func]
+    if isinstance(e, InList):
+        # unbound arg -> null -> isin yields null -> row dropped either way
+        # (SPARQL evaluation-error-is-false, same rule as the comparisons)
+        vals = [v[1] for v in e.values]
+        c = operand(e.arg).isin(vals)
+        return ~c if e.negated else c
     if isinstance(e, Not):
         return ~filter_to_column(e.expr, colref)
     if isinstance(e, And):
@@ -367,6 +435,22 @@ def _normalize_path(p: Path) -> "str | Path":
     return p
 
 
+def _EMPTY_BODY() -> dict:
+    """WHERE-body dict for the no-WHERE DESCRIBE form."""
+    return {
+        "patterns": [], "optional": [], "filters": [], "unions": [],
+        "minus": [], "exists": [], "values": [], "binds": [],
+        "subqueries": [],
+    }
+
+
+def _EMPTY_MODS() -> dict:
+    return {
+        "order_by": [], "limit": None, "offset": None,
+        "group_by": [], "having": [],
+    }
+
+
 class _Parser:
     def __init__(
         self,
@@ -383,6 +467,7 @@ class _Parser:
         allow_construct: bool = False,
         allow_bind: bool = False,
         allow_subquery: bool = False,
+        allow_describe: bool = False,
     ):
         self.toks = toks
         self.i = 0
@@ -399,6 +484,7 @@ class _Parser:
         self.allow_construct = allow_construct
         self.allow_bind = allow_bind
         self.allow_subquery = allow_subquery
+        self.allow_describe = allow_describe
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -468,6 +554,7 @@ class _Parser:
         select: list[str] | None = None
         aggregates: list[AggSelect] = []
         construct: list[Pattern] | None = None
+        describe: list[str] | None = None
         if self._kw(self.peek(), "ASK") and self.allow_ask:
             # parity by default: ASK stays rejected (the reference only
             # runs SELECT); parse_sparql(..., allow_ask=True) opts in
@@ -495,14 +582,36 @@ class _Parser:
                 "CONSTRUCT is not supported at reference parity "
                 "(pass allow_construct=True to opt in)"
             )
+        elif self._kw(self.peek(), "DESCRIBE") and self.allow_describe:
+            # DESCRIBE form (opt-in): resources are ?vars (bound by WHERE)
+            # and/or constant terms; WHERE is optional iff all constants
+            self.next()
+            describe = []
+            while (t := self.peek()) is not None and (
+                t.startswith(("?", "$", "<")) or (":" in t and t != ":")
+            ):
+                describe.append(self.term())
+            if not describe:
+                raise ValueError("DESCRIBE: expected at least one ?var or term")
+        elif self._kw(self.peek(), "DESCRIBE"):
+            raise ValueError(
+                "DESCRIBE is not supported at reference parity "
+                "(pass allow_describe=True to opt in)"
+            )
         else:
             distinct, select, aggregates = self._select_clause()
 
         if self._kw(self.peek(), "WHERE"):
             self.next()
-        self.expect("{")
-        body = self._where_body()
-        mods = self._modifiers(in_subquery=False)
+        if describe is not None and self.peek() != "{":
+            # constant-only DESCRIBE may omit the WHERE clause entirely
+            if any(t.startswith("?") for t in describe):
+                raise ValueError("DESCRIBE ?var requires a WHERE clause")
+            body, mods = _EMPTY_BODY(), _EMPTY_MODS()
+        else:
+            self.expect("{")
+            body = self._where_body()
+            mods = self._modifiers(in_subquery=False)
         q = SparqlQuery(
             select=select,
             distinct=distinct,
@@ -510,6 +619,7 @@ class _Parser:
             ask=ask,
             aggregates=aggregates,
             construct=construct,
+            describe=describe,
             **body,
             **mods,
         )
@@ -1009,8 +1119,36 @@ class _Parser:
                 raise ValueError("bound(): argument must be a variable")
             self.expect(")")
             return Bound(var[1])
+        if t is not None and t.upper() in ("STRSTARTS", "STRENDS", "CONTAINS"):
+            func = self.next().lower()
+            self.expect("(")
+            arg = self._filter_operand()
+            self.expect(",")
+            probe = self._filter_operand()
+            self.expect(")")
+            return StrTest(func, arg, probe)
         lhs = self._filter_operand()
-        op = self.peek()
+        nxt = self.peek()
+        if nxt is not None and nxt.upper() in ("IN", "NOT"):
+            negated = nxt.upper() == "NOT"
+            self.next()
+            if negated:
+                if not self._kw(self.peek(), "IN"):
+                    raise ValueError("FILTER: expected IN after NOT")
+                self.next()
+            self.expect("(")
+            values = []
+            while True:
+                v = self._filter_operand()
+                if v[0] not in ("lit", "num"):
+                    raise ValueError("IN list members must be constants")
+                values.append(v)
+                if self.peek() != ",":
+                    break
+                self.next()
+            self.expect(")")
+            return InList(lhs, values, negated)
+        op = nxt
         if op not in ("=", "!=", "<", "<=", ">", ">="):
             raise ValueError(
                 f"FILTER: expected comparison operator after operand, got {op!r}"
@@ -1021,6 +1159,12 @@ class _Parser:
 
     def _filter_operand(self) -> tuple:
         t = self.next()
+        if t.upper() in ("STRLEN", "UCASE", "LCASE", "STR") and self.peek() == "(":
+            # unary term-function operand, usable anywhere a var/constant is
+            self.next()
+            inner = self._filter_operand()
+            self.expect(")")
+            return ("func", t.lower(), inner)
         if t.startswith(("?", "$")):
             return ("var", t[1:])
         if t.startswith('"'):
@@ -1130,7 +1274,51 @@ class _Parser:
         if mod in ("+", "*", "?"):
             self.next()
             prim = Path({"+": "plus", "*": "star", "?": "opt"}[mod], (prim,))
+        elif mod == "{":
+            prim = self._path_quantifier(prim)
         return Path("inv", (prim,)) if inv else prim
+
+    def _path_quantifier(self, prim: Path) -> Path:
+        """``p{n}`` / ``p{n,}`` / ``p{n,m}`` bounded repetition (opt-in
+        extension; drafts of SPARQL 1.1 carried these before the final
+        spec dropped them). Lowered at parse time onto the existing path
+        algebra — no new engine machinery:
+
+          p{n}   -> p/p/.../p                (n copies)
+          p{n,}  -> p/.../p/(p*)             (n copies then closure)
+          p{n,m} -> p/.../p/(p?)/.../(p?)    (n copies + m-n optionals)
+
+        seq-of-opt is exact because ``p?`` includes the zero-length
+        identity over the graph's term domain."""
+        self.expect("{")
+        lo = self.next()
+        if not lo.isdigit():
+            raise ValueError(f"path quantifier: expected integer, got {lo!r}")
+        n = int(lo)
+        m: int | None = n
+        if self.peek() == ",":
+            self.next()
+            if self.peek() == "}":
+                m = None  # open upper bound
+            else:
+                hi = self.next()
+                if not hi.isdigit():
+                    raise ValueError(
+                        f"path quantifier: expected integer, got {hi!r}"
+                    )
+                m = int(hi)
+        self.expect("}")
+        if m is not None and m < n:
+            raise ValueError(f"path quantifier: max {m} < min {n}")
+        if m == 0:
+            raise ValueError("path quantifier: {0} matches nothing but "
+                             "zero-length paths; use p? or p*")
+        parts = [prim] * n
+        if m is None:
+            parts.append(Path("star", (prim,)))
+        else:
+            parts.extend([Path("opt", (prim,))] * (m - n))
+        return parts[0] if len(parts) == 1 else Path("seq", tuple(parts))
 
     def _path_primary(self) -> Path:
         if self.peek() == "(":
@@ -1170,7 +1358,11 @@ class _Parser:
 
     @staticmethod
     def _validate(q: SparqlQuery) -> None:
-        if not q.patterns and not q.unions and not q.subqueries:
+        if (
+            not q.patterns and not q.unions and not q.subqueries
+            # constant-only DESCRIBE legitimately has no WHERE clause
+            and not (q.describe and not any(t.startswith("?") for t in q.describe))
+        ):
             raise ValueError("SPARQL parser: empty basic graph pattern")
         opt_flat = [p for g in q.optional for p in g]
         union_flat = [p for grp in q.unions for alt in grp for p in alt]
@@ -1198,6 +1390,19 @@ class _Parser:
             if unknown:
                 raise ValueError(
                     f"CONSTRUCT template vars not bound by the WHERE clause: {unknown}"
+                )
+        if q.describe is not None:
+            if q.aggregates or q.order_by or q.limit is not None or q.offset is not None:
+                raise ValueError(
+                    "DESCRIBE does not combine with aggregates or solution "
+                    "modifiers (ORDER BY / LIMIT / OFFSET) in this subset"
+                )
+            unknown = sorted(
+                {t[1:] for t in q.describe if t.startswith("?")} - bound
+            )
+            if unknown:
+                raise ValueError(
+                    f"DESCRIBE vars not bound by the WHERE clause: {unknown}"
                 )
         if q.select:
             unknown = [v for v in q.select if v not in bound]
@@ -1264,6 +1469,7 @@ def parse_sparql(
     allow_construct: bool = False,
     allow_bind: bool = False,
     allow_subquery: bool = False,
+    allow_describe: bool = False,
 ) -> SparqlQuery:
     """Parse a SPARQL BGP SELECT query string (see module docstring for the
     accepted subset; everything the reference rejects, we reject by default —
@@ -1279,12 +1485,14 @@ def parse_sparql(
     with GROUP BY and HAVING, ``allow_values=True`` to VALUES inline
     bindings, ``allow_construct=True`` to the CONSTRUCT form,
     ``allow_bind=True`` to BIND computed columns, ``allow_subquery=True``
-    to nested ``{ SELECT ... }`` groups; ``allow_filter=True`` also
-    enables FILTER [NOT] EXISTS blocks)."""
+    to nested ``{ SELECT ... }`` groups, ``allow_describe=True`` to the
+    DESCRIBE form; ``allow_filter=True`` also enables FILTER [NOT] EXISTS
+    blocks)."""
     return _Parser(
         _tokenize(text), allow_var_predicates, allow_filter, allow_union,
         allow_ask, allow_minus, allow_paths, allow_offset, allow_aggregates,
         allow_values, allow_construct, allow_bind, allow_subquery,
+        allow_describe,
     ).parse()
 
 
@@ -1303,6 +1511,7 @@ def execute_on_triples(
     allow_construct: bool = False,
     allow_bind: bool = False,
     allow_subquery: bool = False,
+    allow_describe: bool = False,
 ):
     """Execute a SPARQL BGP SELECT directly over a (s, p, o) string-typed
     triples DataFrame — no dictionary encoding or stats required.
@@ -1330,6 +1539,7 @@ def execute_on_triples(
         allow_construct=allow_construct,
         allow_bind=allow_bind,
         allow_subquery=allow_subquery,
+        allow_describe=allow_describe,
     )
 
     def _is_var(t) -> bool:
@@ -1610,6 +1820,24 @@ def execute_on_triples(
                 )
                 out = row if out is None else out.unionByName(row)
             return out.distinct()
+        if q.describe is not None:
+            # DESCRIBE: distinct outgoing edges (subject position) of the
+            # described resources — ?vars take their distinct solution
+            # values, plain terms are constants; one semi-join of the
+            # triples on the assembled resource set
+            res = None
+            for t in q.describe:
+                c = (
+                    result.select(F.col(t[1:]).alias("s")).distinct()
+                    if t.startswith("?")
+                    else triples.sparkSession.createDataFrame([(t,)], "s string")
+                )
+                res = c if res is None else res.unionByName(c)
+            return (
+                triples.join(res.distinct(), "s", "left_semi")
+                .select("s", "p", "o")
+                .distinct()  # the result is a graph (a set of triples)
+            )
         if q.aggregates:
             # GROUP BY + aggregates, then HAVING over the aliases — one hash
             # aggregate (partial+final map-side combine for free)

@@ -1001,3 +1001,159 @@ def test_group_concat_and_sample(spark):
     # collected values sorted before joining; SAMPLE = deterministic min
     assert [tuple(r) for r in got.collect()] == [
         ("g1", "a b b", "a,b", "a"), ("g2", "z", "z", "z")]
+
+
+def test_filter_builtin_str_functions(spark):
+    """STRSTARTS/STRENDS/CONTAINS/STRLEN/UCASE/LCASE compile to native
+    Column string ops; STRLEN comparisons are numeric without a cast."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("a", "u:n", "Alpha"), ("b", "u:n", "beta"), ("c", "u:n", "Gamma")],
+        ["s", "p", "o"],
+    )
+    base = "SELECT ?s WHERE { ?s <u:n> ?v . FILTER (%s) }"
+
+    def run(cond):
+        got = execute_on_triples(t, base % cond, allow_filter=True)
+        return sorted(r["s"] for r in got.collect())
+
+    assert run('STRSTARTS(?v, "G")') == ["c"]
+    assert run('STRENDS(?v, "a")') == ["a", "b", "c"]
+    assert run('CONTAINS(?v, "et")') == ["b"]
+    assert run("STRLEN(?v) >= 5") == ["a", "c"]
+    assert run('UCASE(?v) = "BETA"') == ["b"]
+    assert run('LCASE(?v) = "alpha"') == ["a"]
+    assert run('STRSTARTS(UCASE(?v), "B")') == ["b"]
+
+
+def test_filter_in_not_in(spark):
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("a", "u:n", "x"), ("b", "u:n", "y"), ("c", "u:n", "z")],
+        ["s", "p", "o"],
+    )
+    got = execute_on_triples(
+        t,
+        'SELECT ?s WHERE { ?s <u:n> ?v . FILTER (?v IN ("x", "z")) }',
+        allow_filter=True,
+    )
+    assert sorted(r["s"] for r in got.collect()) == ["a", "c"]
+    got = execute_on_triples(
+        t,
+        'SELECT ?s WHERE { ?s <u:n> ?v . FILTER (?v NOT IN ("x", "z")) }',
+        allow_filter=True,
+    )
+    assert sorted(r["s"] for r in got.collect()) == ["b"]
+
+
+def test_filter_builtins_engine_matches_manual(engine):
+    base = PREFIXES + "SELECT ?x ?y WHERE { ?x rdf:type ub:Course . ?x ub:name ?y . %s}"
+    got = engine.sparql(
+        base % 'FILTER (CONTAINS(LCASE(?y), "course") && STRLEN(?y) > 3) ',
+        filters=True,
+    )
+    want = engine.sparql(base % "").filter(
+        F.lower(F.col("y")).contains("course") & (F.length("y") > 3)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
+
+
+def test_filter_in_list_members_must_be_constants():
+    with pytest.raises(ValueError, match="IN list members"):
+        parse_sparql(
+            PREFIXES + "SELECT ?x WHERE { ?x ub:name ?y . FILTER (?y IN (?x)) }",
+            allow_filter=True,
+        )
+
+
+def test_path_quantifiers_execute_on_triples(spark):
+    """p{n} / p{n,} / p{n,m} lower onto the existing path algebra: exact
+    pair sets over the 4-node chain a->b->c->d."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("a", "next", "b"), ("b", "next", "c"), ("c", "next", "d")],
+        ["s", "p", "o"],
+    )
+
+    def rows(q):
+        return sorted(tuple(r) for r in execute_on_triples(
+            t, q, allow_paths=True).collect())
+
+    assert rows("SELECT ?x ?y WHERE { ?x <next>{2} ?y }") == [
+        ("a", "c"), ("b", "d")]
+    # {1,2}: one or two hops
+    assert rows("SELECT ?y WHERE { <a> <next>{1,2} ?y }") == [("b",), ("c",)]
+    # {2,}: two or more hops
+    assert rows("SELECT ?y WHERE { <a> <next>{2,} ?y }") == [("c",), ("d",)]
+    # {0,1} == p?: zero-length pair included
+    assert rows("SELECT ?y WHERE { <b> <next>{0,1} ?y }") == [("b",), ("c",)]
+
+
+def test_path_quantifier_engine_matches_seq(engine):
+    """Engine path: ub:subOrganizationOf{1,2} == 1-hop UNION 2-hop manual."""
+    got = engine.sparql(
+        PREFIXES + "SELECT ?x ?y WHERE { ?x ub:subOrganizationOf{1,2} ?y }",
+        paths=True,
+    )
+    one = engine.query([Pattern("?x", "ub:subOrganizationOf", "?y")],
+                       select=["x", "y"])
+    two = engine.query(
+        [Pattern("?x", "ub:subOrganizationOf", "?m"),
+         Pattern("?m", "ub:subOrganizationOf", "?y")],
+        select=["x", "y"],
+    )
+    want = one.unionByName(two)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
+
+
+def test_describe_execute_on_triples(spark):
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("a", "u:n", "A"), ("a", "u:t", "T"), ("b", "u:n", "B"),
+         ("c", "u:ref", "a")],
+        ["s", "p", "o"],
+    )
+    # var form: all outgoing edges of every matched resource
+    got = execute_on_triples(
+        t,
+        'DESCRIBE ?x WHERE { ?x <u:n> ?v . FILTER (?v != "B") }',
+        allow_describe=True, allow_filter=True,
+    )
+    assert sorted(map(tuple, got.collect())) == [
+        ("a", "u:n", "A"), ("a", "u:t", "T")]
+    # constant form, no WHERE clause
+    got = execute_on_triples(t, "DESCRIBE <b> <c>", allow_describe=True)
+    assert sorted(map(tuple, got.collect())) == [
+        ("b", "u:n", "B"), ("c", "u:ref", "a")]
+
+
+def test_describe_engine_matches_string_path(engine):
+    """Engine DESCRIBE (encoded semi-join + decode) == the same DESCRIBE
+    over the decoded triple set."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    q = PREFIXES + "DESCRIBE ?d WHERE { ?d rdf:type ub:Department }"
+    got = engine.sparql(q, describe=True)
+    store = engine.store
+    d, pr = store.dict(), store.properties()
+    triples = (
+        store.spo()
+        .join(d.selectExpr("id as s", "uri as s_uri"), "s")
+        .join(pr.selectExpr("id as p", "uri as p_uri"), "p")
+        .join(d.selectExpr("id as o", "uri as o_uri"), "o")
+        .selectExpr("s_uri as s", "p_uri as p", "o_uri as o")
+    )
+    want = execute_on_triples(triples, q, allow_describe=True)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
+
+
+def test_describe_rejected_by_default():
+    with pytest.raises(ValueError, match="allow_describe=True"):
+        parse_sparql("DESCRIBE <urn:a>")
