@@ -160,3 +160,21 @@ def test_aggregate_groups_on_encoded_ids(spark, tiny_graph):
     # one dict scan: only the group key decodes (after the aggregate);
     # COUNT(*) needs no value decode
     assert plan.count("dict_stage") == 1
+
+
+def test_describe_joins_on_encoded_ids(spark, tiny_graph):
+    """DESCRIBE assembles the resource set on encoded ids and semi-joins
+    SPO on long keys; only the RESULT decodes (s + o through the dict =
+    exactly two dict scans, p through the broadcast properties catalog).
+    Resolving resources via decoded solution strings would add a third
+    dict scan before the semi-join."""
+    eng = BGPEngine(tiny_graph)
+    df = eng.sparql(
+        "PREFIX rdf:<rdf:> PREFIX ub:<ub:> "
+        "DESCRIBE ?d WHERE { ?d rdf:type ub:Department }",
+        describe=True,
+    )
+    plan = _plan(df)
+    assert plan.count("dict_stage") == 2
+    assert "LeftSemi" in plan
+    assert df.count() > 0
