@@ -46,9 +46,11 @@ unsupported); ``allow_construct=True`` enables the CONSTRUCT form
 edges of the described resources — ?vars bound by WHERE and/or constant
 terms, which may omit the WHERE clause entirely);
 ``allow_bind=True`` enables BIND(expr AS ?v) computed columns (arithmetic
-on try_cast doubles, CONCAT/STR); ``allow_subquery=True`` enables nested
-``{ SELECT ... }`` groups, evaluated bottom-up and joined with the
-enclosing group on their projection.
+on try_cast doubles, CONCAT/STR, STRLEN/UCASE/LCASE operands) and the
+SPARQL 1.1 ``(expr AS ?v)`` SELECT-expression form (lowered onto the same
+BIND machinery, evaluated after WHERE binds); ``allow_subquery=True``
+enables nested ``{ SELECT ... }`` groups, evaluated bottom-up and joined
+with the enclosing group on their projection.
 
 Term canonicalization: the engine's dictionary stores *prefixed names*
 ("ub:Course_0_0_0", "rdf:type"), so pnames pass through verbatim and full
@@ -188,7 +190,7 @@ BindExpr = "Arith | Concat | tuple"
 def bind_vars(e) -> set[str]:
     """Variable names referenced by a BIND expression."""
     if isinstance(e, tuple):
-        return {e[1]} if e[0] == "var" else set()
+        return _operand_vars(e)
     if isinstance(e, Arith):
         return bind_vars(e.lhs) | bind_vars(e.rhs)
     return {v for p in e.parts for v in bind_vars(p)}
@@ -203,6 +205,12 @@ def bind_to_column(e, colref):
     if isinstance(e, tuple):
         if e[0] == "var":
             return colref(e[1])
+        if e[0] == "func":
+            inner = bind_to_column(e[2], colref)
+            return {
+                "strlen": F.length, "ucase": F.upper,
+                "lcase": F.lower, "str": lambda c: c,
+            }[e[1]](inner)
         return F.lit(e[1])
     if isinstance(e, Arith):
         def num(x):
@@ -553,6 +561,7 @@ class _Parser:
         distinct = False
         select: list[str] | None = None
         aggregates: list[AggSelect] = []
+        select_exprs: list[tuple] = []
         construct: list[Pattern] | None = None
         describe: list[str] | None = None
         if self._kw(self.peek(), "ASK") and self.allow_ask:
@@ -599,7 +608,12 @@ class _Parser:
                 "(pass allow_describe=True to opt in)"
             )
         else:
-            distinct, select, aggregates = self._select_clause()
+            distinct, select, aggregates, select_exprs = self._select_clause()
+            if select_exprs and aggregates:
+                raise ValueError(
+                    "SELECT expressions and aggregate items do not combine "
+                    "in this subset (compute aggregates in a subquery)"
+                )
 
         if self._kw(self.peek(), "WHERE"):
             self.next()
@@ -612,6 +626,10 @@ class _Parser:
             self.expect("{")
             body = self._where_body()
             mods = self._modifiers(in_subquery=False)
+        # SELECT expressions evaluate over the WHERE solutions like binds
+        # declared last (they may reference BIND targets); the alias is
+        # already in the select list, so projection keeps it
+        body["binds"] = body["binds"] + select_exprs
         q = SparqlQuery(
             select=select,
             distinct=distinct,
@@ -626,52 +644,90 @@ class _Parser:
         self._validate(q)
         return q
 
-    def _select_clause(self) -> tuple[bool, list[str] | None, list[AggSelect]]:
-        """``SELECT [DISTINCT] (*|?vars|(AGG .. AS ?alias)...)`` — shared by
-        the top-level query and subqueries."""
+    _AGG_FUNCS = ("count", "sum", "avg", "min", "max", "sample", "group_concat")
+
+    def _select_clause(
+        self,
+    ) -> tuple[bool, list[str] | None, list[AggSelect], list[tuple]]:
+        """``SELECT [DISTINCT] (*|?vars|(AGG .. AS ?alias)|(expr AS ?v)...)``
+        — shared by the top-level query and subqueries. A parenthesized item
+        whose head is an aggregate function name is an aggregate; any other
+        is a SELECT expression, returned as (BindExpr, alias) pairs and
+        lowered onto the BIND machinery by the caller."""
         self.expect("SELECT")
         distinct = False
         if self._kw(self.peek(), "DISTINCT"):
             self.next()
             distinct = True
         aggregates: list[AggSelect] = []
+        select_exprs: list[tuple] = []
         if self.peek() == "*":
             self.next()
-            return distinct, None, aggregates
+            return distinct, None, aggregates, select_exprs
         select: list[str] = []
         while self.peek() is not None:
             t = self.peek()
             if t.startswith(("?", "$")):
                 select.append(self.next()[1:])
             elif t == "(":
-                if not self.allow_aggregates:
-                    # parity by default: the reference's aggregate
-                    # surface is dead Exareme legacy (SURVEY.md
-                    # §2.4 A2); opt in via allow_aggregates
-                    raise ValueError(
-                        "aggregate SELECT items are not supported at "
-                        "reference parity (pass allow_aggregates=True "
-                        "to opt in)"
-                    )
-                aggregates.append(self._agg_item())
+                head = (
+                    self.toks[self.i + 1].lower()
+                    if self.i + 1 < len(self.toks)
+                    else ""
+                )
+                if head in self._AGG_FUNCS:
+                    if not self.allow_aggregates:
+                        # parity by default: the reference's aggregate
+                        # surface is dead Exareme legacy (SURVEY.md
+                        # §2.4 A2); opt in via allow_aggregates
+                        raise ValueError(
+                            "aggregate SELECT items are not supported at "
+                            "reference parity (pass allow_aggregates=True "
+                            "to opt in)"
+                        )
+                    aggregates.append(self._agg_item())
+                else:
+                    # (expr AS ?v) projection expression — SPARQL 1.1's
+                    # SELECT-expression form, same surface as BIND
+                    if not self.allow_bind:
+                        raise ValueError(
+                            "SELECT expressions are not supported at "
+                            "reference parity (pass allow_bind=True "
+                            "to opt in)"
+                        )
+                    self.next()
+                    expr = self._bind_expr()
+                    self.expect("AS")
+                    alias = self.next()
+                    if not alias.startswith(("?", "$")):
+                        raise ValueError(f"AS: expected ?alias, got {alias!r}")
+                    self.expect(")")
+                    select_exprs.append((expr, alias[1:]))
+                    select.append(alias[1:])
             else:
                 break
         if not select and not aggregates:
             raise ValueError("SELECT: expected ?vars or *")
-        return distinct, select, aggregates
+        return distinct, select, aggregates, select_exprs
 
     def _subselect(self) -> SparqlQuery:
         """``{ SELECT ... WHERE { ... } <modifiers> }`` — a nested query
         evaluated independently and joined with the enclosing group on its
         projected variables. The opening '{' is already consumed; this
         parses through the closing '}'."""
-        distinct, select, aggregates = self._select_clause()
+        distinct, select, aggregates, select_exprs = self._select_clause()
+        if select_exprs and aggregates:
+            raise ValueError(
+                "SELECT expressions and aggregate items do not combine "
+                "in this subset (compute aggregates in a subquery)"
+            )
         if self._kw(self.peek(), "WHERE"):
             self.next()
         self.expect("{")
         body = self._where_body()
         mods = self._modifiers(in_subquery=True)
         self.expect("}")
+        body["binds"] = body["binds"] + select_exprs
         q = SparqlQuery(
             select=select,
             distinct=distinct,

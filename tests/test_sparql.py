@@ -1157,3 +1157,57 @@ def test_describe_engine_matches_string_path(engine):
 def test_describe_rejected_by_default():
     with pytest.raises(ValueError, match="allow_describe=True"):
         parse_sparql("DESCRIBE <urn:a>")
+
+
+def test_select_expressions(spark):
+    """(expr AS ?v) SELECT items lower onto the BIND machinery: computed
+    projection columns in document order, referencing WHERE binds."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("a", "u:price", "3"), ("b", "u:price", "10")], ["s", "p", "o"]
+    )
+    got = execute_on_triples(
+        t,
+        "SELECT ?s (?v * 2 AS ?dbl) (STRLEN(?s) AS ?l) "
+        "WHERE { ?s <u:price> ?v } ORDER BY ?s",
+        allow_bind=True,
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        ("a", 6.0, 1), ("b", 20.0, 1)]
+
+
+def test_select_expressions_engine(engine):
+    got = engine.sparql(
+        PREFIXES + "SELECT ?x (UCASE(?y) AS ?u) WHERE "
+        "{ ?x rdf:type ub:Course . ?x ub:name ?y }",
+        bind=True,
+    )
+    want = engine.sparql(
+        PREFIXES + "SELECT ?x ?y WHERE { ?x rdf:type ub:Course . ?x ub:name ?y }"
+    ).select("x", F.upper("y").alias("u"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
+
+
+def test_select_expressions_guards():
+    with pytest.raises(ValueError, match="allow_bind=True"):
+        parse_sparql("SELECT (?a + 1 AS ?b) WHERE { ?a <u:p> ?c }")
+    with pytest.raises(ValueError, match="do not combine"):
+        parse_sparql(
+            "SELECT (?a + 1 AS ?b) (COUNT(*) AS ?n) WHERE { ?a <u:p> ?c }",
+            allow_bind=True, allow_aggregates=True,
+        )
+
+
+def test_bind_with_string_functions(spark):
+    """STRLEN/UCASE/LCASE operands now compose inside BIND expressions."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame([("ab", "u:n", "x")], ["s", "p", "o"])
+    got = execute_on_triples(
+        t,
+        "SELECT ?n WHERE { ?s <u:n> ?o . BIND (STRLEN(?s) + 1 AS ?n) }",
+        allow_bind=True,
+    )
+    assert [r["n"] for r in got.collect()] == [3.0]
