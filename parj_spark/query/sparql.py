@@ -46,7 +46,8 @@ unsupported); ``allow_construct=True`` enables the CONSTRUCT form
 edges of the described resources — ?vars bound by WHERE and/or constant
 terms, which may omit the WHERE clause entirely);
 ``allow_bind=True`` enables BIND(expr AS ?v) computed columns (arithmetic
-on try_cast doubles, CONCAT/STR, STRLEN/UCASE/LCASE operands) and the
+on try_cast doubles, CONCAT/STR, STRLEN/UCASE/LCASE operands,
+IF(cond, then, else) via when/otherwise and COALESCE) and the
 SPARQL 1.1 ``(expr AS ?v)`` SELECT-expression form (lowered onto the same
 BIND machinery, evaluated after WHERE binds); ``allow_subquery=True``
 enables nested ``{ SELECT ... }`` groups, evaluated bottom-up and joined
@@ -184,7 +185,24 @@ class Concat:
     parts: tuple
 
 
-BindExpr = "Arith | Concat | tuple"
+@dataclass(frozen=True)
+class If:
+    """IF(cond, then, else): cond is a FILTER boolean expression; an
+    error-valued (null) condition yields the else branch — the
+    F.when/otherwise null-is-false behavior matches SPARQL's
+    effective-boolean-value coercion of errors under IF."""
+
+    cond: "FilterExpr"
+    then: "BindExpr | tuple"
+    els: "BindExpr | tuple"
+
+
+@dataclass(frozen=True)
+class Coalesce:
+    parts: tuple
+
+
+BindExpr = "Arith | Concat | If | Coalesce | tuple"
 
 
 def bind_vars(e) -> set[str]:
@@ -193,6 +211,8 @@ def bind_vars(e) -> set[str]:
         return _operand_vars(e)
     if isinstance(e, Arith):
         return bind_vars(e.lhs) | bind_vars(e.rhs)
+    if isinstance(e, If):
+        return filter_vars(e.cond) | bind_vars(e.then) | bind_vars(e.els)
     return {v for p in e.parts for v in bind_vars(p)}
 
 
@@ -220,6 +240,12 @@ def bind_to_column(e, colref):
             ) else c
         l, r = num(e.lhs), num(e.rhs)
         return {"+": l + r, "-": l - r, "*": l * r, "/": l / r}[e.op]
+    if isinstance(e, If):
+        return F.when(
+            filter_to_column(e.cond, colref), bind_to_column(e.then, colref)
+        ).otherwise(bind_to_column(e.els, colref))
+    if isinstance(e, Coalesce):
+        return F.coalesce(*[bind_to_column(p, colref) for p in e.parts])
     return F.concat(*[bind_to_column(p, colref).cast("string") for p in e.parts])
 
 
@@ -1017,7 +1043,7 @@ class _Parser:
             e = self._bind_expr()
             self.expect(")")
             return e
-        if t is not None and t.upper() in ("CONCAT", "STR"):
+        if t is not None and t.upper() in ("CONCAT", "STR", "COALESCE"):
             fn = self.next().upper()
             self.expect("(")
             parts = [self._bind_expr()]
@@ -1029,7 +1055,19 @@ class _Parser:
                 if len(parts) != 1:
                     raise ValueError("STR() takes exactly one argument")
                 return parts[0]  # values are term strings already
+            if fn == "COALESCE":
+                return Coalesce(tuple(parts))
             return Concat(tuple(parts))
+        if t is not None and t.upper() == "IF":
+            self.next()
+            self.expect("(")
+            cond = self._filter_or()
+            self.expect(",")
+            then = self._bind_expr()
+            self.expect(",")
+            els = self._bind_expr()
+            self.expect(")")
+            return If(cond, then, els)
         return self._filter_operand()
 
     def _agg_item(self) -> AggSelect:
@@ -1790,10 +1828,6 @@ def execute_on_triples(
                 if shared
                 else result.crossJoin(F.broadcast(vdf))
             )
-        for expr, v in q.binds:
-            # BIND(expr AS ?v): a computed column on the solution set, in
-            # document order (later binds may reference earlier targets)
-            result = result.withColumn(v, bind_to_column(expr, F.col))
         for group in q.optional:
             # SPARQL group semantics: the patterns of one OPTIONAL block join
             # each other first; the assembled group left-joins the core, so the
@@ -1849,6 +1883,14 @@ def execute_on_triples(
             else:
                 result = result.join(gdf.limit(1), F.lit(True), how)
 
+        for expr, v in q.binds:
+            # BIND(expr AS ?v): a computed column on the solution set, in
+            # document order (later binds may reference earlier targets).
+            # Applied after ALL the group's joins — including OPTIONAL
+            # blocks, whose vars a bind/SELECT expression may reference
+            # (e.g. COALESCE over an optional binding) — matching the
+            # engine path's placement.
+            result = result.withColumn(v, bind_to_column(expr, F.col))
         # FILTERs apply after OPTIONAL joins but before projection (their vars
         # need not be selected); compiled to native Column predicates
         for fexpr in q.filters:

@@ -1211,3 +1211,35 @@ def test_bind_with_string_functions(spark):
         allow_bind=True,
     )
     assert [r["n"] for r in got.collect()] == [3.0]
+
+
+def test_bind_if_and_coalesce(spark):
+    """IF(cond, a, b) compiles to when/otherwise (null condition -> else
+    branch, SPARQL error coercion); COALESCE picks the first bound value."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("a", "u:price", "3"), ("b", "u:price", "10"), ("c", "u:price", "x")],
+        ["s", "p", "o"],
+    )
+    got = execute_on_triples(
+        t,
+        'SELECT ?s (IF(?v > 5, "high", "low") AS ?band) '
+        "WHERE { ?s <u:price> ?v } ORDER BY ?s",
+        allow_bind=True, allow_filter=True,
+    )
+    # "x" fails the numeric cast -> null condition -> else branch
+    assert [tuple(r) for r in got.collect()] == [
+        ("a", "low"), ("b", "high"), ("c", "low")]
+
+    t2 = spark.createDataFrame(
+        [("a", "u:nick", "Al"), ("a", "u:name", "Alice"), ("b", "u:name", "Bob")],
+        ["s", "p", "o"],
+    )
+    got = execute_on_triples(
+        t2,
+        "SELECT ?s (COALESCE(?nick, ?name) AS ?label) WHERE "
+        "{ ?s <u:name> ?name OPTIONAL { ?s <u:nick> ?nick } } ORDER BY ?s",
+        allow_bind=True,
+    )
+    assert [tuple(r) for r in got.collect()] == [("a", "Al"), ("b", "Bob")]
