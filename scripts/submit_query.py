@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""spark-submit entry point for querying a materialized graph.
+
+The analog of the reference's user-facing query driver (QueryTester.java:
+49-200): point it at a graph directory, feed it SPARQL — from a file (one
+query per line), a --query string, or interactively — and it plans each
+query over the permutation tables, times N reps, and reports result counts
+and per-rep wall times. Mirrors the reference driver's behaviors:
+
+- statistics are built on demand when missing (QueryTester.java:126-139
+  falls back to SPARQLAnalyzer when histograms.json is absent);
+- dictionary decode ("Use dictionary lookups for results?") is optional —
+  --no-decode returns encoded ids only, like lookups=false;
+- file mode ignores lines shorter than 30 characters (QueryTester.java:161
+  "Lines with less than 30 characters will be ignored");
+- the first query is run once untimed as warm-up (warmUpJVM analog) so the
+  timed reps measure the plan, not JVM/session spin-up;
+- reps default to 1 interactively and 11 in file mode, the reference's
+  benchmark protocol (QueryTester.java:170, README.md:66).
+
+Cluster usage:
+
+    spark-submit --master <cluster> --py-files dist/parj_spark.zip \\
+        scripts/submit_query.py /data/graph --file lubm_queries.txt --reps 11
+
+Local smoke:
+
+    python scripts/submit_query.py /tmp/kg --query \\
+        "SELECT ?x WHERE { ?x <urn:rel:advisor> ?y }" --print-results
+
+By default the full opt-in SPARQL surface (FILTER, UNION, OPTIONAL, paths,
+aggregates, ...) is enabled — --strict restores reference parity, which
+rejects everything beyond conjunctive BGP SELECT (DagCreator.java:170-171,
+269-271).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# every extension flag sparql() exposes; --strict turns them all off
+EXTENSIONS = dict(
+    var_predicates=True, filters=True, unions=True, ask=True, minus=True,
+    paths=True, offset=True, aggregates=True, values=True, construct=True,
+    bind=True, subquery=True, describe=True,
+)
+
+MIN_QUERY_CHARS = 30  # QueryTester.java:161 file-mode filter
+
+
+def read_query_file(path: str) -> list[str]:
+    with open(path) as f:
+        return [ln.strip() for ln in f if len(ln.strip()) >= MIN_QUERY_CHARS]
+
+
+def run_one(engine, text: str, *, decode: bool, strict: bool, reps: int,
+            print_results: bool, limit: int) -> dict:
+    """Time one query for ``reps`` reps; returns a result-summary dict."""
+    flags = {} if strict else EXTENSIONS
+    times_ms: list[float] = []
+    n_rows = None
+    shown = None
+    for rep in range(reps):
+        t0 = time.monotonic()
+        df = engine.sparql(text, decode=decode, **flags)
+        if print_results and rep == 0:
+            shown = df.limit(limit).collect() if limit else df.collect()
+            n_rows = len(shown) if not limit else df.count()
+        else:
+            n_rows = df.count()
+        times_ms.append((time.monotonic() - t0) * 1000.0)
+    if shown is not None:
+        for row in shown:
+            print("\t".join("" if v is None else str(v) for v in row))
+        if limit and n_rows > limit:
+            print(f"... ({n_rows - limit} more rows)")
+    return {
+        "rows": n_rows,
+        "reps": reps,
+        "ms_min": round(min(times_ms), 1),
+        "ms_avg": round(sum(times_ms) / len(times_ms), 1),
+        "ms_max": round(max(times_ms), 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(
+        description="Run SPARQL queries against a materialized graph dir."
+    )
+    ap.add_argument("graph_dir", help="graph directory (run_pipeline output)")
+    src = ap.add_mutually_exclusive_group()
+    src.add_argument("--file", help="query file, one query per line "
+                     f"(lines < {MIN_QUERY_CHARS} chars ignored)")
+    src.add_argument("--query", help="a single SPARQL query string")
+    ap.add_argument("--reps", type=int, default=None,
+                    help="timed reps per query (default 1; 11 in file mode, "
+                    "the reference's protocol)")
+    ap.add_argument("--no-decode", dest="decode", action="store_false",
+                    default=True, help="skip dictionary lookups: return "
+                    "encoded ids (reference lookups=false)")
+    ap.add_argument("--print-results", action="store_true",
+                    help="print result rows (first rep)")
+    ap.add_argument("--limit", type=int, default=20,
+                    help="max rows printed with --print-results (0 = all)")
+    ap.add_argument("--strict", action="store_true",
+                    help="reference parity mode: reject FILTER/UNION/... "
+                    "like DagCreator.java:170-171")
+    ap.add_argument("--no-warmup", dest="warmup", action="store_false",
+                    default=True)
+    ap.add_argument("--no-analyze", dest="analyze", action="store_false",
+                    default=True, help="skip on-demand statistics build")
+    ap.add_argument("--json", dest="json_path",
+                    help="also write per-query summaries to this JSON file")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from parj_spark.construct.pipeline import GraphStore, analyze_graph
+
+    # under spark-submit the session config comes from the submit command;
+    # getOrCreate() attaches to it (plain builder keeps cluster masters
+    # intact; local smoke runs get defaults)
+    spark = SparkSession.builder.appName("parj_spark_query").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    store = GraphStore(spark, args.graph_dir)
+    if args.analyze and store.join_stats() is None:
+        # reference behavior when histograms.json is absent
+        # (QueryTester.java:126-139): analyze now, then serve queries
+        print("Database statistics are missing. Analyzing graph "
+              "(this may take some time...)", file=sys.stderr)
+        t0 = time.monotonic()
+        analyze_graph(store)
+        print(f"analyze done in {time.monotonic() - t0:.1f}s", file=sys.stderr)
+
+    from parj_spark.query.bgp import BGPEngine
+
+    t0 = time.monotonic()
+    engine = BGPEngine(store)
+    print(f"engine ready in {(time.monotonic() - t0) * 1000:.0f} ms "
+          f"(layout: {'bucketed' if engine.bucketed_prefix else 'partitioned'})",
+          file=sys.stderr)
+
+    if args.file:
+        queries = read_query_file(args.file)
+        reps = args.reps or 11
+    elif args.query:
+        queries = [args.query]
+        reps = args.reps or 1
+    else:
+        queries = None  # interactive
+        reps = args.reps or 1
+
+    summaries: list[dict] = []
+
+    def serve(text: str, warm: bool) -> None:
+        if warm:
+            # warmUpJVM analog: one untimed run primes codegen + caches
+            engine.sparql(text, decode=False,
+                          **({} if args.strict else EXTENSIONS)).count()
+        print(text)
+        try:
+            s = run_one(engine, text, decode=args.decode, strict=args.strict,
+                        reps=reps, print_results=args.print_results,
+                        limit=args.limit)
+        except ValueError as e:
+            print(f"  REJECTED: {e}")
+            summaries.append({"query": text, "error": str(e)})
+            return
+        print(f"  {s['rows']} rows | {reps} reps | "
+              f"min {s['ms_min']} ms, avg {s['ms_avg']} ms, "
+              f"max {s['ms_max']} ms")
+        summaries.append({"query": text, **s})
+
+    if queries is not None:
+        for i, q in enumerate(queries):
+            serve(q, warm=args.warmup and i == 0)
+    else:
+        print("Enter one SPARQL query per line (blank line or EOF to quit):",
+              file=sys.stderr)
+        first = True
+        for line in sys.stdin:
+            line = line.strip()
+            if not line:
+                break
+            serve(line, warm=args.warmup and first)
+            first = False
+
+    if args.json_path:
+        with open(args.json_path, "w") as f:
+            json.dump(summaries, f, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Tests for scripts/submit_query.py — the QueryTester.java analog CLI.
+
+The subprocess path (spark-submit) would spin a second JVM; these tests
+exercise the module's functions in-process against the session fixtures.
+"""
+
+import importlib.util
+import os
+
+import pytest
+
+SCRIPT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "scripts",
+    "submit_query.py",
+)
+
+PREFIXES = "PREFIX rdf:<rdf:> PREFIX ub:<ub:> "
+Q_DEPTS = PREFIXES + "SELECT ?x WHERE { ?x rdf:type ub:Department }"
+
+
+@pytest.fixture(scope="module")
+def runner():
+    spec = importlib.util.spec_from_file_location("submit_query", SCRIPT)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def engine(tiny_graph):
+    from parj_spark.query.bgp import BGPEngine
+
+    return BGPEngine(tiny_graph)
+
+
+def test_read_query_file_ignores_short_lines(runner, tmp_path):
+    # QueryTester.java:161 — "Lines with less than 30 characters will be
+    # ignored"; blank lines and comments under the threshold drop out too
+    p = tmp_path / "queries.txt"
+    p.write_text(f"# lubm\n\nshort line\n{Q_DEPTS}\n")
+    assert runner.read_query_file(str(p)) == [Q_DEPTS]
+
+
+def test_run_one_times_and_counts(runner, engine):
+    s = runner.run_one(
+        engine,
+        Q_DEPTS,
+        decode=True,
+        strict=True,
+        reps=2,
+        print_results=False,
+        limit=0,
+    )
+    assert s["rows"] == 8  # tiny_corpus has 8 departments
+    assert s["reps"] == 2
+    assert 0 < s["ms_min"] <= s["ms_avg"] <= s["ms_max"]
+
+
+def test_strict_mode_rejects_extensions(runner, engine):
+    # reference parity: DagCreator.java:170-171 rejects FILTER
+    q = (
+        PREFIXES
+        + 'SELECT ?x ?n WHERE { ?x ub:name ?n . FILTER(?n != "nobody") }'
+    )
+    with pytest.raises(ValueError):
+        runner.run_one(
+            engine, q, decode=True, strict=True, reps=1,
+            print_results=False, limit=0,
+        )
+    # default mode accepts it
+    s = runner.run_one(
+        engine, q, decode=True, strict=False, reps=1,
+        print_results=False, limit=0,
+    )
+    assert s["rows"] > 0
+
+
+def test_print_results_limit(runner, engine, capsys):
+    s = runner.run_one(
+        engine,
+        Q_DEPTS,
+        decode=True,
+        strict=True,
+        reps=1,
+        print_results=True,
+        limit=3,
+    )
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.strip().splitlines() if ln]
+    assert s["rows"] == 8
+    assert len(lines) == 4  # 3 rows + "... (5 more rows)"
+    assert lines[-1] == "... (5 more rows)"
