@@ -100,6 +100,14 @@ class GraphStore:
     def triples_uri(self) -> DataFrame:
         return self._read("triples_uri")
 
+    def export_ntriples(self, path: str, partitions: int | None = None) -> None:
+        """Dump the graph as N-Triples text (rdf_io.write_ntriples over
+        triples_uri) — the importer's inverse, for handing a graph to any
+        RDF tool; the reference's loader is one-way."""
+        from parj_spark.construct.rdf_io import write_ntriples
+
+        write_ntriples(self.triples_uri(), path, partitions=partitions)
+
     def mentions(self) -> DataFrame:
         return self._read("mentions")
 

@@ -72,3 +72,53 @@ def count_rejected(spark: SparkSession, path: str) -> int:
     malformed) — the importer's loud-but-not-fatal loss accounting."""
     lines = spark.read.text(path).filter(~F.col("value").rlike(_SKIP_RE))
     return lines.count() - read_ntriples(spark, path).count()
+
+
+# an object serializes as an IRI when it looks like one: a URI scheme
+# followed by characters legal inside <>; everything else (spaces, quotes,
+# angle brackets, or no scheme) must be a literal. String triples carry no
+# IRI/literal flag — the importer canonicalized literals to bare strings —
+# so this is the inverse of that canonicalization, not extra state.
+_IRI_SHAPE_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*:[^\s\"<>]*$"
+
+
+def _escape(col):
+    """Inverse of ``_unescape``: backslash first (so the escapes it
+    introduces are not re-escaped), then quote, newline, tab."""
+    x = F.regexp_replace(col, r"\\", r"\\\\")
+    x = F.regexp_replace(x, '"', '\\\\"')
+    x = F.regexp_replace(x, "\n", r"\\n")
+    return F.regexp_replace(x, "\t", r"\\t")
+
+
+def write_ntriples(triples: DataFrame, path: str, partitions: int | None = None) -> None:
+    """Serialize a string-triples relation to N-Triples text files — the
+    importer's inverse, closing the round trip the reference never offers
+    (its loader is one-way, ImportHandler.java:24-172): a GraphStore's
+    ``triples_uri`` table or a CONSTRUCT result becomes a ``.nt`` dataset
+    any RDF tool can read, written distributed (one part file per
+    partition; ``partitions`` coalesces, e.g. 1 for a single file).
+
+    Accepts columns (s_uri, p_uri, o_uri) or (s, p, o). Objects matching a
+    URI shape serialize as ``<iri>``; everything else as an escaped
+    ``"literal"`` — the inverse of the importer's literal canonicalization.
+    All formatting is JVM-side concat/regexp (no per-row Python).
+    """
+    cols = triples.columns
+    if {"s_uri", "p_uri", "o_uri"} <= set(cols):
+        s, p, o = F.col("s_uri"), F.col("p_uri"), F.col("o_uri")
+    elif {"s", "p", "o"} <= set(cols):
+        s, p, o = F.col("s"), F.col("p"), F.col("o")
+    else:
+        raise ValueError(f"expected (s_uri,p_uri,o_uri) or (s,p,o) columns, got {cols}")
+    obj = F.when(
+        o.rlike(_IRI_SHAPE_RE), F.concat(F.lit("<"), o, F.lit(">"))
+    ).otherwise(F.concat(F.lit('"'), _escape(o), F.lit('"')))
+    lines = triples.select(
+        F.concat(
+            F.lit("<"), s, F.lit("> <"), p, F.lit("> "), obj, F.lit(" .")
+        ).alias("value")
+    )
+    if partitions:
+        lines = lines.coalesce(partitions)
+    lines.write.mode("overwrite").text(path)

@@ -80,3 +80,46 @@ def test_import_rdf_end_to_end(spark, tmp_path):
         "ASK { <urn:n1> <urn:next>+ <urn:n2> }", ask=True, paths=True
     )
     assert [r["ask"] for r in ask.collect()] == [True]
+
+
+def test_write_ntriples_round_trip(spark, nt_path, tmp_path):
+    """Export is the importer's exact inverse: write what was read, read it
+    back, and the triple sets are equal — escapes, empty literals, IRIs."""
+    from parj_spark.construct.rdf_io import write_ntriples
+
+    orig = read_ntriples(spark, nt_path)
+    out = str(tmp_path / "export")
+    write_ntriples(orig, out, partitions=1)
+    back = {tuple(r) for r in read_ntriples(spark, out).collect()}
+    assert back == {tuple(r) for r in orig.collect()}
+    # nothing in the exported file is skipped on re-read
+    assert count_rejected(spark, out) == 0
+
+
+def test_write_ntriples_spo_columns_and_rejection(spark, tmp_path):
+    """CONSTRUCT results carry (s, p, o) column names — accepted directly;
+    anything else fails loudly."""
+    from parj_spark.construct.rdf_io import write_ntriples
+
+    df = spark.createDataFrame(
+        [("urn:a", "urn:knows", "urn:b"), ("urn:a", "urn:name", "A says \"hi\"")],
+        ["s", "p", "o"],
+    )
+    out = str(tmp_path / "spo")
+    write_ntriples(df, out, partitions=1)
+    back = {tuple(r) for r in read_ntriples(spark, out).collect()}
+    assert back == {
+        ("urn:a", "urn:knows", "urn:b"),
+        ("urn:a", "urn:name", 'A says "hi"'),
+    }
+    with pytest.raises(ValueError):
+        write_ntriples(df.toDF("x", "y", "z"), str(tmp_path / "bad"))
+
+
+def test_graphstore_export_ntriples(spark, tiny_graph, tmp_path):
+    """A pipeline-built GraphStore dumps to .nt and re-reads triple-exact."""
+    out = str(tmp_path / "dump")
+    tiny_graph.export_ntriples(out, partitions=1)
+    back = read_ntriples(spark, out)
+    assert back.count() == tiny_graph.triples_uri().count()
+    assert count_rejected(spark, out) == 0
