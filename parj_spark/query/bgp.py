@@ -892,6 +892,98 @@ class BGPEngine:
             result = result.limit(limit)
         return result
 
+    def explain(self, patterns: list[Pattern] | str) -> str:
+        """Driver-side plan report: replay the planner's decisions for a BGP
+        without executing it — the analog of the reference printing its
+        decomposed join DAG before running (DagCreator.java:55-154 logs the
+        chosen tree). One line per pattern in chosen join order: access
+        path (which permutation table / path closure), estimated
+        cardinality, join keys, and the join strategy the estimates imply
+        (broadcast below the gate; bucketed sort-merge with no exchange
+        when the join key is the layout's bucket column; shuffle otherwise).
+
+        Estimates come from the same T1/T2/T3/histogram stats the real
+        planner uses, so this is what WILL run — for the executed physical
+        plan, call ``.explain("formatted")`` on the query's DataFrame."""
+        if isinstance(patterns, str):
+            patterns = parse_bgp(patterns)
+        terms = self._resolve_terms(patterns)
+        self._hydrate(patterns)
+        ordered = self._order(patterns, terms)
+        method = (
+            "DP (left-deep subset lattice, T3-costed)"
+            if 2 < len(patterns) <= self.MAX_DP_PATTERNS and self._join_stats
+            else "greedy (most-selective-first)"
+        )
+        layout = (
+            f"bucketed ({self.bucketed_prefix}_*, p-partitioned + "
+            "bucketed/sorted on the first column)"
+            if self.bucketed_prefix
+            else "p-partitioned parquet permutations"
+        )
+        lines = [
+            f"layout: {layout}",
+            f"join order: {method}",
+        ]
+        bound_cols: set[str] = set()
+        for i, pat in enumerate(ordered):
+            s_var = pat.s[1:] if _is_var(pat.s) else None
+            o_var = pat.o[1:] if _is_var(pat.o) else None
+            s_const = None if s_var else terms.get(pat.s)
+            o_const = None if o_var else terms.get(pat.o)
+            # replay _scan's access-path choice, including the join hint
+            if _is_var(pat.p):
+                access = "OSP (var predicate)" if o_const is not None else "SPO (var predicate)"
+            elif isinstance(pat.p, Path) or (
+                isinstance(pat.p, str) and pat.p.endswith("+") and pat.p[:-1] in self._props
+            ):
+                access = "path closure (semi-naive fixpoint relation)"
+            else:
+                hint = None
+                if i > 0:
+                    if s_var and s_var in bound_cols:
+                        hint = "spo"
+                    elif o_var and o_var in bound_cols:
+                        hint = "pos"
+                if o_const is not None and s_const is None:
+                    orientation = "pos"
+                elif s_const is not None:
+                    orientation = "spo"
+                else:
+                    orientation = hint or "spo"
+                consts = [
+                    c for c, v in (("s", s_const), ("o", o_const)) if v is not None
+                ]
+                access = orientation.upper() + (
+                    f", {'+'.join(consts)} bound" if consts else ""
+                )
+            est = self._estimate(pat, terms)
+            shared = sorted({v for v in (s_var, o_var) if v} & bound_cols)
+            if i == 0:
+                strat = "seed scan"
+            elif not shared:
+                strat = "CARTESIAN (no shared vars)"
+            elif 0 < self.broadcast_rows >= est:
+                strat = f"broadcast hash join on ({', '.join(shared)})"
+            elif (
+                self.bucketed_prefix
+                and len(shared) == 1
+                and not isinstance(pat.p, Path)
+                and not _is_var(pat.p)
+                and not pat.p.endswith("+")
+            ):
+                strat = f"bucketed sort-merge join on ({shared[0]}), no exchange"
+            else:
+                strat = f"shuffle join on ({', '.join(shared)})"
+            lines.append(
+                f"  [{i + 1}] {pat.s} {pat.p} {pat.o}  "
+                f"-> {access}; est {est:,.0f} rows; {strat}"
+            )
+            bound_cols |= {v for v in (s_var, o_var) if v}
+            if _is_var(pat.p):
+                bound_cols.add(pat.p[1:])
+        return "\n".join(lines)
+
     def _decode_frame(
         self, result: DataFrame, pvars: set[str], only: list[str] | None = None
     ) -> DataFrame:
@@ -943,9 +1035,22 @@ class BGPEngine:
         blocks attach to the core BGP. A query containing a ``{ SELECT }``
         subquery runs its whole group decoded (subquery solutions surface
         term strings), so prefer flat BGPs for the hot path at scale."""
+        q = self._parse_sparql_text(
+            text, var_predicates, filters, unions, ask, minus, paths, offset,
+            aggregates, values, construct, bind, subquery, describe,
+        )
+        return self._sparql_query(q, decode)
+
+    @staticmethod
+    def _parse_sparql_text(
+        text, var_predicates=False, filters=False, unions=False, ask=False,
+        minus=False, paths=False, offset=False, aggregates=False,
+        values=False, construct=False, bind=False, subquery=False,
+        describe=False,
+    ):
         from parj_spark.query.sparql import parse_sparql
 
-        q = parse_sparql(
+        return parse_sparql(
             text,
             allow_var_predicates=var_predicates,
             allow_filter=filters,
@@ -961,7 +1066,17 @@ class BGPEngine:
             allow_subquery=subquery,
             allow_describe=describe,
         )
-        return self._sparql_query(q, decode)
+
+    def explain_sparql(self, text: str, **flags) -> str:
+        """:meth:`explain` for a SPARQL string: parse with the same opt-in
+        ``flags`` :meth:`sparql` takes and report the plan of the query's
+        core BGP (UNION/OPTIONAL/MINUS blocks plan as their own BGPs with
+        the same machinery and are not repeated here)."""
+        q = self._parse_sparql_text(text, **flags)
+        pats = getattr(q, "patterns", None)
+        if not pats:
+            return "(no core BGP — nothing to plan driver-side)"
+        return self.explain(list(pats))
 
     def _sparql_query(self, q, decode: bool) -> DataFrame:
         """Lower one parsed (sub)query over the permutation tables —

@@ -111,6 +111,9 @@ def main() -> None:
     ap.add_argument("--strict", action="store_true",
                     help="reference parity mode: reject FILTER/UNION/... "
                     "like DagCreator.java:170-171")
+    ap.add_argument("--explain", action="store_true",
+                    help="print the planner's join-order/access-path report "
+                    "for each query's core BGP before running it")
     ap.add_argument("--no-warmup", dest="warmup", action="store_false",
                     default=True)
     ap.add_argument("--no-analyze", dest="analyze", action="store_false",
@@ -165,6 +168,14 @@ def main() -> None:
             engine.sparql(text, decode=False,
                           **({} if args.strict else EXTENSIONS)).count()
         print(text)
+        if args.explain:
+            try:
+                print(engine.explain_sparql(
+                    text, **({} if args.strict else EXTENSIONS)))
+            except ValueError as e:
+                print(f"  REJECTED: {e}")
+                summaries.append({"query": text, "error": str(e)})
+                return
         try:
             s = run_one(engine, text, decode=args.decode, strict=args.strict,
                         reps=reps, print_results=args.print_results,

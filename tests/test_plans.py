@@ -178,3 +178,59 @@ def test_describe_joins_on_encoded_ids(spark, tiny_graph):
     assert plan.count("dict_stage") == 2
     assert "LeftSemi" in plan
     assert df.count() > 0
+
+
+def test_explain_reports_plan_decisions(spark, tiny_graph):
+    """BGPEngine.explain replays the planner without executing: join order,
+    access paths, estimates, and join strategies all appear, and the
+    report agrees with the engine's configuration."""
+    eng = BGPEngine(tiny_graph)
+    txt = eng.explain(
+        """
+        ?s ub:advisor ?p
+        ?s ub:takesCourse ?c
+        ?p ub:teacherOf ?c
+        """
+    )
+    lines = txt.splitlines()
+    assert lines[0].startswith("layout: bucketed")
+    assert "DP" in lines[1]  # 3 patterns + T3 stats present
+    body = lines[2:]
+    assert len(body) == 3
+    assert body[0].endswith("seed scan")
+    # later steps share a var with the prefix: never cartesian
+    assert all("CARTESIAN" not in ln for ln in body)
+    assert all("est" in ln and "->" in ln for ln in body)
+
+
+def test_explain_seed_and_cartesian(spark, tiny_graph):
+    eng = BGPEngine(tiny_graph, broadcast_rows=0)  # disable broadcast gate
+    txt = eng.explain(
+        """
+        ?x rdf:type ub:Department
+        ?y rdf:type ub:University
+        """
+    )
+    body = txt.splitlines()[2:]
+    # disjoint patterns: second step is an explicit cartesian warning
+    assert body[0].endswith("seed scan")
+    assert "CARTESIAN" in body[1]
+    # constant-object scans read POS with o bound
+    assert all("POS, o bound" in ln for ln in body)
+    # with broadcast off and no shared key, no broadcast strategy appears
+    assert "broadcast" not in txt
+
+
+def test_explain_sparql_lubm(spark, tiny_graph):
+    eng = BGPEngine(tiny_graph)
+    txt = eng.explain_sparql(
+        "PREFIX rdf:<rdf:> PREFIX ub:<ub:> "
+        "SELECT ?x ?y ?z WHERE { ?y ub:teacherOf ?z . "
+        "?y rdf:type ub:FullProfessor . ?z rdf:type ub:Course . "
+        "?x ub:advisor ?y . ?x rdf:type ub:UndergraduateStudent . "
+        "?x ub:takesCourse ?z }"
+    )
+    body = txt.splitlines()[2:]
+    assert len(body) == 6
+    assert body[0].endswith("seed scan")
+    assert "CARTESIAN" not in txt
