@@ -229,6 +229,32 @@ def main() -> None:
     )
     record("bgp_sparql_path_seq", lambda: engine.sparql(seq_q, decode=False, paths=True).count())
 
+    # WatDiv template families (the baseline metric names "LUBM/WatDiv-style
+    # join wall-time"): S = star (one hub, 4 satellites), F = snowflake (two
+    # linked hubs with satellites), C = complex (triangle + chain + attribute
+    # satellites, 8 patterns — stresses the DP lattice). L (linear) is
+    # covered by bgp_chain_member/path_seq above.
+    watdiv = {
+        "bgp_watdiv_s": (
+            "PREFIX rdf:<rdf:> PREFIX ub:<ub:> SELECT ?p ?n ?e ?t ?d WHERE "
+            "{ ?p rdf:type ub:FullProfessor . ?p ub:name ?n . "
+            "?p ub:emailAddress ?e . ?p ub:telephone ?t . ?p ub:worksFor ?d }"
+        ),
+        "bgp_watdiv_f": (
+            "PREFIX ub:<ub:> SELECT ?p ?c ?cn ?d ?u WHERE "
+            "{ ?p ub:teacherOf ?c . ?c ub:name ?cn . ?p ub:worksFor ?d . "
+            "?d ub:subOrganizationOf ?u . ?p ub:emailAddress ?e }"
+        ),
+        "bgp_watdiv_c": (
+            "PREFIX rdf:<rdf:> PREFIX ub:<ub:> SELECT ?s ?p ?c ?d WHERE "
+            "{ ?s ub:advisor ?p . ?s ub:takesCourse ?c . ?p ub:teacherOf ?c . "
+            "?s rdf:type ub:UndergraduateStudent . ?p ub:name ?pn . "
+            "?c ub:name ?cn . ?p ub:worksFor ?d . ?d ub:subOrganizationOf ?u }"
+        ),
+    }
+    for wname, wq in watdiv.items():
+        record(wname, lambda wq=wq: engine.sparql(wq, decode=False).count())
+
     if cleanup:
         shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -287,6 +313,10 @@ def main() -> None:
                  lambda: eng.sparql(agg_q, aggregates=True).count()),
                 ("bgp_sparql_path_seq",
                  lambda: eng.sparql(seq_q, decode=False, paths=True).count()),
+                *(
+                    (wname, lambda wq=wq: eng.sparql(wq, decode=False).count())
+                    for wname, wq in watdiv.items()
+                ),
             ):
                 kept = _timed_reps(fn, reps)
                 avgs[nm] = round(sum(kept) / len(kept), 3)

@@ -447,6 +447,25 @@ _SPARQL_OPTIONAL_GROUP = """
 """
 
 
+# WatDiv complex (C) shape — the benchmark family the metric names next to
+# LUBM: an 8-pattern BGP mixing a 2-hop chain (c -> n -> r), three type
+# anchors, and a name-attribute satellite on every chain node. Stresses the
+# DP join-order lattice (2^8 subsets) the way WatDiv C1-C3 stress engines.
+_SPARQL_WATDIV_C = """
+    PREFIX urn: <urn:>
+    SELECT ?c ?cn ?nn ?rn WHERE {
+        ?c urn:memberOf ?n .
+        ?n urn:partOf ?r .
+        ?c urn:type urn:Customer .
+        ?n urn:type urn:Nation .
+        ?r urn:type urn:Region .
+        ?c urn:name ?cn .
+        ?n urn:name ?nn .
+        ?r urn:name ?rn
+    }
+"""
+
+
 def kg_sparql_chain(spark, sf_dir):
     """SPARQL text front-end, chain shape — the reference's actual entry
     point (SPARQL string -> parsed BGP -> join plan; QueryTester.java:152,
@@ -455,6 +474,15 @@ def kg_sparql_chain(spark, sf_dir):
     from parj_spark.query.sparql import execute_on_triples
 
     return execute_on_triples(_derived_triples(spark, sf_dir), _SPARQL_CHAIN)
+
+
+def kg_sparql_watdiv_c(spark, sf_dir):
+    """WatDiv complex-shape BGP (8 patterns: chain + type anchors + attribute
+    satellites) through the text front-end — the other half of the
+    'LUBM/WatDiv-style join wall-time' metric."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    return execute_on_triples(_derived_triples(spark, sf_dir), _SPARQL_WATDIV_C)
 
 
 def kg_sparql_star(spark, sf_dir):
@@ -1036,6 +1064,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": text_fingerprint,
     "mm_binary_meta": mm_binary_meta,
     "mm_frame_sample": mm_frame_sample,
+    "kg_sparql_watdiv_c": kg_sparql_watdiv_c,
     # -- same-capability variants (see ordering note above) --
     # LSH/IVF ANN, near-dup scale paths and winnowing: rows-only driver
     # evidence by design (no SQL oracle); correctness lives in the
@@ -1364,6 +1393,22 @@ ORACLES: dict[str, str] = {
              AND mem.s = ty.s
         JOIN triples nm ON nm.p = 'urn:name' AND nm.s = ty.s
         WHERE ty.p = 'urn:type' AND ty.o = 'urn:Customer'
+    """,
+    "kg_sparql_watdiv_c": f"""
+        WITH triples AS ({_TRIPLES_SQL})
+        SELECT mem.s AS c, cn.o AS cn, nn.o AS nn, rn.o AS rn
+        FROM triples mem
+        JOIN triples pt ON pt.p = 'urn:partOf' AND pt.s = mem.o
+        JOIN triples tc ON tc.p = 'urn:type' AND tc.o = 'urn:Customer'
+             AND tc.s = mem.s
+        JOIN triples tn ON tn.p = 'urn:type' AND tn.o = 'urn:Nation'
+             AND tn.s = mem.o
+        JOIN triples tr ON tr.p = 'urn:type' AND tr.o = 'urn:Region'
+             AND tr.s = pt.o
+        JOIN triples cn ON cn.p = 'urn:name' AND cn.s = mem.s
+        JOIN triples nn ON nn.p = 'urn:name' AND nn.s = mem.o
+        JOIN triples rn ON rn.p = 'urn:name' AND rn.s = pt.o
+        WHERE mem.p = 'urn:memberOf'
     """,
     "kg_sparql_optional": f"""
         WITH triples AS ({_TRIPLES_SQL})

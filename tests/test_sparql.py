@@ -24,6 +24,16 @@ LUBM = {
     "lubm7": "SELECT ?x ?y ?z WHERE { ?y ub:teacherOf ?z .  ?y rdf:type ub:FullProfessor . ?z rdf:type ub:Course . ?x ub:advisor ?y . ?x rdf:type ub:UndergraduateStudent . ?x ub:takesCourse ?z }",
 }
 
+# WatDiv-shaped BGPs (the other benchmark family the baseline metric names):
+# S = star, L = linear/path, F = snowflake, C = complex — the four WatDiv
+# basic-testing template families, instantiated on the fixture vocabulary
+WATDIV = {
+    "watdiv_s": "SELECT ?p ?n ?e ?t ?d WHERE { ?p rdf:type ub:FullProfessor . ?p ub:name ?n . ?p ub:emailAddress ?e . ?p ub:telephone ?t . ?p ub:worksFor ?d }",
+    "watdiv_l": "SELECT ?g ?d ?u WHERE { ?g rdf:type ub:ResearchGroup . ?g ub:subOrganizationOf ?d . ?d ub:subOrganizationOf ?u . ?u rdf:type ub:University }",
+    "watdiv_f": "SELECT ?p ?c ?cn ?d ?u WHERE { ?p ub:teacherOf ?c . ?c ub:name ?cn . ?p ub:worksFor ?d . ?d ub:subOrganizationOf ?u . ?p ub:emailAddress ?e }",
+    "watdiv_c": "SELECT ?s ?p ?c ?d WHERE { ?s ub:advisor ?p . ?s ub:takesCourse ?c . ?p ub:teacherOf ?c . ?s rdf:type ub:UndergraduateStudent . ?p ub:name ?pn . ?c ub:name ?cn . ?p ub:worksFor ?d . ?d ub:subOrganizationOf ?u }",
+}
+
 
 @pytest.fixture(scope="module")
 def engine(tiny_graph):
@@ -51,6 +61,20 @@ def test_lubm_queries_nonempty(engine):
     require cross-university structure the tiny fixture doesn't generate."""
     for name in ("lubm2", "lubm4", "lubm5", "lubm7"):
         assert engine.sparql(PREFIXES + LUBM[name]).count() > 0, name
+
+
+@pytest.mark.parametrize("name", sorted(WATDIV))
+def test_watdiv_shapes(engine, name):
+    """The four WatDiv template families (star/linear/snowflake/complex)
+    parse, match the hand-built Pattern path, and are non-empty on the
+    fixture graph."""
+    text = PREFIXES + WATDIV[name]
+    q = parse_sparql(text)
+    via_sparql = engine.sparql(text)
+    via_patterns = engine.query(q.patterns, select=q.select)
+    rows = _rows(via_sparql)
+    assert rows == _rows(via_patterns)
+    assert len(rows) > 0
 
 
 def test_sparql_semicolon_and_a_keyword(engine):
