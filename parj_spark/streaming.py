@@ -11,11 +11,13 @@ while windowed/watermarked aggregations serve monitoring-style queries.
 from __future__ import annotations
 
 import os
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parj_spark.construct import extract
+from parj_spark.construct.pipeline import GraphStore
 from parj_spark.fixtures.generator import DOCS_SCHEMA
 
 
@@ -338,6 +340,115 @@ def combined_triples(store, stream_dir: str) -> DataFrame:
     if not os.path.exists(path):
         return base
     return base.union(store.spark.read.parquet(path).select("s", "p", "o"))
+
+
+@dataclass
+class StreamedGraphStore(GraphStore):
+    """Live query view over a base graph plus its un-compacted stream deltas.
+
+    Between compactions (:func:`compact_stream`) the epoch deltas under
+    ``stream_dir`` are part of the graph's truth but invisible to the base
+    ``GraphStore``'s permutation tables — a ``BGPEngine`` over the base
+    store silently misses every streamed triple until the next compaction.
+    This view presents base+deltas through the same ``GraphStore``
+    interface, so the engine answers with streamed freshness unchanged:
+
+    - triples (spo/pos/osp): the base permutation scan unioned with the
+      delta tail — the base side keeps its p-partition pruning and parquet
+      pushdown; the tail is an unpruned scan whose size is bounded by the
+      compaction cadence (the lakehouse merge-on-read split);
+    - dict / properties: the duplicate-free combined catalogs, so constant
+      resolution and decode joins see streamed terms and predicates;
+    - T1 stats: recomputed over the deltas and merged with the base table
+      (``n`` additive; ``ndv`` summed — an upper bound, i.e. conservative
+      constant selectivity), so the planner sees fresh per-predicate sizes
+      including streamed-ONLY predicates instead of estimating them 0 (an
+      estimate of 0 would broadcast-hint a scan of unknown size);
+    - T2/T3/histograms: inherited from the base analyze pass — stale until
+      compaction, but they only refine join ORDER, never correctness;
+    - bucketed layout: disabled while deltas exist (the tail is not
+      bucketed, and the union is therefore not bucket-aligned on any key)
+      — the engine takes the p-partitioned path; compaction folds the tail
+      in and this view transparently resumes the bucketed default.
+
+    The reference cannot express this at all (batch-only, SURVEY.md §2.8);
+    it is the query-side half of the streaming extension, pairing with
+    :func:`incremental_graph_append` (write) and :func:`compact_stream`
+    (maintenance).
+    """
+
+    stream_dir: str = ""
+
+    def _has_deltas(self) -> bool:
+        return os.path.exists(os.path.join(self.stream_dir, "triples"))
+
+    def _merged(self, base: DataFrame) -> DataFrame:
+        base = base.select("s", "p", "o")
+        if not self._has_deltas():
+            return base
+        tail = self.spark.read.parquet(
+            os.path.join(self.stream_dir, "triples")
+        ).select("s", "p", "o")
+        return base.union(tail)
+
+    def spo(self) -> DataFrame:
+        return self._merged(super().spo())
+
+    def pos(self) -> DataFrame:
+        return self._merged(super().pos())
+
+    def osp(self) -> DataFrame:
+        return self._merged(super().osp())
+
+    def dict(self) -> DataFrame:
+        base = super().dict()
+        path = os.path.join(self.stream_dir, "dict")
+        if not os.path.exists(path):
+            return base
+        return base.union(self.spark.read.parquet(path).select("id", "uri"))
+
+    def properties(self) -> DataFrame:
+        base = super().properties()
+        path = os.path.join(self.stream_dir, "properties")
+        if not os.path.exists(path):
+            return base
+        return base.union(self.spark.read.parquet(path).select("id", "uri"))
+
+    def stats(self) -> DataFrame:
+        base = super().stats()
+        if not self._has_deltas():
+            return base
+        tail = (
+            self.spark.read.parquet(os.path.join(self.stream_dir, "triples"))
+            .groupBy("p")
+            .agg(
+                F.count("*").alias("n"),
+                F.approx_count_distinct("s").alias("ndv_s"),
+                F.approx_count_distinct("o").alias("ndv_o"),
+                F.min("s").alias("min_s"),
+                F.max("s").alias("max_s"),
+                F.min("o").alias("min_o"),
+                F.max("o").alias("max_o"),
+            )
+        )
+        return (
+            base.unionByName(tail)
+            .groupBy("p")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("ndv_s").alias("ndv_s"),
+                F.sum("ndv_o").alias("ndv_o"),
+                F.min("min_s").alias("min_s"),
+                F.max("max_s").alias("max_s"),
+                F.min("min_o").alias("min_o"),
+                F.max("max_o").alias("max_o"),
+            )
+        )
+
+    def bucketed_prefix(self) -> str | None:
+        # the delta tail is not bucketed -> the union is not bucket-aligned;
+        # fall back to the partitioned path until compaction folds it in
+        return None if self._has_deltas() else super().bucketed_prefix()
 
 
 def combined_dict(store, stream_dir: str) -> DataFrame:

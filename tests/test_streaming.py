@@ -389,3 +389,61 @@ def test_compact_after_incremental_append_end_to_end(spark, tiny_corpus, tmp_pat
     assert total_stats == n_base + n_streamed
     # bucketed layout rebuilt and used by the engine default
     assert eng.bucketed_prefix is not None
+
+
+def test_streamed_store_live_queries(spark, tiny_corpus, tmp_path):
+    """StreamedGraphStore: the engine answers over base + un-compacted
+    deltas (merge-on-read) — streamed-only predicates/terms resolve, fresh
+    T1 stats cover them, the bucketed path is disabled while deltas exist,
+    and results equal the post-compaction graph's."""
+    from parj_spark.construct import run_pipeline
+    from parj_spark.query import BGPEngine
+
+    docs, _ = tiny_corpus
+    out = str(tmp_path / "lgraph")
+    stream_dir = str(tmp_path / "stream")
+    store = run_pipeline(spark, docs, out, resume=False)
+    dict_df, props_df = store.dict(), store.properties()
+
+    t0 = spark.createDataFrame(
+        [("ub:LNew_A", "ub:livePred", "ub:LNew_B")],
+        "s_uri string, p_uri string, o_uri string",
+    )
+    t1 = spark.createDataFrame(
+        [("ub:LNew_B", "ub:livePred", "ub:LNew_C")],
+        "s_uri string, p_uri string, o_uri string",
+    )
+    streaming.append_epoch(t0, dict_df, props_df, stream_dir, 0)
+    streaming.append_epoch(t1, dict_df, props_df, stream_dir, 1)
+
+    live = streaming.StreamedGraphStore(spark, out, stream_dir)
+    eng = BGPEngine(live)
+    # deltas present -> the engine must NOT read the (stale) bucketed layout
+    assert eng.bucketed_prefix is None
+
+    # streamed-only 2-hop chain, decoded through the combined dict
+    chain = eng.query("?x ub:livePred ?y . ?y ub:livePred ?z").collect()
+    assert [tuple(r) for r in chain] == [("ub:LNew_A", "ub:LNew_B", "ub:LNew_C")]
+    # streamed-only constant resolves through the combined dict
+    assert eng.count('?x ub:livePred "ub:LNew_C"') == 1
+
+    # fresh T1 stats: the streamed-only predicate has a row with n=2,
+    # base predicates keep their counts
+    stats = {r["p"]: r["n"] for r in live.stats().collect()}
+    new_pid = {r["uri"]: r["id"] for r in live.properties().collect()}["ub:livePred"]
+    assert new_pid < 0 and stats[new_pid] == 2
+    base_stats = {r["p"]: r["n"] for r in store.stats().collect()}
+    assert all(stats[p] == n for p, n in base_stats.items())
+
+    # base-only queries are unchanged through the live view
+    n_adv_live = eng.count("?s ub:advisor ?p")
+    assert n_adv_live == BGPEngine(store).count("?s ub:advisor ?p")
+
+    # compaction folds the tail; the SAME view now equals the fresh store
+    # and transparently resumes the bucketed default
+    streaming.compact_stream(store, stream_dir)
+    assert not live._has_deltas()
+    eng2 = BGPEngine(live)
+    assert eng2.bucketed_prefix is not None
+    chain2 = eng2.query("?x ub:livePred ?y . ?y ub:livePred ?z").collect()
+    assert [tuple(r) for r in chain2] == [tuple(r) for r in chain]
