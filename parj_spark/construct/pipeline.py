@@ -308,23 +308,29 @@ def import_rdf(
     path: str,
     out_dir: str,
     resume: bool = True,
+    fmt: str = "ntriples",
+    graph: str | None = None,
     **kwargs,
 ) -> GraphStore:
     """RDF file import -> encoded, query-ready GraphStore (reference S7:
     ImportHandler.java:24-172 + the external rdf-exp loader, README.md:5-8).
-    Parses N-Triples JVM-side (rdf_io.read_ntriples), then runs the shared
+    Parses N-Triples (``fmt="ntriples"``) or N-Quads (``fmt="nquads"``;
+    ``graph`` selects one named graph, default merges all graphs — the RDF
+    dataset's default-graph union) JVM-side, then runs the shared
     encode/materialize/stats tail — the imported graph gets the identical
     permutation + bucketed layout and planner statistics the docs pipeline
     produces, so every BGPEngine feature works on it unchanged."""
     from parj_spark.construct import rdf_io
 
-    triples_uri = _run_stage(
-        spark,
-        out_dir,
-        "triples_uri",
-        resume,
-        lambda: rdf_io.read_ntriples(spark, path),
-    )
+    if fmt == "ntriples":
+        build = lambda: rdf_io.read_ntriples(spark, path)  # noqa: E731
+    elif fmt == "nquads":
+        build = lambda: rdf_io.read_nquads(  # noqa: E731
+            spark, path, graph=graph
+        ).select("s_uri", "p_uri", "o_uri")
+    else:
+        raise ValueError(f"unknown RDF format {fmt!r} (ntriples|nquads)")
+    triples_uri = _run_stage(spark, out_dir, "triples_uri", resume, build)
     return materialize_triples(
         spark, triples_uri, out_dir, resume=resume, **kwargs
     )

@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 _S_RE = r"^\s*<([^>]*)>"
 _P_RE = r"^\s*<[^>]*>\s*<([^>]*)>"
 _O_IRI_RE = r"^\s*<[^>]*>\s*<[^>]*>\s*<([^>]*)>\s*\.\s*$"
-_O_LIT_RE = r'^\s*<[^>]*>\s*<[^>]*>\s*"((?:[^"\\]|\\.)*)"'
+# end-anchored (optional datatype/language suffix, then the dot): an
+# N-Quads line with a literal object must NOT silently parse as a triple
+# with its graph term dropped — quads belong to read_nquads
+_O_LIT_RE = (
+    r'^\s*<[^>]*>\s*<[^>]*>\s*"((?:[^"\\]|\\.)*)"'
+    r"(?:\^\^<[^>]*>|@[A-Za-z0-9\-]+)?\s*\.\s*$"
+)
 _BLANK_RE = r"^\s*_:|\s_:"
 _SKIP_RE = r"^\s*(#|$)"
 
@@ -65,6 +71,70 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
         )
         .drop("__lit")
     )
+
+
+# one RDF term: IRI, literal (with optional ^^<datatype> / @lang suffix),
+# or blank-node label — the N-Quads statement is 3 or 4 of these + "."
+_TERM_RE = r'(<[^>]*>|"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[A-Za-z0-9\-]+)?|_:[^\s]+)'
+
+
+def _strip_term(c):
+    """IRI -> its content, literal -> its unescaped string content (the
+    datatype/lang suffix never reaches the extract group), matching
+    read_ntriples's literal canonicalization."""
+    return F.when(
+        c.startswith("<"), F.regexp_extract(c, r"^<([^>]*)>$", 1)
+    ).otherwise(_unescape(F.regexp_extract(c, r'^"((?:[^"\\]|\\.)*)"', 1)))
+
+
+def read_nquads(
+    spark: SparkSession, path: str, graph: str | None = None
+) -> DataFrame:
+    """Parse N-Quads (or a mix of N-Quads and N-Triples lines) into
+    (s_uri, p_uri, o_uri, g_uri) — ``g_uri`` null for default-graph
+    (3-term) statements. ``graph`` filters to one named graph (the
+    filter reaches the text scan via the tokenized predicate).
+
+    Same distributed JVM-side pass as :func:`read_ntriples` — one
+    ``regexp_extract_all`` tokenization per line, no per-row Python —
+    and the same scope rules: blank-node lines rejected at reference
+    parity, literal datatype/language suffixes canonicalized away. The
+    graph term must be an IRI (blank-node graph labels fall under the
+    blank-node rejection).
+
+    Feed the result to :func:`parj_spark.construct.pipeline.import_rdf`
+    with ``fmt="nquads"`` (which drops ``g_uri``, merging all graphs —
+    the RDF-dataset default-graph union) or pre-filter by graph here.
+    """
+    lines = spark.read.text(path)
+    t = (
+        lines.filter(~F.col("value").rlike(_SKIP_RE))
+        .filter(~F.col("value").rlike(_BLANK_RE))
+        .filter(F.col("value").rlike(r"\.\s*$"))
+    )
+    ts = F.regexp_extract_all(F.col("value"), F.lit(_TERM_RE), 1)
+    parsed = (
+        t.select(ts.alias("ts"))
+        .filter(F.size("ts").isin(3, 4))
+        # subject and predicate must be IRIs; a 4th term (graph) likewise
+        .filter(
+            F.col("ts")[0].startswith("<")
+            & F.col("ts")[1].startswith("<")
+            & ((F.size("ts") == 3) | F.col("ts")[3].startswith("<"))
+        )
+        .select(
+            _strip_term(F.col("ts")[0]).alias("s_uri"),
+            _strip_term(F.col("ts")[1]).alias("p_uri"),
+            _strip_term(F.col("ts")[2]).alias("o_uri"),
+            F.when(
+                F.size("ts") == 4, _strip_term(F.col("ts")[3])
+            ).alias("g_uri"),
+        )
+        .filter((F.col("s_uri") != "") & (F.col("p_uri") != ""))
+    )
+    if graph is not None:
+        parsed = parsed.filter(F.col("g_uri") == graph)
+    return parsed
 
 
 def count_rejected(spark: SparkSession, path: str) -> int:

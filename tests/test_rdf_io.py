@@ -123,3 +123,77 @@ def test_graphstore_export_ntriples(spark, tiny_graph, tmp_path):
     back = read_ntriples(spark, out)
     assert back.count() == tiny_graph.triples_uri().count()
     assert count_rejected(spark, out) == 0
+
+
+NQ = r"""# mixed N-Quads / N-Triples
+<urn:a> <urn:name> "Alpha" <urn:graph1> .
+<urn:a> <urn:knows> <urn:b> <urn:graph1> .
+<urn:b> <urn:name> "Be\"ta"@en <urn:graph2> .
+<urn:b> <urn:size> "42"^^<http://www.w3.org/2001/XMLSchema#integer> <urn:graph2> .
+<urn:c> <urn:name> "default graph line" .
+_:blank <urn:name> "skipped" <urn:graph1> .
+<urn:c> <urn:knows> <urn:d> _:blankgraph .
+malformed line
+"""
+
+
+@pytest.fixture(scope="module")
+def nq_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("nq") / "data.nq"
+    p.write_text(NQ)
+    return str(p)
+
+
+def test_read_nquads_grammar(spark, nq_path):
+    from parj_spark.construct.rdf_io import read_nquads
+
+    rows = {
+        (r["s_uri"], r["p_uri"], r["o_uri"], r["g_uri"])
+        for r in read_nquads(spark, nq_path).collect()
+    }
+    assert rows == {
+        ("urn:a", "urn:name", "Alpha", "urn:graph1"),
+        ("urn:a", "urn:knows", "urn:b", "urn:graph1"),
+        # literal escapes + @lang/^^datatype canonicalization, per-graph
+        ("urn:b", "urn:name", 'Be"ta', "urn:graph2"),
+        ("urn:b", "urn:size", "42", "urn:graph2"),
+        # a 3-term (default graph) line is legal inside an .nq file
+        ("urn:c", "urn:name", "default graph line", None),
+    }
+    # named-graph filter pushes into the same pass
+    g1 = read_nquads(spark, nq_path, graph="urn:graph1")
+    assert g1.count() == 2
+
+
+def test_read_ntriples_rejects_quad_lines(spark, nq_path):
+    """A quad line must not silently parse as a triple with the graph term
+    dropped — N-Triples scope stays strict; count_rejected surfaces them."""
+    rows = {tuple(r) for r in read_ntriples(spark, nq_path).collect()}
+    assert rows == {("urn:c", "urn:name", "default graph line")}
+
+
+def test_import_rdf_nquads_end_to_end(spark, tmp_path):
+    """fmt="nquads" runs the shared materialize tail over the graph-merged
+    (default-graph union) triples; graph= imports one named graph only."""
+    from parj_spark.construct.pipeline import import_rdf
+    from parj_spark.query import BGPEngine
+
+    nq = tmp_path / "g.nq"
+    nq.write_text(
+        "\n".join(
+            [
+                "<urn:n1> <urn:type> <urn:Nation> <urn:gA> .",
+                "<urn:n2> <urn:type> <urn:Nation> <urn:gB> .",
+                '<urn:n1> <urn:name> "One" <urn:gA> .',
+            ]
+        )
+        + "\n"
+    )
+    store = import_rdf(spark, str(nq), str(tmp_path / "merged"), fmt="nquads")
+    assert BGPEngine(store).count("?x urn:type urn:Nation") == 2
+    only_a = import_rdf(
+        spark, str(nq), str(tmp_path / "ga"), fmt="nquads", graph="urn:gA"
+    )
+    assert BGPEngine(only_a).count("?x urn:type urn:Nation") == 1
+    with pytest.raises(ValueError):
+        import_rdf(spark, str(nq), str(tmp_path / "bad"), fmt="turtle")
