@@ -182,9 +182,17 @@ def cosine_lsh_neardup_pairs(
                 {id_col: ids, "band": bands.astype(np.int32), "bucket": bucket.astype(np.int64)}
             )
 
+    # persist the (id, band, bucket) assignment: it feeds the bucket-size
+    # guard and BOTH sides of the self-join, and without the cache Catalyst
+    # re-evaluates the whole Arrow sign stage per occurrence (measured: 8
+    # MapInPandas nodes / 12 scans of the embeddings in one action's plan).
+    # The cached relation is 3 longs per (vector, band) — at 10^9 vectors x
+    # 8 bands ~200 GB cluster-wide, MEMORY_AND_DISK territory — vs signing
+    # the full embedding corpus 8x. Same lifecycle tradeoff as
+    # dedup.minhash_lsh_pairs's persisted shingles.
     stacked = emb.select(id_col, vec_col).mapInPandas(
         assign, f"{id_col} long, band int, bucket long"
-    )
+    ).persist()
     if max_bucket is not None:
         sizes = stacked.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
         stacked = (
