@@ -168,9 +168,13 @@ def ngram_jaccard_pairs(
     overlap is *only* stopword shingles are (intentionally) not candidates.
     Denominators keep the full set sizes. None = exact (oracle mode).
     """
+    # persist the exploded inverted index: it feeds the per-doc sizes, the
+    # df cap and both self-join sides — uncached, one action's plan
+    # re-evaluated the shingle transform+explode 6x over the full corpus
+    # (same lifecycle tradeoff as minhash_lsh_pairs's persisted shingles)
     sh = with_shingles(df, id_col, text_col, shingle_n).select(
         id_col, F.explode("shingles").alias("sh")
-    )
+    ).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     if max_df is not None:
         dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))

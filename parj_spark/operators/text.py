@@ -169,9 +169,12 @@ def winnow_overlap_pairs(
     (the same frequent-key guard as the shingle/bucket caps — one ubiquitous
     fingerprint must not produce O(n²) candidate pairs).
     """
+    # persist the distinct fingerprint index: it feeds the df cap and both
+    # self-join sides — uncached, one action's plan re-ran the winnow Arrow
+    # stage 4x over the full corpus (same fix as the LSH band cache)
     fps = winnow_fingerprints(df, id_col, text_col, k, window).select(
         id_col, "fp"
-    ).distinct()
+    ).distinct().persist()
     if max_df is not None:
         dfreq = fps.groupBy("fp").agg(F.count("*").alias("df"))
         fps = fps.join(dfreq, "fp").filter(F.col("df") <= max_df).drop("df")
