@@ -47,6 +47,7 @@ HEADLINE = [
     "q10_window_topk",
     "q13_sessionize",
     "kg_bgp_chain",
+    "kg_sparql_update",
     "dedup_exact",
     "dedup_simhash",
     "sim_cosine_topk",
@@ -368,11 +369,22 @@ def main() -> None:
         "triples_per_sec": round(n_triples / t_construct, 1),
     }
     if bgp_large is not None:
-        # compact view for the one-line artifact; full spreads go to the file
+        # compact view for the one-line artifact: scalars + per-layout
+        # geomeans; the per-query maps and spreads go to the detail file
+        def _geo(d):
+            vals = [v for v in d.values() if v > 0]
+            return round(math.exp(sum(math.log(v) for v in vals) / len(vals)), 4)
+
         summary["bgp_large"] = {
             k: v for k, v in bgp_large.items()
-            if not k.endswith("_spread") and k != "construct_runs"
+            if not isinstance(v, dict) and not k.endswith("_spread")
+            and k != "construct_runs"
         }
+        for layout in ("partitioned", "bucketed"):
+            if isinstance(bgp_large.get(layout), dict):
+                summary["bgp_large"][f"{layout}_geomean_sec"] = _geo(
+                    bgp_large[layout]
+                )
     # Full detail (per-query min/max spreads, large-graph construct runs)
     # outgrew the driver's one-line tail capture in round 3 (BENCH_r03.json
     # "parsed": null) — it now lands in a committed file instead, and the

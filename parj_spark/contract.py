@@ -750,6 +750,35 @@ def kg_sparql_ask(spark, sf_dir):
     )
 
 
+# SPARQL 1.1 Update extension (beyond reference parity — the reference
+# stores are read-only: every vtab xUpdate slot is 0, parj.c:599, 1129):
+# a Modify operation (DELETE ... WHERE) followed by INSERT DATA, applied
+# sequentially; the result is the updated graph's memberOf edge set.
+# Oracle: the same derivation with the deleted edges EXCEPTed and the
+# inserted edge UNIONed in.
+_SPARQL_UPDATE = """
+    PREFIX urn: <urn:>
+    DELETE { ?c urn:memberOf ?n }
+    WHERE  { ?c urn:memberOf ?n . ?n urn:name "NATION_5" } ;
+    INSERT DATA {
+        <urn:cust:900001> <urn:type> <urn:Customer> .
+        <urn:cust:900001> <urn:memberOf> <urn:nation:5>
+    }
+"""
+
+
+def kg_sparql_update(spark, sf_dir):
+    """SPARQL 1.1 Update (beyond reference parity, opt-in): sequential
+    DELETE..WHERE + INSERT DATA over the derived graph — deletions are
+    anti-joins, insertions existence-guarded unions (an RDF graph is a
+    set). The store-backed merge-on-read twin (tombstone epochs +
+    compaction) is pytest-gated in tests/test_update.py."""
+    from parj_spark.query.update import apply_update_on_triples
+
+    g = apply_update_on_triples(_derived_triples(spark, sf_dir), _SPARQL_UPDATE)
+    return g.filter(F.col("p") == "urn:memberOf").select("s", "p", "o")
+
+
 def kg_sparql_varpred(spark, sf_dir):
     """Variable-predicate extension (beyond reference parity, opt-in):
     describe-an-entity query with ?p in predicate position."""
@@ -1040,7 +1069,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_class_join_stats": kg_class_join_stats,
     "kg_sparql_path": kg_sparql_path,
     "kg_sparql_path_ops": kg_sparql_path_ops,
-    "kg_sparql_path_star": kg_sparql_path_star,
+    "kg_sparql_update": kg_sparql_update,
     "kg_sparql_agg": kg_sparql_agg,
     "kg_sparql_values": kg_sparql_values,
     "kg_sparql_construct": kg_sparql_construct,
@@ -1078,6 +1107,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_winnow": text_winnow,
     "text_winnow_pairs": text_winnow_pairs,
     "mm_decode_stub": mm_decode_stub,
+    # zero-length path forms (p* / p?): the path family keeps p+ closure
+    # (kg_sparql_path) and the composite algebra (kg_sparql_path_ops) up
+    # front; yielded its first-50 slot to the new update capability
+    "kg_sparql_path_star": kg_sparql_path_star,
     # path quantifiers p{n,m}: parse-time sugar over the seq/opt/star
     # algebra already measured by kg_sparql_path_ops / kg_sparql_path_star
     "kg_sparql_path_quant": kg_sparql_path_quant,
@@ -1420,6 +1453,24 @@ ORACLES: dict[str, str] = {
     "kg_sparql_varpred": f"""
         WITH triples AS ({_TRIPLES_SQL})
         SELECT p, o FROM triples WHERE s = 'urn:nation:5'
+    """,
+    # updated graph, memberOf edges: DELETE {{?c memberOf ?n}} WHERE
+    # {{.. ?n name "NATION_5"}} = EXCEPT of the matched edges; INSERT DATA
+    # = UNION of the ground triple (UNION, not UNION ALL: an RDF graph is a
+    # set and the engine's insert is existence-guarded)
+    "kg_sparql_update": f"""
+        WITH triples AS ({_TRIPLES_SQL})
+        SELECT s, p, o FROM (
+            SELECT s, p, o FROM triples
+            WHERE p = 'urn:memberOf'
+              AND o NOT IN (
+                SELECT nm.s FROM triples nm
+                WHERE nm.p = 'urn:name' AND nm.o = 'NATION_5'
+              )
+            UNION
+            SELECT 'urn:cust:900001' AS s, 'urn:memberOf' AS p,
+                   'urn:nation:5' AS o
+        ) updated
     """,
     "kg_sparql_ask": f"""
         WITH triples AS ({_TRIPLES_SQL})

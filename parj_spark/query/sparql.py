@@ -167,6 +167,25 @@ class SparqlQuery:
     describe: list[str] | None = None
 
 
+@dataclass
+class UpdateOp:
+    """One SPARQL 1.1 Update operation (opt-in extension — the reference has
+    no update path at all: every virtual-table xUpdate slot is 0, parj.c:599,
+    1129, so this whole surface is beyond parity).
+
+    ``delete_templates`` / ``insert_templates`` are Pattern lists (ground for
+    the DATA forms); ``where_text`` is a self-contained ``SELECT * WHERE
+    { ... }`` rendering of the operation's WHERE group (prologue included) —
+    ``None`` for the ground DATA forms. Rendering the group as a SELECT means
+    both execution paths (:func:`parj_spark.query.update.
+    apply_update_on_triples` and the store-backed merge-on-read path) reuse
+    the existing query machinery for solution matching, unchanged."""
+
+    delete_templates: list[Pattern]
+    insert_templates: list[Pattern]
+    where_text: str | None
+
+
 # --- BIND expression AST (opt-in extension) -------------------------------
 # Leaves are the FILTER operand tuples ("var", name) | ("lit", s) |
 # ("num", f); Arith nodes compute on try_cast doubles (SPARQL evaluation
@@ -571,7 +590,7 @@ class _Parser:
         return iri
 
     # --- grammar ----------------------------------------------------------
-    def parse(self) -> SparqlQuery:
+    def _prologue(self) -> None:
         while self._kw(self.peek(), "PREFIX"):
             self.next()
             pname = self.next()
@@ -582,6 +601,9 @@ class _Parser:
             if not (iri.startswith("<") and iri.endswith(">")):
                 raise ValueError(f"PREFIX: expected <iri>, got {iri!r}")
             self.prefixes[pname[:-1]] = iri[1:-1]
+
+    def parse(self) -> SparqlQuery:
+        self._prologue()
 
         ask = False
         distinct = False
@@ -669,6 +691,155 @@ class _Parser:
         )
         self._validate(q)
         return q
+
+    # --- update request grammar (opt-in extension; see parse_update) ------
+    def parse_update_ops(self) -> "list[UpdateOp]":
+        ops: list[UpdateOp] = []
+        while True:
+            self._prologue()  # a prologue may precede any operation
+            if self.peek() is None:
+                break
+            ops.append(self._update_op())
+            if self.peek() == ";":
+                self.next()
+                continue
+            if self.peek() is not None:
+                raise ValueError(
+                    f"SPARQL update: expected ';' or end after operation, "
+                    f"got {self.peek()!r}"
+                )
+        if not ops:
+            raise ValueError("SPARQL update: empty request")
+        return ops
+
+    def _update_op(self) -> "UpdateOp":
+        head = self.next().upper()
+        if head not in ("INSERT", "DELETE"):
+            raise ValueError(
+                f"SPARQL update: expected INSERT or DELETE, got {head!r} "
+                "(LOAD/CLEAR/CREATE/DROP graph management is out of scope)"
+            )
+        if self._kw(self.peek(), "DATA"):
+            # INSERT DATA / DELETE DATA: ground triples, no WHERE
+            self.next()
+            tris = self._template_triples()
+            for t in tris:
+                if t.vars():
+                    raise ValueError(
+                        f"SPARQL update: {head} DATA requires ground triples "
+                        f"(found variable in {t})"
+                    )
+            return UpdateOp(
+                delete_templates=tris if head == "DELETE" else [],
+                insert_templates=tris if head == "INSERT" else [],
+                where_text=None,
+            )
+        if head == "DELETE" and self._kw(self.peek(), "WHERE"):
+            # DELETE WHERE { pattern }: the group is both the match pattern
+            # and the deletion template (SPARQL 1.1 Update §3.1.3.2)
+            self.next()
+            start = self.i
+            tris = self._template_triples()
+            where = self._render_where(start, self.i)
+            op = UpdateOp(delete_templates=tris, insert_templates=[],
+                          where_text=where)
+            self._validate_templates(op)
+            return op
+        # Modify form: DELETE {t}? INSERT {t}? WHERE { group }
+        delete_templates: list[Pattern] = []
+        insert_templates: list[Pattern] = []
+        if head == "DELETE":
+            delete_templates = self._template_triples()
+            if self._kw(self.peek(), "INSERT"):
+                self.next()
+                insert_templates = self._template_triples()
+        else:
+            insert_templates = self._template_triples()
+        self.expect("WHERE")
+        start, end = self._group_span()
+        op = UpdateOp(delete_templates, insert_templates,
+                      self._render_where(start, end))
+        self._validate_templates(op)
+        return op
+
+    def _template_triples(self) -> list[Pattern]:
+        """A braced triples block used as an update template (or ground
+        data). Property paths are never templates (a path edge is derived,
+        not stored); variable predicates are allowed — like CONSTRUCT
+        templates they are output slots, bound by the WHERE group."""
+        self.expect("{")
+        out: list[Pattern] = []
+        saved = (self.allow_paths, self.allow_var_predicates)
+        self.allow_paths, self.allow_var_predicates = False, True
+        try:
+            self._triples_block(out, stop="}")
+        finally:
+            self.allow_paths, self.allow_var_predicates = saved
+        self.expect("}")
+        if not out:
+            raise ValueError("SPARQL update: empty template block")
+        return out
+
+    def _group_span(self) -> tuple[int, int]:
+        """Consume one balanced ``{ ... }`` group, returning its token span
+        (inclusive of the braces) without parsing the contents — the span is
+        re-rendered as a SELECT * WHERE group and parsed/executed by the
+        regular query machinery, so the update WHERE clause supports exactly
+        the SELECT surface (OPTIONAL/FILTER/UNION/... per the allow flags
+        passed at execution time)."""
+        if self.peek() != "{":
+            raise ValueError(
+                f"SPARQL update: expected '{{' after WHERE, got {self.peek()!r}"
+            )
+        start, depth, j = self.i, 0, self.i
+        while j < len(self.toks):
+            if self.toks[j] == "{":
+                depth += 1
+            elif self.toks[j] == "}":
+                depth -= 1
+                if depth == 0:
+                    self.i = j + 1
+                    return start, j + 1
+            j += 1
+        raise ValueError("SPARQL update: unbalanced braces in WHERE group")
+
+    def _render_where(self, start: int, end: int) -> str:
+        """Self-contained SELECT * query text for a WHERE group token span.
+        Tokens are atomic (the tokenizer never splits inside a literal or
+        IRI), so a space-join re-parses identically; the collected PREFIX
+        prologue is prepended so compaction matches the original parse."""
+        pro = " ".join(f"PREFIX {p}: <{iri}>" for p, iri in self.prefixes.items())
+        return f"{pro} SELECT * WHERE {' '.join(self.toks[start:end])}"
+
+    def _validate_templates(self, op: "UpdateOp") -> None:
+        """Every template variable must be bindable by the WHERE group
+        (parsed permissively here — execution re-parses under the caller's
+        allow flags, which is where extension gating applies)."""
+        q = parse_sparql(
+            op.where_text, allow_var_predicates=True, allow_filter=True,
+            allow_union=True, allow_minus=True, allow_paths=True,
+            allow_offset=True, allow_values=True, allow_bind=True,
+            allow_subquery=True,
+        )
+        opt_flat = [p for g in q.optional for p in g]
+        union_flat = [p for grp in q.unions for alt in grp for p in alt]
+        bound = {v for p in q.patterns + opt_flat + union_flat for v in p.vars()}
+        bound |= {v for vars_, _ in q.values for v in vars_}
+        bound |= {v for _, v in q.binds}
+        bound |= {v for sub in q.subqueries for v in query_projection(sub)}
+        unknown = sorted(
+            {
+                v
+                for t in op.delete_templates + op.insert_templates
+                for v in t.vars()
+            }
+            - bound
+        )
+        if unknown:
+            raise ValueError(
+                f"SPARQL update: template vars not bound by the WHERE "
+                f"group: {unknown}"
+            )
 
     _AGG_FUNCS = ("count", "sum", "avg", "min", "max", "sample", "group_concat")
 
@@ -1588,6 +1759,29 @@ def parse_sparql(
         allow_values, allow_construct, allow_bind, allow_subquery,
         allow_describe,
     ).parse()
+
+
+def parse_update(text: str) -> list[UpdateOp]:
+    """Parse a SPARQL 1.1 Update request string into a list of operations
+    (opt-in extension; the reference stores are read-only — parj.c:599, 1129).
+
+    Supported forms, ';'-separated and sharing one PREFIX prologue (a new
+    prologue may also precede any operation, per the spec grammar):
+
+      INSERT DATA { ground triples }
+      DELETE DATA { ground triples }
+      DELETE WHERE { pattern }                  (pattern doubles as template)
+      DELETE { template } INSERT { template } WHERE { group }   (either or
+                                                                 both heads)
+
+    Graph-management operations (LOAD/CLEAR/CREATE/DROP/MOVE) and the
+    ``WITH``/``USING`` graph selectors are out of scope — the engine models
+    one graph (the reference's data model, SURVEY.md §1.1). Template
+    validation (ground-ness for DATA, boundness of template variables, no
+    property paths in templates) happens here; extension gating for the
+    WHERE group (FILTER/UNION/...) happens when the rendered group is parsed
+    at execution time under the caller's allow flags."""
+    return _Parser(_tokenize(text)).parse_update_ops()
 
 
 def execute_on_triples(

@@ -59,6 +59,57 @@ def mentions_to_parquet(
     )
 
 
+def next_epoch(stream_dir: str) -> int:
+    """Next free epoch id across every delta kind (insert epochs and
+    tombstone epochs share one counter — the tombstone suppression rule
+    compares epochs, so the two kinds must be totally ordered)."""
+    mx = -1
+    for name in ("triples", "dict", "properties", "tombstones"):
+        d = os.path.join(stream_dir, name)
+        if os.path.isdir(d):
+            for e in os.listdir(d):
+                if e.startswith("epoch="):
+                    mx = max(mx, int(e.split("=", 1)[1]))
+    return mx + 1
+
+
+def _alive_triples(spark, base: DataFrame, stream_dir: str) -> DataFrame:
+    """Merge-on-read visibility rule: base rows (epoch -1) plus insert-epoch
+    rows, minus every row killed by a LATER tombstone epoch (SPARQL update
+    deletes, written by :func:`parj_spark.query.update.apply_update`).
+
+    A row is dead iff a tombstone with the same (s, p, o) and a strictly
+    greater epoch exists — so a triple deleted at epoch 3 and re-inserted at
+    epoch 5 is alive. The anti-join's equi keys are the triple; the epoch
+    comparison is a residual predicate, and the tombstone side is the small
+    one (AQE picks a broadcast build), so the base permutation scan is never
+    shuffled. This is the deletion-vector half of the lakehouse
+    merge-on-read pattern; compaction folds it away."""
+    rows = base.select("s", "p", "o").withColumn("__epoch", F.lit(-1).cast("long"))
+    tri_path = os.path.join(stream_dir, "triples")
+    if os.path.exists(tri_path):
+        tail = spark.read.parquet(tri_path).select(
+            "s", "p", "o", F.col("epoch").cast("long").alias("__epoch")
+        )
+        rows = rows.unionByName(tail)
+    tomb_path = os.path.join(stream_dir, "tombstones")
+    if not os.path.exists(tomb_path):
+        return rows.select("s", "p", "o")
+    tombs = spark.read.parquet(tomb_path).select(
+        F.col("s").alias("__ts"),
+        F.col("p").alias("__tp"),
+        F.col("o").alias("__to"),
+        F.col("epoch").cast("long").alias("__tepoch"),
+    )
+    cond = (
+        (rows["s"] == tombs["__ts"])
+        & (rows["p"] == tombs["__tp"])
+        & (rows["o"] == tombs["__to"])
+        & (tombs["__tepoch"] > rows["__epoch"])
+    )
+    return rows.join(tombs, cond, "left_anti").select("s", "p", "o")
+
+
 def _neg_id(col):
     """Reserved negative id for stream-introduced terms/predicates — can
     never collide with the dense non-negative base ids."""
@@ -267,7 +318,9 @@ def compact_stream(store, stream_dir: str):
     out = store.out_dir
     tmp = os.path.join(out, COMPACT_TMP)
     ready = os.path.join(tmp, COMPACT_READY)
-    have_deltas = os.path.exists(os.path.join(stream_dir, "triples"))
+    have_deltas = os.path.exists(
+        os.path.join(stream_dir, "triples")
+    ) or os.path.exists(os.path.join(stream_dir, "tombstones"))
     if not have_deltas and not os.path.exists(ready):
         return store  # nothing to fold
 
@@ -301,7 +354,11 @@ def compact_stream(store, stream_dir: str):
         # the live prefix — the live tables keep serving until the swap.
         import hashlib
 
-        epochs = sorted(os.listdir(os.path.join(stream_dir, "triples")))
+        epochs = []
+        for kind in ("triples", "tombstones"):
+            d = os.path.join(stream_dir, kind)
+            if os.path.isdir(d):
+                epochs.extend(f"{kind}/{e}" for e in sorted(os.listdir(d)))
         gen = hashlib.md5(("|".join(epochs)).encode()).hexdigest()[:6]
         mat.write_graph(
             combined_triples(store, stream_dir),
@@ -325,7 +382,7 @@ def compact_stream(store, stream_dir: str):
 
     # 3. truncate the folded deltas + refresh statistics for the merged
     # graph (T1 rode the write; T2/T3/histograms need the analyze pass)
-    for name in ("triples", "dict", "properties"):
+    for name in ("triples", "dict", "properties", "tombstones"):
         shutil.rmtree(os.path.join(stream_dir, name), ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
     fresh = pl.GraphStore(spark, out)
@@ -334,12 +391,10 @@ def compact_stream(store, stream_dir: str):
 
 
 def combined_triples(store, stream_dir: str) -> DataFrame:
-    """Base graph + streamed additions as one (s, p, o) relation."""
-    base = store.spo().select("s", "p", "o")
-    path = os.path.join(stream_dir, "triples")
-    if not os.path.exists(path):
-        return base
-    return base.union(store.spark.read.parquet(path).select("s", "p", "o"))
+    """Base graph + streamed additions − tombstoned deletions, as one
+    (s, p, o) relation (the epoch-ordered visibility rule of
+    :func:`_alive_triples`)."""
+    return _alive_triples(store.spark, store.spo(), stream_dir)
 
 
 @dataclass
@@ -356,7 +411,11 @@ class StreamedGraphStore(GraphStore):
     - triples (spo/pos/osp): the base permutation scan unioned with the
       delta tail — the base side keeps its p-partition pruning and parquet
       pushdown; the tail is an unpruned scan whose size is bounded by the
-      compaction cadence (the lakehouse merge-on-read split);
+      compaction cadence (the lakehouse merge-on-read split). When SPARQL
+      update deletions have written tombstone epochs
+      (:func:`parj_spark.query.update.apply_update`), the merged rows are
+      additionally anti-joined against the tombstone set under the
+      epoch-ordered visibility rule of :func:`_alive_triples`;
     - dict / properties: the duplicate-free combined catalogs, so constant
       resolution and decode joins see streamed terms and predicates;
     - T1 stats: recomputed over the deltas and merged with the base table
@@ -380,16 +439,14 @@ class StreamedGraphStore(GraphStore):
     stream_dir: str = ""
 
     def _has_deltas(self) -> bool:
-        return os.path.exists(os.path.join(self.stream_dir, "triples"))
+        return os.path.exists(
+            os.path.join(self.stream_dir, "triples")
+        ) or os.path.exists(os.path.join(self.stream_dir, "tombstones"))
 
     def _merged(self, base: DataFrame) -> DataFrame:
-        base = base.select("s", "p", "o")
         if not self._has_deltas():
-            return base
-        tail = self.spark.read.parquet(
-            os.path.join(self.stream_dir, "triples")
-        ).select("s", "p", "o")
-        return base.union(tail)
+            return base.select("s", "p", "o")
+        return _alive_triples(self.spark, base, self.stream_dir)
 
     def spo(self) -> DataFrame:
         return self._merged(super().spo())
@@ -415,8 +472,10 @@ class StreamedGraphStore(GraphStore):
         return base.union(self.spark.read.parquet(path).select("id", "uri"))
 
     def stats(self) -> DataFrame:
+        # tombstoned rows are NOT subtracted: the merged stats are upper
+        # bounds, i.e. conservative planner estimates until compaction
         base = super().stats()
-        if not self._has_deltas():
+        if not os.path.exists(os.path.join(self.stream_dir, "triples")):
             return base
         tail = (
             self.spark.read.parquet(os.path.join(self.stream_dir, "triples"))
