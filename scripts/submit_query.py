@@ -32,6 +32,15 @@ By default the full opt-in SPARQL surface (FILTER, UNION, OPTIONAL, paths,
 aggregates, ...) is enabled — --strict restores reference parity, which
 rejects everything beyond conjunctive BGP SELECT (DagCreator.java:170-171,
 269-271).
+
+Updates (beyond parity; the reference stores are read-only):
+
+    python scripts/submit_query.py /tmp/kg --update \\
+        'DELETE WHERE { <urn:x> ?p ?o }' [--compact]
+
+apply as merge-on-read deltas under --stream-dir (default
+<graph_dir>/_updates); later query invocations automatically serve the
+live merged view until --compact folds the deltas into the base layout.
 """
 
 from __future__ import annotations
@@ -51,7 +60,63 @@ EXTENSIONS = dict(
     bind=True, subquery=True, describe=True,
 )
 
+# allow-flag spelling of EXTENSIONS for the update path (parse/execute
+# layer kwargs; ask/construct/describe are query forms, not update ones)
+UPDATE_ALLOW = dict(
+    allow_var_predicates=True, allow_filter=True, allow_union=True,
+    allow_minus=True, allow_paths=True, allow_offset=True,
+    allow_aggregates=True, allow_values=True, allow_bind=True,
+    allow_subquery=True,
+)
+
 MIN_QUERY_CHARS = 30  # QueryTester.java:161 file-mode filter
+
+
+def live_store(spark, graph_dir: str, stream_dir: str):
+    """The graph's live view: the base GraphStore, or — when un-compacted
+    update/stream deltas exist under ``stream_dir`` — a StreamedGraphStore
+    merging them at read time, so queries issued after an update see it."""
+    from parj_spark.construct.pipeline import GraphStore
+    from parj_spark.streaming import StreamedGraphStore
+
+    live = StreamedGraphStore(spark, graph_dir, stream_dir=stream_dir)
+    return live if live._has_deltas() else GraphStore(spark, graph_dir)
+
+
+def run_update(store, stream_dir: str, text: str, *, strict: bool,
+               compact: bool) -> dict:
+    """Apply a SPARQL 1.1 Update request as merge-on-read deltas (and
+    optionally compact them into the base layout); returns a summary dict.
+    Rejected under --strict: the reference stores are read-only (every
+    vtab xUpdate slot is 0, parj.c:599, 1129)."""
+    if strict:
+        raise ValueError(
+            "SPARQL update rejected in --strict mode: reference stores are "
+            "read-only (parj.c:599, 1129)"
+        )
+    from parj_spark.query.update import apply_update
+    from parj_spark.streaming import compact_stream
+
+    t0 = time.monotonic()
+    live = apply_update(store, stream_dir, text, **UPDATE_ALLOW)
+    apply_ms = (time.monotonic() - t0) * 1000.0
+    n_live = live.spo().count()
+    summary = {
+        "update": text,
+        "live_triples": n_live,
+        "ms_apply": round(apply_ms, 1),
+        "compacted": False,
+    }
+    if compact:
+        from parj_spark.construct.pipeline import GraphStore
+
+        t1 = time.monotonic()
+        # compact folds deltas over the BASE store (a merged view would
+        # union the delta tail twice)
+        compact_stream(GraphStore(store.spark, store.out_dir), stream_dir)
+        summary["compacted"] = True
+        summary["ms_compact"] = round((time.monotonic() - t1) * 1000.0, 1)
+    return summary
 
 
 def read_query_file(path: str) -> list[str]:
@@ -98,6 +163,15 @@ def main() -> None:
     src.add_argument("--file", help="query file, one query per line "
                      f"(lines < {MIN_QUERY_CHARS} chars ignored)")
     src.add_argument("--query", help="a single SPARQL query string")
+    src.add_argument("--update", help="apply a SPARQL 1.1 Update request "
+                     "(INSERT/DELETE DATA, DELETE WHERE, DELETE..INSERT.."
+                     "WHERE; ';'-separated) as merge-on-read deltas")
+    ap.add_argument("--stream-dir", default=None,
+                    help="delta directory for --update and the live query "
+                    "view (default <graph_dir>/_updates)")
+    ap.add_argument("--compact", action="store_true",
+                    help="with --update: fold the deltas into the base "
+                    "sorted/bucketed layout after applying")
     ap.add_argument("--reps", type=int, default=None,
                     help="timed reps per query (default 1; 11 in file mode, "
                     "the reference's protocol)")
@@ -132,7 +206,30 @@ def main() -> None:
     spark = SparkSession.builder.appName("parj_spark_query").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    store = GraphStore(spark, args.graph_dir)
+    stream_dir = args.stream_dir or os.path.join(args.graph_dir, "_updates")
+
+    if args.update:
+        base = GraphStore(spark, args.graph_dir)
+        try:
+            s = run_update(base, stream_dir, args.update,
+                           strict=args.strict, compact=args.compact)
+        except ValueError as e:
+            print(f"  REJECTED: {e}", file=sys.stderr)
+            sys.exit(2)
+        print(f"  {s['live_triples']} live triples | "
+              f"apply {s['ms_apply']} ms"
+              + (f" | compact {s['ms_compact']} ms" if s["compacted"] else
+                 f" (deltas under {stream_dir}; --compact to fold)"))
+        if args.json_path:
+            with open(args.json_path, "w") as f:
+                json.dump([s], f, indent=1)
+        spark.stop()
+        return
+
+    store = live_store(spark, args.graph_dir, stream_dir)
+    if getattr(store, "stream_dir", None):
+        print(f"serving the live merge-on-read view (un-compacted deltas "
+              f"under {stream_dir})", file=sys.stderr)
     if args.analyze and store.join_stats() is None:
         # reference behavior when histograms.json is absent
         # (QueryTester.java:126-139): analyze now, then serve queries

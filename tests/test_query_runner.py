@@ -91,3 +91,35 @@ def test_print_results_limit(runner, engine, capsys):
     assert s["rows"] == 8
     assert len(lines) == 4  # 3 rows + "... (5 more rows)"
     assert lines[-1] == "... (5 more rows)"
+
+
+def test_run_update_live_view_and_strict_rejection(runner, tiny_graph, tmp_path):
+    """--update applies merge-on-read deltas (base untouched), live_store
+    then serves the merged view; --strict rejects updates entirely (the
+    reference stores are read-only, parj.c:599, 1129)."""
+    import os
+
+    spark = tiny_graph.spark
+    stream_dir = str(tmp_path / "updates")
+    text = PREFIXES + "INSERT DATA { <ub:CLI_X> <ub:cliPred> <ub:CLI_Y> }"
+
+    with pytest.raises(ValueError, match="read-only"):
+        runner.run_update(tiny_graph, stream_dir, text,
+                          strict=True, compact=False)
+    assert not os.path.exists(stream_dir)  # rejection wrote nothing
+
+    n_base = tiny_graph.spo().count()
+    s = runner.run_update(tiny_graph, stream_dir, text,
+                          strict=False, compact=False)
+    assert s["live_triples"] == n_base + 1 and not s["compacted"]
+    assert tiny_graph.spo().count() == n_base  # base layout untouched
+
+    # query mode now picks the merged view automatically...
+    live = runner.live_store(spark, tiny_graph.out_dir, stream_dir)
+    assert getattr(live, "stream_dir", None) == stream_dir
+    from parj_spark.query.bgp import BGPEngine
+
+    assert BGPEngine(live).count("?s ub:cliPred ?o") == 1
+    # ...and the plain base store where no deltas exist
+    plain = runner.live_store(spark, tiny_graph.out_dir, str(tmp_path / "none"))
+    assert getattr(plain, "stream_dir", None) is None
