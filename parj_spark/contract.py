@@ -317,6 +317,18 @@ _TRIPLES_SQL = """
 """
 
 
+_QUADS_SQL = """
+    SELECT 'urn:cust:' || c_custkey AS s, 'urn:memberOf' AS p,
+           'urn:nation:' || c_nationkey AS o, 'urn:graph:crm' AS g FROM customer
+    UNION ALL SELECT 'urn:supp:' || s_suppkey, 'urn:memberOf',
+           'urn:nation:' || s_nationkey, 'urn:graph:vendors' FROM supplier
+    UNION ALL SELECT 'urn:nation:' || n_nationkey, 'urn:partOf',
+           'urn:region:' || n_regionkey, NULL FROM nation
+    UNION ALL SELECT 'urn:region:' || r_regionkey, 'urn:name', r_name, NULL
+           FROM region
+"""
+
+
 def kg_triples_derive(spark, sf_dir):
     """Relational -> RDF triple derivation (construction output shape, S7)."""
     return _derived_triples(spark, sf_dir)
@@ -839,6 +851,72 @@ def kg_sparql_describe(spark, sf_dir):
     )
 
 
+def _derived_quads(spark, sf_dir):
+    """Relational -> RDF *quad* derivation: membership edges live in named
+    graphs (crm = customers, vendors = suppliers), the org structure in the
+    default graph (null label) — the shape read_nquads produces."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cust = F.concat(F.lit("urn:cust:"), F.col("c_custkey"))
+    supp = F.concat(F.lit("urn:supp:"), F.col("s_suppkey"))
+    nat = F.concat(F.lit("urn:nation:"), F.col("n_nationkey"))
+    reg = F.concat(F.lit("urn:region:"), F.col("r_regionkey"))
+    nat_of_c = F.concat(F.lit("urn:nation:"), F.col("c_nationkey"))
+    nat_of_s = F.concat(F.lit("urn:nation:"), F.col("s_nationkey"))
+    reg_of_n = F.concat(F.lit("urn:region:"), F.col("n_regionkey"))
+    none = F.lit(None).cast("string")
+    parts = [
+        c.select(cust.alias("s"), F.lit("urn:memberOf").alias("p"),
+                 nat_of_c.alias("o"), F.lit("urn:graph:crm").alias("g")),
+        s.select(supp.alias("s"), F.lit("urn:memberOf").alias("p"),
+                 nat_of_s.alias("o"), F.lit("urn:graph:vendors").alias("g")),
+        n.select(nat.alias("s"), F.lit("urn:partOf").alias("p"),
+                 reg_of_n.alias("o"), none.alias("g")),
+        r.select(reg.alias("s"), F.lit("urn:name").alias("p"),
+                 F.col("r_name").alias("o"), none.alias("g")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def kg_sparql_graph(spark, sf_dir):
+    """GRAPH named-graph blocks (beyond reference parity, opt-in — the
+    reference models one graph and rejects GRAPH, DagCreator.java:170-171,
+    269-271): ``GRAPH ?g`` ranges over the named graphs and binds one more
+    join column; non-GRAPH patterns match the default graph only. The
+    membership scan's graph filter is a pushed-down predicate —
+    partition-prunable when quads are laid out partitioned by graph."""
+    from parj_spark.query.sparql import execute_on_quads
+
+    return execute_on_quads(
+        _derived_quads(spark, sf_dir),
+        """SELECT ?g ?x ?r WHERE {
+             GRAPH ?g { ?x <urn:memberOf> ?n } .
+             ?n <urn:partOf> ?r .
+             ?r <urn:name> "ASIA" . }""",
+    )
+
+
+def kg_sparql_from(spark, sf_dir):
+    """FROM / FROM NAMED dataset clauses (beyond reference parity, opt-in
+    with GRAPH): the explicit dataset — default graph = merge of the FROM
+    graphs, named-graph set = FROM NAMED exactly. Suppliers (the one named
+    graph) joined with customers (promoted to the default graph) on their
+    shared nation."""
+    from parj_spark.query.sparql import execute_on_quads
+
+    return execute_on_quads(
+        _derived_quads(spark, sf_dir),
+        """SELECT ?g ?s ?n FROM <urn:graph:crm> FROM NAMED <urn:graph:vendors>
+           WHERE { GRAPH ?g { ?s <urn:memberOf> ?n } .
+                   ?c <urn:memberOf> ?n . }""",
+    )
+
+
 def kg_sparql_path_quant(spark, sf_dir):
     """Path quantifiers p{n,m} (beyond reference parity, opt-in): bounded
     repetition lowered at parse time onto the seq/opt/star path algebra —
@@ -1079,6 +1157,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_sparql_filter": kg_sparql_filter,
     "kg_sparql_filter_fns": kg_sparql_filter_fns,
     "kg_sparql_union": kg_sparql_union,
+    "kg_sparql_graph": kg_sparql_graph,
     "kg_sparql_varpred": kg_sparql_varpred,
     "kg_sparql_ask": kg_sparql_ask,
     "kg_type_stats": kg_type_stats,
@@ -1092,7 +1171,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "mm_binary_meta": mm_binary_meta,
-    "mm_frame_sample": mm_frame_sample,
     "kg_sparql_watdiv_c": kg_sparql_watdiv_c,
     # -- same-capability variants (see ordering note above) --
     # LSH/IVF ANN, near-dup scale paths and winnowing: rows-only driver
@@ -1107,6 +1185,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_winnow": text_winnow,
     "text_winnow_pairs": text_winnow_pairs,
     "mm_decode_stub": mm_decode_stub,
+    # posexplode frame-sampling variant of the media_table capability
+    # proven by mm_binary_meta (in the first 50); oracle-gated locally
+    "mm_frame_sample": mm_frame_sample,
     # zero-length path forms (p* / p?): the path family keeps p+ closure
     # (kg_sparql_path) and the composite algebra (kg_sparql_path_ops) up
     # front; yielded its first-50 slot to the new update capability
@@ -1141,6 +1222,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # and q06/q24; this exercises the FILTER-form lowering
     "kg_sparql_not_exists": kg_sparql_not_exists,
     "sim_neardup_pairs": sim_neardup_pairs,
+    # FROM/FROM NAMED dataset selection: the quad machinery is measured via
+    # kg_sparql_graph (in the first 50); oracle-gated locally like every
+    # tail entry
+    "kg_sparql_from": kg_sparql_from,
     # keep/drop composition of the text_stats capability (scored in the
     # first 50); oracle-gated locally like every tail entry
     "text_quality_filter": text_quality_filter,
@@ -1488,6 +1573,23 @@ ORACLES: dict[str, str] = {
         SELECT nm.s AS e, nm.o AS nm
         FROM triples nm JOIN triples ty ON ty.s = nm.s
         WHERE nm.p = 'urn:name' AND ty.p = 'urn:type' AND ty.o = 'urn:Region'
+    """,
+    "kg_sparql_graph": f"""
+        WITH quads AS ({_QUADS_SQL})
+        SELECT m.g AS g, m.s AS x, pa.o AS r
+        FROM quads m
+        JOIN quads pa ON pa.s = m.o AND pa.p = 'urn:partOf' AND pa.g IS NULL
+        JOIN quads nm ON nm.s = pa.o AND nm.p = 'urn:name'
+                     AND nm.o = 'ASIA' AND nm.g IS NULL
+        WHERE m.p = 'urn:memberOf' AND m.g IS NOT NULL
+    """,
+    "kg_sparql_from": f"""
+        WITH quads AS ({_QUADS_SQL})
+        SELECT 'urn:graph:vendors' AS g, v.s AS s, v.o AS n
+        FROM quads v
+        JOIN quads c ON c.o = v.o AND c.p = 'urn:memberOf'
+                    AND c.g = 'urn:graph:crm'
+        WHERE v.p = 'urn:memberOf' AND v.g = 'urn:graph:vendors'
     """,
     "kg_sparql_filter": f"""
         WITH triples AS ({_TRIPLES_SQL})

@@ -1,5 +1,10 @@
 from parj_spark.query.bgp import BGPEngine, Path, Pattern, parse_bgp
-from parj_spark.query.sparql import SparqlQuery, execute_on_triples, parse_sparql
+from parj_spark.query.sparql import (
+    SparqlQuery,
+    execute_on_quads,
+    execute_on_triples,
+    parse_sparql,
+)
 
 __all__ = [
     "BGPEngine",
@@ -7,6 +12,7 @@ __all__ = [
     "Pattern",
     "parse_bgp",
     "SparqlQuery",
+    "execute_on_quads",
     "execute_on_triples",
     "parse_sparql",
 ]

@@ -94,11 +94,20 @@ class Pattern:
     s: str
     p: "str | Path"  # predicate name, "?var", "<pred>+", or a Path tree
     o: str
+    # GRAPH context (opt-in SPARQL extension; always None at parity and on
+    # the encoded-engine path): "?var", a graph IRI, or None = default graph.
+    # Carried per pattern so one WHERE clause can mix GRAPH blocks and
+    # default-graph patterns and still join as a single BGP.
+    g: "str | None" = None
 
     def vars(self) -> set[str]:
         """Join variables (subject/object/predicate positions all count —
-        two patterns sharing a predicate var join on it)."""
-        return {t[1:] for t in (self.s, self.p, self.o) if _is_var(t)}
+        two patterns sharing a predicate var join on it; a variable GRAPH
+        context joins like any other position)."""
+        out = {t[1:] for t in (self.s, self.p, self.o) if _is_var(t)}
+        if self.g is not None and _is_var(self.g):
+            out.add(self.g[1:])
+        return out
 
     def entity_vars(self) -> set[str]:
         return {t[1:] for t in (self.s, self.o) if _is_var(t)}

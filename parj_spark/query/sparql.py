@@ -51,7 +51,13 @@ IF(cond, then, else) via when/otherwise and COALESCE) and the
 SPARQL 1.1 ``(expr AS ?v)`` SELECT-expression form (lowered onto the same
 BIND machinery, evaluated after WHERE binds); ``allow_subquery=True``
 enables nested ``{ SELECT ... }`` groups, evaluated bottom-up and joined
-with the enclosing group on their projection.
+with the enclosing group on their projection; ``allow_graph=True`` enables
+``GRAPH <iri>/?var { triples }`` blocks over a quad relation
+(:func:`execute_on_quads`) — constant graphs filter the scan, variable
+graphs bind a join column, and non-GRAPH patterns match the default graph
+(statements with a null graph label) — plus the ``FROM <g>`` / ``FROM
+NAMED <g>`` dataset clauses (explicit dataset: default graph = merge of
+the FROM graphs, named-graph set = FROM NAMED exactly).
 
 Term canonicalization: the engine's dictionary stores *prefixed names*
 ("ub:Course_0_0_0", "rdf:type"), so pnames pass through verbatim and full
@@ -64,7 +70,7 @@ which the fixture vocabulary does not use).
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from parj_spark.query.bgp import Path, Pattern
 
@@ -165,6 +171,12 @@ class SparqlQuery:
     # result is the distinct (s, p, o) set of the resources' outgoing edges
     # (concise bounded description = one hop, subject position)
     describe: list[str] | None = None
+    # FROM / FROM NAMED dataset clauses (opt-in with allow_graph; both empty
+    # at parity): when either is present the query's dataset is exactly as
+    # described — default graph = set-merge of the FROM graphs (empty if
+    # none), named-graph set = the FROM NAMED list (empty if none)
+    from_graphs: list[str] = field(default_factory=list)
+    from_named: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -521,6 +533,7 @@ class _Parser:
         allow_bind: bool = False,
         allow_subquery: bool = False,
         allow_describe: bool = False,
+        allow_graph: bool = False,
     ):
         self.toks = toks
         self.i = 0
@@ -538,6 +551,7 @@ class _Parser:
         self.allow_bind = allow_bind
         self.allow_subquery = allow_subquery
         self.allow_describe = allow_describe
+        self.allow_graph = allow_graph
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -663,6 +677,25 @@ class _Parser:
                     "in this subset (compute aggregates in a subquery)"
                 )
 
+        from_graphs: list[str] = []
+        from_named: list[str] = []
+        while self._kw(self.peek(), "FROM"):
+            if not self.allow_graph:
+                # parity by default: the reference models one graph; the
+                # dataset clauses ride the same opt-in as GRAPH blocks
+                raise ValueError(
+                    "FROM / FROM NAMED dataset clauses are not supported at "
+                    "reference parity (pass allow_graph=True to opt in)"
+                )
+            self.next()
+            named = self._kw(self.peek(), "NAMED")
+            if named:
+                self.next()
+            t = self.term()
+            if t.startswith("?"):
+                raise ValueError("FROM: expected a graph IRI, got a variable")
+            (from_named if named else from_graphs).append(t)
+
         if self._kw(self.peek(), "WHERE"):
             self.next()
         if describe is not None and self.peek() != "{":
@@ -686,6 +719,8 @@ class _Parser:
             aggregates=aggregates,
             construct=construct,
             describe=describe,
+            from_graphs=from_graphs,
+            from_named=from_named,
             **body,
             **mods,
         )
@@ -964,6 +999,36 @@ class _Parser:
                 self._triples_block(group, stop="}")
                 self.expect("}")
                 optional.append(group)
+                continue
+            if self._kw(t, "GRAPH"):
+                if not self.allow_graph:
+                    # parity by default: the reference models one graph and
+                    # rejects GRAPH (DagCreator.java:170-171, 269-271).
+                    # parse_sparql(..., allow_graph=True) opts in to the
+                    # quad-relation extension (execute_on_quads).
+                    raise ValueError(
+                        "GRAPH is not supported at reference parity "
+                        "(pass allow_graph=True to opt in)"
+                    )
+                self.next()
+                gterm = self.term()
+                self.expect("{")
+                ggroup: list[Pattern] = []
+                self._triples_block(ggroup, stop="}")
+                self.expect("}")
+                for p in ggroup:
+                    if isinstance(p.p, Path) or (
+                        isinstance(p.p, str) and p.p.endswith("+")
+                    ):
+                        # a path relation is computed over one whole graph;
+                        # scoping the closure per named graph is out of scope
+                        raise ValueError(
+                            "property paths inside GRAPH blocks are not "
+                            "supported"
+                        )
+                # graph context rides the patterns themselves, so GRAPH
+                # blocks and default-graph patterns join as one BGP
+                patterns.extend(replace(p, g=gterm) for p in ggroup)
                 continue
             if self._kw(t, "MINUS"):
                 if not self.allow_minus:
@@ -1735,6 +1800,7 @@ def parse_sparql(
     allow_bind: bool = False,
     allow_subquery: bool = False,
     allow_describe: bool = False,
+    allow_graph: bool = False,
 ) -> SparqlQuery:
     """Parse a SPARQL BGP SELECT query string (see module docstring for the
     accepted subset; everything the reference rejects, we reject by default —
@@ -1751,13 +1817,14 @@ def parse_sparql(
     bindings, ``allow_construct=True`` to the CONSTRUCT form,
     ``allow_bind=True`` to BIND computed columns, ``allow_subquery=True``
     to nested ``{ SELECT ... }`` groups, ``allow_describe=True`` to the
-    DESCRIBE form; ``allow_filter=True`` also enables FILTER [NOT] EXISTS
-    blocks)."""
+    DESCRIBE form, ``allow_graph=True`` to ``GRAPH <iri>/?var { ... }``
+    blocks over a quad relation (:func:`execute_on_quads`);
+    ``allow_filter=True`` also enables FILTER [NOT] EXISTS blocks)."""
     return _Parser(
         _tokenize(text), allow_var_predicates, allow_filter, allow_union,
         allow_ask, allow_minus, allow_paths, allow_offset, allow_aggregates,
         allow_values, allow_construct, allow_bind, allow_subquery,
-        allow_describe,
+        allow_describe, allow_graph,
     ).parse()
 
 
@@ -1800,6 +1867,7 @@ def execute_on_triples(
     allow_bind: bool = False,
     allow_subquery: bool = False,
     allow_describe: bool = False,
+    allow_graph: bool = False,
 ):
     """Execute a SPARQL BGP SELECT directly over a (s, p, o) string-typed
     triples DataFrame — no dictionary encoding or stats required.
@@ -1810,6 +1878,14 @@ def execute_on_triples(
     most-constant-bound pattern first, then connected patterns — each scan
     is a predicate-filtered projection, so Catalyst pushes the constant
     filters into the scan and AQE picks the join strategy.
+
+    With ``allow_graph=True`` the input may be a *quad* relation carrying a
+    fourth string column ``g`` (null = default graph; see
+    :func:`execute_on_quads`): non-GRAPH patterns, property paths and the
+    zero-length node domain then match only the default graph, while
+    ``GRAPH <iri> { ... }`` filters on ``g`` (a pushed-down scan predicate —
+    partition-prunable when the quads are written partitioned by graph) and
+    ``GRAPH ?g { ... }`` binds ``?g`` as one more join column.
     """
     from pyspark.sql import functions as F
 
@@ -1828,7 +1904,39 @@ def execute_on_triples(
         allow_bind=allow_bind,
         allow_subquery=allow_subquery,
         allow_describe=allow_describe,
+        allow_graph=allow_graph,
     )
+
+    quads = triples if "g" in triples.columns else None
+    if quads is not None:
+        if q.from_graphs or q.from_named:
+            # explicit dataset: default graph = set-merge of the FROM
+            # graphs (a graph is a set of triples, so cross-graph
+            # duplicates collapse), named-graph set = FROM NAMED exactly;
+            # an absent side is EMPTY (limit(0) keeps the schema), so a
+            # GRAPH pattern under FROM-only matches nothing, per spec
+            base = quads
+            if q.from_graphs:
+                triples = base.filter(F.col("g").isin(q.from_graphs)).drop("g")
+                if len(q.from_graphs) > 1:
+                    triples = triples.distinct()
+            else:
+                triples = base.limit(0).drop("g")
+            quads = (
+                base.filter(F.col("g").isin(q.from_named))
+                if q.from_named
+                else base.limit(0)
+            )
+        else:
+            # the default graph is the set of statements with no graph
+            # label; everything that isn't GRAPH-scoped (plain patterns,
+            # path relations, the zero-length node domain) matches it alone
+            triples = quads.filter(F.col("g").isNull()).drop("g")
+    elif q.from_graphs or q.from_named:
+        raise ValueError(
+            "FROM / FROM NAMED need a quad relation with a 'g' column "
+            "(use execute_on_quads)"
+        )
 
     def _is_var(t) -> bool:
         return isinstance(t, str) and t.startswith("?")
@@ -1942,9 +2050,22 @@ def execute_on_triples(
             if not cols:
                 return df.limit(1).select(F.lit(1).alias("__exists"))
             return df.select(*cols)
-        df = triples
+        terms = [(pat.s, "s"), (pat.p, "p"), (pat.o, "o")]
+        if pat.g is not None:
+            if quads is None:
+                raise ValueError(
+                    "GRAPH pattern needs a quad relation with a 'g' column "
+                    "(use execute_on_quads)"
+                )
+            # GRAPH ranges over the *named* graphs: a variable graph must
+            # not bind the default graph's null label (a constant graph
+            # excludes nulls via the equality filter anyway)
+            df = quads.filter(F.col("g").isNotNull())
+            terms.append((pat.g, "g"))
+        else:
+            df = triples
         slots: dict[str, str] = {}
-        for term, col in ((pat.s, "s"), (pat.p, "p"), (pat.o, "o")):
+        for term, col in terms:
             if not _is_var(term):
                 df = df.filter(F.col(col) == term)
             elif term in slots:
@@ -2161,3 +2282,23 @@ def execute_on_triples(
         return result
 
     return _lower(q)
+
+
+def execute_on_quads(quads, text: str, **allow_flags):
+    """Execute a SPARQL SELECT with ``GRAPH`` blocks over a string-typed
+    *quad* relation ``(s, p, o, g)`` — ``g`` null for default-graph
+    statements, exactly the shape :func:`parj_spark.construct.rdf_io.
+    read_nquads` produces (modulo the ``_uri`` column suffixes).
+
+    Opt-in extension (the reference models a single graph and rejects
+    GRAPH outright, DagCreator.java:170-171, 269-271). Thin wrapper over
+    :func:`execute_on_triples` with ``allow_graph=True``; all other
+    ``allow_*`` extension flags pass through. Constant graphs become
+    pushed-down scan predicates on ``g`` (partition-prunable when the
+    quads are laid out partitioned by graph); variable graphs bind one
+    more join column.
+    """
+    if "g" not in quads.columns:
+        raise ValueError("execute_on_quads expects a 'g' column (null = "
+                         "default graph); use execute_on_triples for triples")
+    return execute_on_triples(quads, text, allow_graph=True, **allow_flags)

@@ -234,3 +234,26 @@ def test_explain_sparql_lubm(spark, tiny_graph):
     assert len(body) == 6
     assert body[0].endswith("seed scan")
     assert "CARTESIAN" not in txt
+
+
+def test_graph_constant_prunes_partitions(spark, tmp_path):
+    """A constant GRAPH block over a graph-partitioned quad layout must
+    reach the scan as a partition filter (the 100 TB story for per-graph
+    quads: one named graph read, the rest never touched)."""
+    from parj_spark.query.sparql import execute_on_quads
+
+    rows = [
+        ("x%d" % i, "memberOf", "d%d" % (i % 3), g)
+        for i in range(30)
+        for g in ("crm", "hr")
+    ]
+    quads = spark.createDataFrame(rows, "s string, p string, o string, g string")
+    path = str(tmp_path / "quads")
+    quads.write.partitionBy("g").parquet(path)
+    stored = spark.read.parquet(path)
+    df = execute_on_quads(
+        stored, "SELECT ?x ?d WHERE { GRAPH <crm> { ?x <memberOf> ?d } }"
+    )
+    plan = _plan(df)
+    assert "PartitionFilters: [isnotnull(g" in plan
+    assert df.count() == 30

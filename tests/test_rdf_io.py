@@ -197,3 +197,34 @@ def test_import_rdf_nquads_end_to_end(spark, tmp_path):
     assert BGPEngine(only_a).count("?x urn:type urn:Nation") == 1
     with pytest.raises(ValueError):
         import_rdf(spark, str(nq), str(tmp_path / "bad"), fmt="turtle")
+
+
+def test_nquads_to_graph_query(spark, nq_path):
+    """read_nquads output feeds execute_on_quads directly (columns renamed
+    to the quad relation's s/p/o/g): GRAPH ?g enumerates the named graphs,
+    a constant GRAPH filters one, and non-GRAPH patterns see only the
+    default-graph line."""
+    from parj_spark.construct.rdf_io import read_nquads
+    from parj_spark.query import execute_on_quads
+
+    quads = (
+        read_nquads(spark, nq_path)
+        .withColumnsRenamed(
+            {"s_uri": "s", "p_uri": "p", "o_uri": "o", "g_uri": "g"}
+        )
+    )
+    per_graph = execute_on_quads(
+        quads, "SELECT ?g ?s WHERE { GRAPH ?g { ?s <urn:name> ?n } }"
+    )
+    assert sorted(map(tuple, per_graph.collect())) == [
+        ("urn:graph1", "urn:a"),
+        ("urn:graph2", "urn:b"),
+    ]
+    one = execute_on_quads(
+        quads, "SELECT ?o WHERE { GRAPH <urn:graph1> { <urn:a> <urn:knows> ?o } }"
+    )
+    assert [tuple(r) for r in one.collect()] == [("urn:b",)]
+    default_only = execute_on_quads(quads, "SELECT ?s ?o WHERE { ?s <urn:name> ?o }")
+    assert [tuple(r) for r in default_only.collect()] == [
+        ("urn:c", "default graph line")
+    ]

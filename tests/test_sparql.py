@@ -1267,3 +1267,136 @@ def test_bind_if_and_coalesce(spark):
         allow_bind=True,
     )
     assert [tuple(r) for r in got.collect()] == [("a", "Al"), ("b", "Bob")]
+
+
+# --- GRAPH blocks over quad relations (opt-in extension) -------------------
+# The reference models a single graph and rejects GRAPH outright
+# (DagCreator.java:170-171, 269-271); execute_on_quads is beyond parity.
+
+
+def _quads(spark):
+    return spark.createDataFrame(
+        [
+            # default graph (null label): org structure
+            ("d1", "partOf", "u1", None),
+            ("d2", "partOf", "u1", None),
+            # named graph g:crm
+            ("x1", "memberOf", "d1", "g:crm"),
+            ("x2", "memberOf", "d2", "g:crm"),
+            # named graph g:hr (overlaps crm on (x1 memberOf d1))
+            ("x1", "memberOf", "d1", "g:hr"),
+            ("x3", "memberOf", "d1", "g:hr"),
+        ],
+        "s string, p string, o string, g string",
+    )
+
+
+def test_graph_rejected_by_default():
+    with pytest.raises(ValueError, match="GRAPH"):
+        parse_sparql("SELECT ?x WHERE { GRAPH ?g { ?x <p> ?y } }")
+
+
+def test_graph_constant_joins_default_graph(spark):
+    from parj_spark.query.sparql import execute_on_quads
+
+    got = execute_on_quads(
+        _quads(spark),
+        "SELECT ?x ?u WHERE "
+        "{ GRAPH <g:crm> { ?x <memberOf> ?d } . ?d <partOf> ?u }",
+    )
+    assert sorted(map(tuple, got.collect())) == [("x1", "u1"), ("x2", "u1")]
+
+
+def test_graph_variable_binds_and_projects(spark):
+    from parj_spark.query.sparql import execute_on_quads
+
+    got = execute_on_quads(
+        _quads(spark), "SELECT ?g ?x WHERE { GRAPH ?g { ?x <memberOf> <d1> } }"
+    )
+    assert sorted(map(tuple, got.collect())) == [
+        ("g:crm", "x1"),
+        ("g:hr", "x1"),
+        ("g:hr", "x3"),
+    ]
+
+
+def test_graph_default_excludes_named_statements(spark):
+    from parj_spark.query.sparql import execute_on_quads
+
+    got = execute_on_quads(
+        _quads(spark), "SELECT ?x ?d WHERE { ?x <memberOf> ?d }"
+    )
+    assert got.count() == 0  # memberOf exists only in named graphs
+
+
+def test_graph_var_shared_across_blocks(spark):
+    from parj_spark.query.sparql import execute_on_quads
+
+    # one ?g scoping two blocks: both patterns must hold in the SAME graph
+    got = execute_on_quads(
+        _quads(spark),
+        "SELECT ?g WHERE "
+        "{ GRAPH ?g { <x2> <memberOf> <d2> } . GRAPH ?g { <x1> <memberOf> <d1> } }",
+    )
+    assert sorted(map(tuple, got.collect())) == [("g:crm",)]
+
+
+def test_graph_needs_quad_relation(spark):
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame([("a", "p", "b")], ["s", "p", "o"])
+    with pytest.raises(ValueError, match="quad"):
+        execute_on_triples(
+            t, "SELECT ?x WHERE { GRAPH <g> { ?x <p> ?y } }", allow_graph=True
+        )
+
+
+def test_graph_paths_rejected_inside_block():
+    with pytest.raises(ValueError, match="paths inside GRAPH"):
+        parse_sparql(
+            "SELECT ?x WHERE { GRAPH <g> { ?x <p>+ ?y } }",
+            allow_graph=True,
+            allow_paths=True,
+        )
+
+
+def test_from_rejected_by_default():
+    with pytest.raises(ValueError, match="FROM"):
+        parse_sparql("SELECT ?x FROM <g:crm> WHERE { ?x <p> ?y }")
+
+
+def test_from_merges_named_graphs_as_default(spark):
+    from parj_spark.query.sparql import execute_on_quads
+
+    # (x1 memberOf d1) appears in BOTH crm and hr: the merged default
+    # graph is a set, so it must come out once
+    got = execute_on_quads(
+        _quads(spark),
+        "SELECT ?x ?d FROM <g:crm> FROM <g:hr> WHERE { ?x <memberOf> ?d }",
+    )
+    assert sorted(map(tuple, got.collect())) == [
+        ("x1", "d1"),
+        ("x2", "d2"),
+        ("x3", "d1"),
+    ]
+    # explicit dataset: the null-label statements are NOT in it
+    none = execute_on_quads(
+        _quads(spark), "SELECT ?d ?u FROM <g:crm> WHERE { ?d <partOf> ?u }"
+    )
+    assert none.count() == 0
+
+
+def test_from_named_restricts_graph_blocks(spark):
+    from parj_spark.query.sparql import execute_on_quads
+
+    got = execute_on_quads(
+        _quads(spark),
+        "SELECT ?g ?x FROM NAMED <g:hr> WHERE { GRAPH ?g { ?x <memberOf> <d1> } }",
+    )
+    assert sorted(map(tuple, got.collect())) == [("g:hr", "x1"), ("g:hr", "x3")]
+    # FROM only (no FROM NAMED): the named-graph set is empty
+    empty = execute_on_quads(
+        _quads(spark),
+        "SELECT ?g ?x FROM <g:crm> WHERE { GRAPH ?g { ?x <memberOf> ?d } }",
+    )
+    assert empty.count() == 0
