@@ -891,6 +891,11 @@ class _Parser:
         if self._kw(self.peek(), "DISTINCT"):
             self.next()
             distinct = True
+        elif self._kw(self.peek(), "REDUCED"):
+            # REDUCED permits eliminating any subset of duplicates; the
+            # distinct set is a conforming (and deterministic) answer
+            self.next()
+            distinct = True
         aggregates: list[AggSelect] = []
         select_exprs: list[tuple] = []
         if self.peek() == "*":
@@ -1016,16 +1021,18 @@ class _Parser:
                 ggroup: list[Pattern] = []
                 self._triples_block(ggroup, stop="}")
                 self.expect("}")
-                for p in ggroup:
-                    if isinstance(p.p, Path) or (
-                        isinstance(p.p, str) and p.p.endswith("+")
-                    ):
-                        # a path relation is computed over one whole graph;
-                        # scoping the closure per named graph is out of scope
-                        raise ValueError(
-                            "property paths inside GRAPH blocks are not "
-                            "supported"
-                        )
+                if gterm.startswith("?"):
+                    for p in ggroup:
+                        if isinstance(p.p, Path) or (
+                            isinstance(p.p, str) and p.p.endswith("+")
+                        ):
+                            # a constant graph scopes the path relation to
+                            # one named graph's edge set; a variable graph
+                            # would need a per-graph closure — out of scope
+                            raise ValueError(
+                                "property paths inside GRAPH blocks are not "
+                                "supported with a variable graph"
+                            )
                 # graph context rides the patterns themselves, so GRAPH
                 # blocks and default-graph patterns join as one BGP
                 patterns.extend(replace(p, g=gterm) for p in ggroup)
@@ -1963,52 +1970,60 @@ def execute_on_triples(
             paths = paths.union(frontier).localCheckpoint()
         raise RuntimeError("property-path closure exceeded 64 hops")
 
-    def _nodes():
+    def _nodes(rel, gkey):
         # zero-length path domain: every term in subject or object position
-        if "__nodes__" not in rel_cache:
-            rel_cache["__nodes__"] = (
-                triples.select(F.col("s").alias("n"))
-                .union(triples.select(F.col("o").alias("n")))
+        # (of the pattern's graph context — default graph when gkey is None)
+        key = ("__nodes__", gkey)
+        if key not in rel_cache:
+            rel_cache[key] = (
+                rel.select(F.col("s").alias("n"))
+                .union(rel.select(F.col("o").alias("n")))
                 .distinct()
                 .localCheckpoint()
             )
-        return rel_cache["__nodes__"]
+        return rel_cache[key]
 
-    def _path_rel(path: Path):
+    def _path_rel(path: Path, rel, gkey):
         """(s, o) pair relation of a composite path (see BGPEngine._path_rel
-        for the encoded-id twin and the semantics notes)."""
-        if path in rel_cache:
-            return rel_cache[path]
+        for the encoded-id twin and the semantics notes). ``rel`` is the
+        (s, p, o) relation of the pattern's graph context — the default
+        graph, or one constant named graph (gkey keys the cache per graph);
+        variable-graph paths are rejected at parse time."""
+        key = (path, gkey)
+        if key in rel_cache:
+            return rel_cache[key]
         if path.op == "link":
-            df = triples.filter(F.col("p") == path.parts[0]).select("s", "o")
+            df = rel.filter(F.col("p") == path.parts[0]).select("s", "o")
         elif path.op == "inv":
-            df = _path_rel(path.parts[0]).select(
+            df = _path_rel(path.parts[0], rel, gkey).select(
                 F.col("o").alias("s"), F.col("s").alias("o")
             )
         elif path.op == "seq":
-            df = _path_rel(path.parts[0])
+            df = _path_rel(path.parts[0], rel, gkey)
             for nxt in path.parts[1:]:
                 df = (
                     df.withColumnRenamed("o", "m")
-                    .join(_path_rel(nxt).withColumnRenamed("s", "m"), "m")
+                    .join(_path_rel(nxt, rel, gkey).withColumnRenamed("s", "m"), "m")
                     .select("s", "o")
                 )
         elif path.op == "alt":
-            df = _path_rel(path.parts[0])
+            df = _path_rel(path.parts[0], rel, gkey)
             for nxt in path.parts[1:]:
-                df = df.unionByName(_path_rel(nxt))
+                df = df.unionByName(_path_rel(nxt, rel, gkey))
         elif path.op == "negset":
             # any single edge whose predicate is NOT in the listed set
-            df = triples.filter(~F.col("p").isin(list(path.parts))).select("s", "o")
+            df = rel.filter(~F.col("p").isin(list(path.parts))).select("s", "o")
         elif path.op == "plus":
-            df = _closure_of(_path_rel(path.parts[0]))
+            df = _closure_of(_path_rel(path.parts[0], rel, gkey))
         else:  # star / opt
-            zero = _nodes().select(F.col("n").alias("s"), F.col("n").alias("o"))
-            step = _path_rel(path.parts[0])
+            zero = _nodes(rel, gkey).select(
+                F.col("n").alias("s"), F.col("n").alias("o")
+            )
+            step = _path_rel(path.parts[0], rel, gkey)
             if path.op == "star":
                 step = _closure_of(step)
             df = step.unionByName(zero).distinct()
-        rel_cache[path] = df
+        rel_cache[key] = df
         return df
 
     def scan(pat: Pattern):
@@ -2019,7 +2034,18 @@ def execute_on_triples(
             p = Path("plus", (Path("link", (p[:-1],)),))
         if isinstance(p, Path):
             # property path: the scan is the path's pair relation (s, o
-            # columns only; the predicate is consumed by the path)
+            # columns only; the predicate is consumed by the path). Inside a
+            # constant GRAPH block the relation is that one graph's edge set
+            # (variable-graph paths are rejected at parse time).
+            if pat.g is None:
+                rel, gkey = triples, None
+            else:
+                if quads is None:
+                    raise ValueError(
+                        "GRAPH pattern needs a quad relation with a 'g' "
+                        "column (use execute_on_quads)"
+                    )
+                rel, gkey = quads.filter(F.col("g") == pat.g).drop("g"), pat.g
             consts = [t for t in (pat.s, pat.o) if not _is_var(t)]
             if p.op in ("star", "opt") and consts:
                 # constant-anchored zero-length form: the identity pair is
@@ -2028,16 +2054,18 @@ def execute_on_triples(
                 # (see BGPEngine._scan for the encoded-id twin)
                 c = consts[0]
                 step = _path_rel(
-                    Path("plus", (p.parts[0],)) if p.op == "star" else p.parts[0]
+                    Path("plus", (p.parts[0],)) if p.op == "star" else p.parts[0],
+                    rel,
+                    gkey,
                 )
                 zero = (
-                    triples.filter((F.col("s") == c) | (F.col("o") == c))
+                    rel.filter((F.col("s") == c) | (F.col("o") == c))
                     .limit(1)
                     .select(F.lit(c).alias("s"), F.lit(c).alias("o"))
                 )
                 df = step.unionByName(zero).distinct()
             else:
-                df = _path_rel(p)
+                df = _path_rel(p, rel, gkey)
             slots: dict[str, str] = {}
             for term, col in ((pat.s, "s"), (pat.o, "o")):
                 if not _is_var(term):

@@ -1351,10 +1351,17 @@ def test_graph_needs_quad_relation(spark):
         )
 
 
-def test_graph_paths_rejected_inside_block():
+def test_graph_paths_gated_by_graph_term():
+    # constant graph: the path is scoped to that graph's edge set — parses
+    parse_sparql(
+        "SELECT ?x WHERE { GRAPH <g> { ?x <p>+ ?y } }",
+        allow_graph=True,
+        allow_paths=True,
+    )
+    # variable graph: a per-graph closure is out of scope — rejected
     with pytest.raises(ValueError, match="paths inside GRAPH"):
         parse_sparql(
-            "SELECT ?x WHERE { GRAPH <g> { ?x <p>+ ?y } }",
+            "SELECT ?x WHERE { GRAPH ?g { ?x <p>+ ?y } }",
             allow_graph=True,
             allow_paths=True,
         )
@@ -1400,3 +1407,49 @@ def test_from_named_restricts_graph_blocks(spark):
         "SELECT ?g ?x FROM <g:crm> WHERE { GRAPH ?g { ?x <memberOf> ?d } }",
     )
     assert empty.count() == 0
+
+
+def test_reduced_dedupes_like_distinct(spark):
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("a", "p", "x"), ("a", "p", "y")], ["s", "p", "o"]
+    )
+    q = parse_sparql("SELECT REDUCED ?s WHERE { ?s <p> ?o }")
+    assert q.distinct  # REDUCED lowered onto the distinct machinery
+    got = execute_on_triples(t, "SELECT REDUCED ?s WHERE { ?s <p> ?o }")
+    assert [tuple(r) for r in got.collect()] == [("a",)]
+
+
+def test_graph_constant_scopes_property_path(spark):
+    from parj_spark.query.sparql import execute_on_quads
+
+    # chain a->b->c in g1; the b->c edge ALSO in g2; a->b absent from g2
+    q = spark.createDataFrame(
+        [
+            ("a", "next", "b", "g1"),
+            ("b", "next", "c", "g1"),
+            ("b", "next", "c", "g2"),
+        ],
+        "s string, p string, o string, g string",
+    )
+    in_g1 = execute_on_quads(
+        q,
+        "SELECT ?x WHERE { GRAPH <g1> { <a> <next>+ ?x } }",
+        allow_paths=True,
+    )
+    assert sorted(map(tuple, in_g1.collect())) == [("b",), ("c",)]
+    # the closure must NOT leak across graphs: in g2 'a' reaches nothing
+    in_g2 = execute_on_quads(
+        q,
+        "SELECT ?x WHERE { GRAPH <g2> { <a> <next>+ ?x } }",
+        allow_paths=True,
+    )
+    assert in_g2.count() == 0
+    # variable-graph paths stay rejected
+    with pytest.raises(ValueError, match="variable graph"):
+        parse_sparql(
+            "SELECT ?g ?x WHERE { GRAPH ?g { <a> <next>+ ?x } }",
+            allow_graph=True,
+            allow_paths=True,
+        )
