@@ -48,6 +48,7 @@ HEADLINE = [
     "q13_sessionize",
     "kg_bgp_chain",
     "kg_sparql_update",
+    "kg_sparql_graph",
     "dedup_exact",
     "dedup_simhash",
     "sim_cosine_topk",
