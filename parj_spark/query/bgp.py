@@ -886,7 +886,10 @@ class BGPEngine:
             )
 
         all_pats = list(patterns) + opt_patterns
-        out_vars = select or sorted({v for p in all_pats for v in p.vars()})
+        out_vars = select or sorted(
+            # blank-node anonymous vars (SPARQL [] sugar) join, never project
+            {v for p in all_pats for v in p.vars() if not v.startswith("__bn")}
+        )
         # a select var not bound by any pattern is dropped (consistently for
         # decode=True and decode=False) rather than failing at decode time
         out_vars = [c for c in out_vars if c in result.columns]
@@ -1331,6 +1334,11 @@ class BGPEngine:
             result = result.select(*((q.select or []) + [a.alias for a in q.aggregates]))
         elif q.select:
             result = result.select(*[c for c in q.select if c in result.columns])
+        else:
+            # SELECT *: blank-node anonymous vars join but never project
+            bn = [c for c in result.columns if c.startswith("__bn")]
+            if bn:
+                result = result.drop(*bn)
         if q.distinct:
             result = result.distinct()
         if order_cols:

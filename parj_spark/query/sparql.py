@@ -88,7 +88,7 @@ _TOKEN_RE = re.compile(
     | (?P<word>     \*|[A-Za-z_][A-Za-z0-9_]* )
     | (?P<num>      -?[0-9]+(?:\.[0-9]+)? )
     | (?P<op>       \|\||&&|!=|<=|>=|[=<>!] )
-    | (?P<punct>    [{}.;,()+/|^?-] )
+    | (?P<punct>    [{}.;,()+/|^?\[\]-] )
     | (?P<ws>       \s+ )
     | (?P<comment>  \#[^\n]* )
     """,
@@ -487,7 +487,8 @@ def query_projection(q: SparqlQuery) -> set[str]:
     out |= {v for vars_, _ in q.values for v in vars_}
     out |= {v for _, v in q.binds}
     out |= {v for sub in q.subqueries for v in query_projection(sub)}
-    return out
+    # blank-node anonymous variables join but are never projected
+    return {v for v in out if not v.startswith("__bn")}
 
 
 def _normalize_path(p: Path) -> "str | Path":
@@ -552,6 +553,7 @@ class _Parser:
         self.allow_subquery = allow_subquery
         self.allow_describe = allow_describe
         self.allow_graph = allow_graph
+        self._bn = 0  # fresh-variable counter for [] blank nodes
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -590,6 +592,12 @@ class _Parser:
         if t.startswith('"'):
             body = re.match(r'"((?:[^"\\]|\\.)*)"', t).group(1)
             return body.replace('\\"', '"').replace("\\\\", "\\")
+        if t.startswith("_:"):
+            # a query blank node is an anonymous variable scoped to the
+            # query (never projected by SELECT *) — the same desugaring
+            # RDF4J applies before the reference's DAG building, so this is
+            # parity surface, not an extension
+            return "?__bn_" + t[2:]
         if ":" in t:
             return t  # prefixed name, stored verbatim in the dictionary
         raise ValueError(f"SPARQL parser: cannot interpret term {t!r}")
@@ -1529,12 +1537,31 @@ class _Parser:
                 continue
             self._triples_same_subject(out)
 
-    def _triples_same_subject(self, out: list[Pattern]) -> None:
-        s = self.term()
+    def _pattern_term(self, out: list[Pattern]) -> str:
+        """One subject/object term inside a triples block: a plain term, or
+        a ``[]`` / ``[ p o ; ... ]`` blank node — a fresh anonymous variable
+        whose property list (if any) lands in ``out``. RDF4J desugars query
+        bnodes to anonymous variables before the reference's DAG building
+        (StatementPattern vars), so this is parity surface."""
+        if self.peek() != "[":
+            return self.term()
+        self.next()
+        v = f"?__bn{self._bn}"
+        self._bn += 1
+        if self.peek() == "]":
+            self.next()
+            return v
+        self._property_list(v, out, stop="]")
+        self.expect("]")
+        return v
+
+    def _property_list(self, s: str, out: list[Pattern], stop: str) -> None:
+        """``p o (, o)* (; p o ...)*`` with ``s`` as subject; objects (and
+        nested brackets) recurse through :meth:`_pattern_term`."""
         while True:
             p = self._predicate()
             while True:
-                o = self.term()
+                o = self._pattern_term(out)
                 out.append(Pattern(s, p, o))
                 if self.peek() == ",":
                     self.next()
@@ -1542,10 +1569,17 @@ class _Parser:
                 break
             if self.peek() == ";":
                 self.next()
-                if self.peek() in (".", "}", None):  # dangling ';'
+                if self.peek() in (".", "}", stop, None):  # dangling ';'
                     break
                 continue
             break
+
+    def _triples_same_subject(self, out: list[Pattern]) -> None:
+        was = len(out)
+        s = self._pattern_term(out)
+        if len(out) > was and self.peek() in (".", "}", None):
+            return  # '[ p o ] .' — the bracket alone is the triple
+        self._property_list(s, out, stop="}")
 
     def _predicate(self) -> "str | Path":
         """Predicate position: a variable (opt-in), a plain term, or — with
@@ -1914,7 +1948,11 @@ def execute_on_triples(
         allow_graph=allow_graph,
     )
 
-    quads = triples if "g" in triples.columns else None
+    # the quad interpretation (g column = graph label, default graph = null)
+    # only applies under the opt-in: without allow_graph a stray 'g' column
+    # is just data and patterns match every row, exactly as before the
+    # extension existed
+    quads = triples if (allow_graph and "g" in triples.columns) else None
     if quads is not None:
         if q.from_graphs or q.from_named:
             # explicit dataset: default graph = set-merge of the FROM
@@ -2291,10 +2329,15 @@ def execute_on_triples(
             opt_flat = [p for g in q.optional for p in g]
             union_flat = [p for grp in q.unions for alt in grp for p in alt]
             out_vars = q.select or sorted(
-                {v for p in q.patterns + opt_flat + union_flat for v in p.vars()}
-                | {v for vars_, _ in q.values for v in vars_}
-                | {v for _, v in q.binds}
-                | {v for sub in q.subqueries for v in query_projection(sub)}
+                v
+                for v in (
+                    {v for p in q.patterns + opt_flat + union_flat for v in p.vars()}
+                    | {v for vars_, _ in q.values for v in vars_}
+                    | {v for _, v in q.binds}
+                    | {v for sub in q.subqueries for v in query_projection(sub)}
+                )
+                # blank-node anonymous vars join but are never projected
+                if not v.startswith("__bn")
             )
             result = result.select(*out_vars)
         if q.distinct:

@@ -1453,3 +1453,70 @@ def test_graph_constant_scopes_property_path(spark):
             allow_graph=True,
             allow_paths=True,
         )
+
+
+def test_triples_path_ignores_g_without_opt_in(spark):
+    from parj_spark.query.sparql import execute_on_triples
+
+    # without allow_graph a 'g' column is just data: every row matches,
+    # named or not (the pre-extension behavior, unchanged)
+    got = execute_on_triples(
+        _quads(spark), "SELECT ?x ?d WHERE { ?x <memberOf> ?d }"
+    )
+    assert got.count() == 4
+
+
+# --- blank nodes in queries (parity surface: RDF4J desugars them to
+# anonymous variables before the reference's DAG building) ------------------
+
+
+def test_bnode_brackets_execute(spark):
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [
+            ("x1", "memberOf", "d1"),
+            ("x2", "memberOf", "d2"),
+            ("d1", "partOf", "u1"),
+            ("u1", "name", "U ONE"),
+        ],
+        ["s", "p", "o"],
+    )
+    # object bracket with nested bracket: members of a dept that is part of
+    # something named "U ONE" — only d1 qualifies
+    got = execute_on_triples(
+        t,
+        'SELECT ?x WHERE { ?x <memberOf> [ <partOf> [ <name> "U ONE" ] ] }',
+    )
+    assert sorted(map(tuple, got.collect())) == [("x1",)]
+    # standalone bracket subject: '[ p o ] .' is a complete triple
+    got2 = execute_on_triples(t, "SELECT * WHERE { [ <partOf> ?u ] . }")
+    assert got2.columns == ["u"]  # the anonymous var never projects
+    assert [tuple(r) for r in got2.collect()] == [("u1",)]
+
+
+def test_bnode_label_joins_not_projected(spark):
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("x1", "memberOf", "d1"), ("d1", "partOf", "u1"), ("d2", "partOf", "u1")],
+        ["s", "p", "o"],
+    )
+    # _:d joins the two patterns like a variable but SELECT * hides it
+    got = execute_on_triples(
+        t, "SELECT * WHERE { ?x <memberOf> _:d . _:d <partOf> ?u }"
+    )
+    assert got.columns == ["u", "x"]
+    assert [tuple(r) for r in got.collect()] == [("u1", "x1")]
+
+
+def test_bnode_engine_matches_explicit_var(engine):
+    got = engine.sparql(
+        PREFIXES + "SELECT ?x WHERE { ?x ub:memberOf [ ub:subOrganizationOf _:u ] }"
+    )
+    want = engine.sparql(
+        PREFIXES
+        + "SELECT ?x WHERE { ?x ub:memberOf ?d . ?d ub:subOrganizationOf ?u }"
+    )
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0
