@@ -356,6 +356,20 @@ class StrTest:
 
 
 @dataclass
+class TermTest:
+    """isIRI / isURI / isLiteral / isBlank(arg) — term-kind tests on the
+    plain-string term model: a term counts as an IRI exactly when it
+    matches the exporter's URI shape (rdf_io._IRI_SHAPE_RE, the rule
+    write_ntriples uses to serialize objects), so FILTER and export agree
+    on every term; isBlank is constant-false (blank nodes are rejected at
+    import, parity with ImportHandler.java:101-103), erroring to false on
+    an unbound argument like every other test."""
+
+    func: str  # isiri / isliteral / isblank
+    arg: tuple
+
+
+@dataclass
 class InList:
     """``operand [NOT] IN (t1, t2, ...)`` membership test."""
 
@@ -379,7 +393,9 @@ class Or:
     parts: list
 
 
-FilterExpr = Comparison | Regex | Bound | StrTest | InList | Not | And | Or
+FilterExpr = (
+    Comparison | Regex | Bound | StrTest | TermTest | InList | Not | And | Or
+)
 
 
 def _operand_vars(t: tuple) -> set[str]:
@@ -399,6 +415,8 @@ def filter_vars(e: FilterExpr) -> set[str]:
     if isinstance(e, StrTest):
         return _operand_vars(e.arg) | _operand_vars(e.probe)
     if isinstance(e, InList):
+        return _operand_vars(e.arg)
+    if isinstance(e, TermTest):
         return _operand_vars(e.arg)
     if isinstance(e, Not):
         return filter_vars(e.expr)
@@ -461,6 +479,16 @@ def filter_to_column(e: FilterExpr, colref):
         vals = [v[1] for v in e.values]
         c = operand(e.arg).isin(vals)
         return ~c if e.negated else c
+    if isinstance(e, TermTest):
+        from parj_spark.construct.rdf_io import _IRI_SHAPE_RE
+
+        c = operand(e.arg)
+        if e.func == "isblank":
+            # no term is a blank node in this store; null arg stays null so
+            # !isBlank(?unbound) is an error (drops), not true
+            return c.isNotNull() & F.lit(False)
+        iri = c.rlike(_IRI_SHAPE_RE)
+        return iri if e.func == "isiri" else ~iri
     if isinstance(e, Not):
         return ~filter_to_column(e.expr, colref)
     if isinstance(e, And):
@@ -1464,6 +1492,14 @@ class _Parser:
                 raise ValueError("bound(): argument must be a variable")
             self.expect(")")
             return Bound(var[1])
+        if t is not None and t.upper() in ("ISIRI", "ISURI", "ISLITERAL", "ISBLANK"):
+            func = self.next().lower()
+            if func == "isuri":
+                func = "isiri"  # spec synonym
+            self.expect("(")
+            arg = self._filter_operand()
+            self.expect(")")
+            return TermTest(func, arg)
         if t is not None and t.upper() in ("STRSTARTS", "STRENDS", "CONTAINS"):
             func = self.next().lower()
             self.expect("(")

@@ -1520,3 +1520,33 @@ def test_bnode_engine_matches_explicit_var(engine):
     )
     assert _rows(got) == _rows(want)
     assert got.count() > 0
+
+
+def test_filter_term_tests(spark):
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [
+            ("urn:a", "urn:knows", "urn:b"),
+            ("urn:a", "urn:name", "Alpha Person"),
+            ("urn:b", "urn:name", "42"),
+        ],
+        ["s", "p", "o"],
+    )
+    # isIRI keeps exactly what write_ntriples would serialize as <iri>
+    iris = execute_on_triples(
+        t, "SELECT ?o WHERE { ?s ?p ?o . FILTER(isIRI(?o)) }",
+        allow_filter=True, allow_var_predicates=True,
+    )
+    assert sorted(map(tuple, iris.collect())) == [("urn:b",)]
+    # isLiteral is the complement; isURI is the spec synonym of isIRI
+    lits = execute_on_triples(
+        t, "SELECT ?o WHERE { ?s ?p ?o . FILTER(isLiteral(?o) && !isBlank(?o)) }",
+        allow_filter=True, allow_var_predicates=True,
+    )
+    assert sorted(map(tuple, lits.collect())) == [("42",), ("Alpha Person",)]
+    none = execute_on_triples(
+        t, "SELECT ?o WHERE { ?s ?p ?o . FILTER(isBlank(?o) || !isURI(?s)) }",
+        allow_filter=True, allow_var_predicates=True,
+    )
+    assert none.count() == 0
