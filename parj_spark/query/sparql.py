@@ -2408,4 +2408,5 @@ def execute_on_quads(quads, text: str, **allow_flags):
     if "g" not in quads.columns:
         raise ValueError("execute_on_quads expects a 'g' column (null = "
                          "default graph); use execute_on_triples for triples")
-    return execute_on_triples(quads, text, allow_graph=True, **allow_flags)
+    allow_flags.setdefault("allow_graph", True)  # redundant-but-legal
+    return execute_on_triples(quads, text, **allow_flags)

@@ -41,6 +41,13 @@ Updates (beyond parity; the reference stores are read-only):
 apply as merge-on-read deltas under --stream-dir (default
 <graph_dir>/_updates); later query invocations automatically serve the
 live merged view until --compact folds the deltas into the base layout.
+
+N-Quads mode (beyond parity; the reference is single-graph): point the
+positional argument at an .nq file/dir and pass --nquads to query it
+directly with GRAPH / FROM named-graph support — no materialize step:
+
+    python scripts/submit_query.py /data/dataset.nq --nquads --query \\
+        'SELECT ?g ?s WHERE { GRAPH ?g { ?s <urn:name> ?n } }'
 """
 
 from __future__ import annotations
@@ -68,6 +75,32 @@ UPDATE_ALLOW = dict(
     allow_aggregates=True, allow_values=True, allow_bind=True,
     allow_subquery=True,
 )
+
+# the full allow set for --nquads mode: every query form plus the GRAPH /
+# FROM named-graph surface (the whole mode is extension territory — the
+# reference is single-graph, so --strict and --nquads are incompatible)
+QUADS_ALLOW = dict(
+    UPDATE_ALLOW,
+    allow_ask=True, allow_construct=True, allow_describe=True,
+    allow_graph=True,
+)
+
+
+class QuadsEngine:
+    """execute_on_quads adapter exposing the engine's ``sparql()`` surface,
+    so the serve/timing loop runs unchanged over a raw N-Quads file —
+    string-triples path, no dictionary (``decode`` is a no-op) and no
+    statistics, but full GRAPH / FROM named-graph semantics."""
+
+    bucketed_prefix = None
+
+    def __init__(self, quads):
+        self.quads = quads
+
+    def sparql(self, text, decode=True, **_flags):
+        from parj_spark.query.sparql import execute_on_quads
+
+        return execute_on_quads(self.quads, text, **QUADS_ALLOW)
 
 MIN_QUERY_CHARS = 30  # QueryTester.java:161 file-mode filter
 
@@ -185,6 +218,10 @@ def main() -> None:
     ap.add_argument("--strict", action="store_true",
                     help="reference parity mode: reject FILTER/UNION/... "
                     "like DagCreator.java:170-171")
+    ap.add_argument("--nquads", action="store_true",
+                    help="treat graph_dir as an N-Quads file/dir and query "
+                    "it directly (string-triples path) with GRAPH / FROM "
+                    "named-graph support — no materialize step needed")
     ap.add_argument("--explain", action="store_true",
                     help="print the planner's join-order/access-path report "
                     "for each query's core BGP before running it")
@@ -208,6 +245,12 @@ def main() -> None:
 
     stream_dir = args.stream_dir or os.path.join(args.graph_dir, "_updates")
 
+    if args.nquads and (args.update or args.strict or args.explain):
+        print("  REJECTED: --nquads is direct extension-surface querying — "
+              "it has no update path, no parity mode (GRAPH is itself an "
+              "extension) and no stats-driven plan report", file=sys.stderr)
+        sys.exit(2)
+
     if args.update:
         base = GraphStore(spark, args.graph_dir)
         try:
@@ -226,26 +269,42 @@ def main() -> None:
         spark.stop()
         return
 
-    store = live_store(spark, args.graph_dir, stream_dir)
-    if getattr(store, "stream_dir", None):
-        print(f"serving the live merge-on-read view (un-compacted deltas "
-              f"under {stream_dir})", file=sys.stderr)
-    if args.analyze and store.join_stats() is None:
-        # reference behavior when histograms.json is absent
-        # (QueryTester.java:126-139): analyze now, then serve queries
-        print("Database statistics are missing. Analyzing graph "
-              "(this may take some time...)", file=sys.stderr)
+    if args.nquads:
+        from parj_spark.construct.rdf_io import read_nquads
+
+        quads = (
+            read_nquads(spark, args.graph_dir)
+            .withColumnsRenamed(
+                {"s_uri": "s", "p_uri": "p", "o_uri": "o", "g_uri": "g"}
+            )
+            .cache()
+        )
+        print(f"{quads.count()} statements loaded from {args.graph_dir} "
+              "(named-graph querying enabled)", file=sys.stderr)
+        engine = QuadsEngine(quads)
+    else:
+        store = live_store(spark, args.graph_dir, stream_dir)
+        if getattr(store, "stream_dir", None):
+            print(f"serving the live merge-on-read view (un-compacted deltas "
+                  f"under {stream_dir})", file=sys.stderr)
+        if args.analyze and store.join_stats() is None:
+            # reference behavior when histograms.json is absent
+            # (QueryTester.java:126-139): analyze now, then serve queries
+            print("Database statistics are missing. Analyzing graph "
+                  "(this may take some time...)", file=sys.stderr)
+            t0 = time.monotonic()
+            analyze_graph(store)
+            print(f"analyze done in {time.monotonic() - t0:.1f}s",
+                  file=sys.stderr)
+
+        from parj_spark.query.bgp import BGPEngine
+
         t0 = time.monotonic()
-        analyze_graph(store)
-        print(f"analyze done in {time.monotonic() - t0:.1f}s", file=sys.stderr)
-
-    from parj_spark.query.bgp import BGPEngine
-
-    t0 = time.monotonic()
-    engine = BGPEngine(store)
-    print(f"engine ready in {(time.monotonic() - t0) * 1000:.0f} ms "
-          f"(layout: {'bucketed' if engine.bucketed_prefix else 'partitioned'})",
-          file=sys.stderr)
+        engine = BGPEngine(store)
+        print(f"engine ready in {(time.monotonic() - t0) * 1000:.0f} ms "
+              f"(layout: "
+              f"{'bucketed' if engine.bucketed_prefix else 'partitioned'})",
+              file=sys.stderr)
 
     if args.file:
         queries = read_query_file(args.file)

@@ -123,3 +123,32 @@ def test_run_update_live_view_and_strict_rejection(runner, tiny_graph, tmp_path)
     # ...and the plain base store where no deltas exist
     plain = runner.live_store(spark, tiny_graph.out_dir, str(tmp_path / "none"))
     assert getattr(plain, "stream_dir", None) is None
+
+
+def test_nquads_mode_serves_graph_queries(runner, spark, tmp_path):
+    """--nquads path: QuadsEngine answers GRAPH queries straight off an
+    N-Quads file through the same run_one timing loop."""
+    p = tmp_path / "data.nq"
+    p.write_text(
+        "<urn:a> <urn:knows> <urn:b> <urn:g1> .\n"
+        "<urn:b> <urn:knows> <urn:c> <urn:g2> .\n"
+        "<urn:c> <urn:name> \"Sea\" .\n"
+    )
+    from parj_spark.construct.rdf_io import read_nquads
+
+    quads = read_nquads(spark, str(p)).withColumnsRenamed(
+        {"s_uri": "s", "p_uri": "p", "o_uri": "o", "g_uri": "g"}
+    )
+    eng = runner.QuadsEngine(quads)
+    s = runner.run_one(
+        eng,
+        "SELECT ?g ?x WHERE { GRAPH ?g { ?x <urn:knows> ?y } }",
+        decode=True, strict=False, reps=1, print_results=False, limit=0,
+    )
+    assert s["rows"] == 2
+    # default graph: only the un-labelled statement
+    s2 = runner.run_one(
+        eng, "SELECT ?x WHERE { ?x <urn:name> ?n }",
+        decode=True, strict=False, reps=1, print_results=False, limit=0,
+    )
+    assert s2["rows"] == 1
