@@ -262,6 +262,8 @@ def bind_to_column(e, colref):
                 "strlen": F.length, "ucase": F.upper,
                 "lcase": F.lower, "str": lambda c: c,
             }[e[1]](inner)
+        if e[0] == "strfn":
+            return _strfn_column(e[1], e[2], lambda a: bind_to_column(a, colref))
         return F.lit(e[1])
     if isinstance(e, Arith):
         def num(x):
@@ -403,7 +405,41 @@ def _operand_vars(t: tuple) -> set[str]:
         return {t[1]}
     if t[0] == "func":
         return _operand_vars(t[2])
+    if t[0] == "strfn":
+        return {v for a in t[2] for v in _operand_vars(a)}
     return set()
+
+
+def _strfn_column(name: str, args: tuple, comp):
+    """Compile a multi-arg SPARQL string function (SUBSTR / REPLACE /
+    STRBEFORE / STRAFTER) to a Spark Column; ``comp(operand) -> Column``
+    compiles one operand tuple. All JVM expressions — substr/locate/
+    regexp_replace — no UDF. SPARQL and Spark are both 1-based for SUBSTR;
+    STRBEFORE/STRAFTER return "" when the probe is absent, per spec."""
+    from pyspark.sql import functions as F
+
+    c = comp(args[0])
+    if name == "substr":
+        start = comp(args[1]).try_cast("int")
+        length = (
+            comp(args[2]).try_cast("int") if len(args) > 2 else F.length(c)
+        )
+        return c.substr(start, length)
+    if name == "replace":
+        if args[1][0] != "lit" or args[2][0] != "lit":
+            raise ValueError(
+                "REPLACE: pattern and replacement must be string literals"
+            )
+        return F.regexp_replace(c, args[1][1], args[2][1])
+    if args[1][0] != "lit":
+        raise ValueError(f"{name.upper()}: probe must be a string literal")
+    probe = args[1][1]
+    pos = F.locate(probe, c)  # 1-based; 0 = absent
+    if name == "strbefore":
+        return F.when(pos > 0, c.substr(F.lit(1), pos - 1)).otherwise(F.lit(""))
+    return F.when(
+        pos > 0, c.substr(pos + len(probe), F.length(c))
+    ).otherwise(F.lit(""))
 
 
 def filter_vars(e: FilterExpr) -> set[str]:
@@ -446,6 +482,8 @@ def filter_to_column(e: FilterExpr, colref):
                 "strlen": F.length, "ucase": F.upper,
                 "lcase": F.lower, "str": lambda c: c,
             }[t[1]](inner)
+        if t[0] == "strfn":
+            return _strfn_column(t[1], t[2], operand)
         return F.lit(t[1])
 
     def is_numeric(t) -> bool:
@@ -1538,6 +1576,11 @@ class _Parser:
         rhs = self._filter_operand()
         return Comparison(op, lhs, rhs)
 
+    _STRFN_ARITY = {
+        "substr": (2, 3), "replace": (3, 3),
+        "strbefore": (2, 2), "strafter": (2, 2),
+    }
+
     def _filter_operand(self) -> tuple:
         t = self.next()
         if t.upper() in ("STRLEN", "UCASE", "LCASE", "STR") and self.peek() == "(":
@@ -1546,6 +1589,22 @@ class _Parser:
             inner = self._filter_operand()
             self.expect(")")
             return ("func", t.lower(), inner)
+        if t.lower() in self._STRFN_ARITY and self.peek() == "(":
+            # multi-arg string functions, composable like the unary ones
+            self.next()
+            args = [self._filter_operand()]
+            while self.peek() == ",":
+                self.next()
+                args.append(self._filter_operand())
+            self.expect(")")
+            lo, hi = self._STRFN_ARITY[t.lower()]
+            if not lo <= len(args) <= hi:
+                raise ValueError(
+                    f"{t.upper()}(): takes {lo}"
+                    + (f"-{hi}" if hi != lo else "")
+                    + " arguments"
+                )
+            return ("strfn", t.lower(), tuple(args))
         if t.startswith(("?", "$")):
             return ("var", t[1:])
         if t.startswith('"'):

@@ -1550,3 +1550,36 @@ def test_filter_term_tests(spark):
         allow_filter=True, allow_var_predicates=True,
     )
     assert none.count() == 0
+
+
+def test_strfn_substr_replace_before_after(spark):
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("urn:a", "name", "NATION_12"), ("urn:b", "name", "plain")],
+        ["s", "p", "o"],
+    )
+    # FILTER operand composition: SUBSTR + STRAFTER + REPLACE
+    got = execute_on_triples(
+        t,
+        'SELECT ?s WHERE { ?s <name> ?n . FILTER(SUBSTR(?n, 1, 6) = "NATION") }',
+        allow_filter=True,
+    )
+    assert [tuple(r) for r in got.collect()] == [("urn:a",)]
+    # BIND path: the same operands compute columns
+    got2 = execute_on_triples(
+        t,
+        'SELECT ?cut ?num ?fix WHERE { <urn:a> <name> ?n . '
+        'BIND(STRBEFORE(?n, "_") AS ?cut) '
+        'BIND(STRAFTER(?n, "_") AS ?num) '
+        'BIND(REPLACE(?n, "_[0-9]+$", "") AS ?fix) }',
+        allow_filter=True, allow_bind=True,
+    )
+    assert [tuple(r) for r in got2.collect()] == [("NATION", "12", "NATION")]
+    # spec edge: probe absent -> "" (not the whole string)
+    got3 = execute_on_triples(
+        t,
+        'SELECT ?x WHERE { <urn:b> <name> ?n . BIND(STRBEFORE(?n, "_") AS ?x) }',
+        allow_bind=True,
+    )
+    assert [tuple(r) for r in got3.collect()] == [("",)]
