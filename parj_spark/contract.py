@@ -917,6 +917,44 @@ def kg_sparql_from(spark, sf_dir):
     )
 
 
+def kg_sparql_service(spark, sf_dir):
+    """SERVICE federation seam (beyond reference parity, opt-in — the
+    reference rejects SERVICE with the rest of non-BGP SPARQL,
+    DagCreator.java:269-271): customer membership lives in the core
+    relation, the nation->region geography in a separately *registered*
+    relation the SERVICE name resolves to; the cross-dataset join is a
+    plain Spark join (no endpoint round-trips — Catalyst/AQE pick the
+    strategy like any other join)."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cust = F.concat(F.lit("urn:cust:"), F.col("c_custkey"))
+    nat_of_c = F.concat(F.lit("urn:nation:"), F.col("c_nationkey"))
+    nat = F.concat(F.lit("urn:nation:"), F.col("n_nationkey"))
+    reg = F.concat(F.lit("urn:region:"), F.col("r_regionkey"))
+    reg_of_n = F.concat(F.lit("urn:region:"), F.col("n_regionkey"))
+    core = c.select(
+        cust.alias("s"), F.lit("urn:memberOf").alias("p"), nat_of_c.alias("o")
+    )
+    geo = n.select(
+        nat.alias("s"), F.lit("urn:partOf").alias("p"), reg_of_n.alias("o")
+    ).union(
+        r.select(reg.alias("s"), F.lit("urn:name").alias("p"),
+                 F.col("r_name").alias("o"))
+    )
+    return execute_on_triples(
+        core,
+        """SELECT ?c ?r WHERE {
+             ?c <urn:memberOf> ?n .
+             SERVICE <urn:svc:geo> { ?n <urn:partOf> ?r .
+                                     ?r <urn:name> "AFRICA" . } }""",
+        allow_service=True,
+        services={"urn:svc:geo": geo},
+    )
+
+
 def kg_sparql_path_quant(spark, sf_dir):
     """Path quantifiers p{n,m} (beyond reference parity, opt-in): bounded
     repetition lowered at parse time onto the seq/opt/star path algebra —
@@ -1226,6 +1264,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # kg_sparql_graph (in the first 50); oracle-gated locally like every
     # tail entry
     "kg_sparql_from": kg_sparql_from,
+    # SERVICE federation seam: a cross-relation join of the same J1 family
+    # measured up front; oracle-gated locally like every tail entry
+    "kg_sparql_service": kg_sparql_service,
     # keep/drop composition of the text_stats capability (scored in the
     # first 50); oracle-gated locally like every tail entry
     "text_quality_filter": text_quality_filter,
@@ -1590,6 +1631,14 @@ ORACLES: dict[str, str] = {
         JOIN quads c ON c.o = v.o AND c.p = 'urn:memberOf'
                     AND c.g = 'urn:graph:crm'
         WHERE v.p = 'urn:memberOf' AND v.g = 'urn:graph:vendors'
+    """,
+    "kg_sparql_service": """
+        SELECT 'urn:cust:' || c_custkey AS c,
+               'urn:region:' || n_regionkey AS r
+        FROM customer
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'AFRICA'
     """,
     "kg_sparql_filter": f"""
         WITH triples AS ({_TRIPLES_SQL})

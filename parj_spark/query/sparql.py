@@ -57,7 +57,10 @@ with the enclosing group on their projection; ``allow_graph=True`` enables
 graphs bind a join column, and non-GRAPH patterns match the default graph
 (statements with a null graph label) — plus the ``FROM <g>`` / ``FROM
 NAMED <g>`` dataset clauses (explicit dataset: default graph = merge of
-the FROM graphs, named-graph set = FROM NAMED exactly).
+the FROM graphs, named-graph set = FROM NAMED exactly);
+``allow_service=True`` enables ``SERVICE [SILENT] <name> { triples }``
+blocks over caller-registered relations (``services={name: DataFrame}``)
+— a federation seam where the cross-dataset join is a plain Spark join.
 
 Term canonicalization: the engine's dictionary stores *prefixed names*
 ("ub:Course_0_0_0", "rdf:type"), so pnames pass through verbatim and full
@@ -177,6 +180,15 @@ class SparqlQuery:
     # none), named-graph set = the FROM NAMED list (empty if none)
     from_graphs: list[str] = field(default_factory=list)
     from_named: list[str] = field(default_factory=list)
+    # SERVICE blocks (opt-in extension; empty at parity): (silent, name,
+    # patterns) — the block's BGP evaluates against the *registered*
+    # relation the execution call maps ``name`` to (a federation seam:
+    # another DataFrame, not a remote endpoint — there is no network at
+    # plan time and the cross-dataset join stays a plain Spark join).
+    # An unregistered name errors, or contributes nothing under SILENT.
+    services: list[tuple[bool, str, list[Pattern]]] = field(
+        default_factory=list
+    )
 
 
 @dataclass
@@ -550,6 +562,7 @@ def query_projection(q: SparqlQuery) -> set[str]:
     opt_flat = [p for g in q.optional for p in g]
     union_flat = [p for grp in q.unions for alt in grp for p in alt]
     out = {v for p in q.patterns + opt_flat + union_flat for v in p.vars()}
+    out |= {v for _, _, sp in q.services for p in sp for v in p.vars()}
     out |= {v for vars_, _ in q.values for v in vars_}
     out |= {v for _, v in q.binds}
     out |= {v for sub in q.subqueries for v in query_projection(sub)}
@@ -572,7 +585,7 @@ def _EMPTY_BODY() -> dict:
     return {
         "patterns": [], "optional": [], "filters": [], "unions": [],
         "minus": [], "exists": [], "values": [], "binds": [],
-        "subqueries": [],
+        "subqueries": [], "services": [],
     }
 
 
@@ -601,6 +614,7 @@ class _Parser:
         allow_subquery: bool = False,
         allow_describe: bool = False,
         allow_graph: bool = False,
+        allow_service: bool = False,
     ):
         self.toks = toks
         self.i = 0
@@ -619,6 +633,7 @@ class _Parser:
         self.allow_subquery = allow_subquery
         self.allow_describe = allow_describe
         self.allow_graph = allow_graph
+        self.allow_service = allow_service
         self._bn = 0  # fresh-variable counter for [] blank nodes
 
     def peek(self) -> str | None:
@@ -1061,6 +1076,7 @@ class _Parser:
         values: list[tuple[list[str], list[list[str]]]] = []
         binds: list[tuple] = []
         subqueries: list[SparqlQuery] = []
+        services: list[tuple[bool, str, list[Pattern]]] = []
         while True:
             t = self.peek()
             if t is None:
@@ -1078,6 +1094,42 @@ class _Parser:
                 self._triples_block(group, stop="}")
                 self.expect("}")
                 optional.append(group)
+                continue
+            if self._kw(t, "SERVICE"):
+                if not self.allow_service:
+                    # parity by default: the reference rejects SERVICE with
+                    # the rest of non-BGP SPARQL (DagCreator.java:269-271).
+                    # parse_sparql(..., allow_service=True) opts in to the
+                    # registered-relation federation seam.
+                    raise ValueError(
+                        "SERVICE is not supported at reference parity "
+                        "(pass allow_service=True to opt in)"
+                    )
+                self.next()
+                silent = self._kw(self.peek(), "SILENT")
+                if silent:
+                    self.next()
+                name = self.term()
+                if name.startswith("?"):
+                    raise ValueError(
+                        "SERVICE: variable endpoints are not supported "
+                        "(register relations by name)"
+                    )
+                self.expect("{")
+                sgroup: list[Pattern] = []
+                self._triples_block(sgroup, stop="}")
+                self.expect("}")
+                if not sgroup:
+                    raise ValueError("SERVICE: empty group block")
+                for p in sgroup:
+                    if isinstance(p.p, Path) or (
+                        isinstance(p.p, str) and p.p.endswith("+")
+                    ):
+                        raise ValueError(
+                            "property paths inside SERVICE blocks are not "
+                            "supported"
+                        )
+                services.append((silent, name, sgroup))
                 continue
             if self._kw(t, "GRAPH"):
                 if not self.allow_graph:
@@ -1246,6 +1298,7 @@ class _Parser:
             "values": values,
             "binds": binds,
             "subqueries": subqueries,
+            "services": services,
         }
 
     def _modifiers(self, in_subquery: bool) -> dict:
@@ -1826,13 +1879,18 @@ class _Parser:
     def _validate(q: SparqlQuery) -> None:
         if (
             not q.patterns and not q.unions and not q.subqueries
+            and not q.services
             # constant-only DESCRIBE legitimately has no WHERE clause
             and not (q.describe and not any(t.startswith("?") for t in q.describe))
         ):
             raise ValueError("SPARQL parser: empty basic graph pattern")
         opt_flat = [p for g in q.optional for p in g]
         union_flat = [p for grp in q.unions for alt in grp for p in alt]
-        bound = {v for p in q.patterns + opt_flat + union_flat for v in p.vars()}
+        svc_flat = [p for _, _, sp in q.services for p in sp]
+        bound = {
+            v for p in q.patterns + opt_flat + union_flat + svc_flat
+            for v in p.vars()
+        }
         bound |= {v for vars_, _ in q.values for v in vars_}
         # subquery projections are visible to the enclosing group (the
         # subqueries themselves were validated when parsed)
@@ -1937,6 +1995,7 @@ def parse_sparql(
     allow_subquery: bool = False,
     allow_describe: bool = False,
     allow_graph: bool = False,
+    allow_service: bool = False,
 ) -> SparqlQuery:
     """Parse a SPARQL BGP SELECT query string (see module docstring for the
     accepted subset; everything the reference rejects, we reject by default —
@@ -1954,13 +2013,15 @@ def parse_sparql(
     ``allow_bind=True`` to BIND computed columns, ``allow_subquery=True``
     to nested ``{ SELECT ... }`` groups, ``allow_describe=True`` to the
     DESCRIBE form, ``allow_graph=True`` to ``GRAPH <iri>/?var { ... }``
-    blocks over a quad relation (:func:`execute_on_quads`);
+    blocks over a quad relation (:func:`execute_on_quads`),
+    ``allow_service=True`` to ``SERVICE [SILENT] <name> { ... }`` blocks
+    over caller-registered relations;
     ``allow_filter=True`` also enables FILTER [NOT] EXISTS blocks)."""
     return _Parser(
         _tokenize(text), allow_var_predicates, allow_filter, allow_union,
         allow_ask, allow_minus, allow_paths, allow_offset, allow_aggregates,
         allow_values, allow_construct, allow_bind, allow_subquery,
-        allow_describe, allow_graph,
+        allow_describe, allow_graph, allow_service,
     ).parse()
 
 
@@ -2004,9 +2065,20 @@ def execute_on_triples(
     allow_subquery: bool = False,
     allow_describe: bool = False,
     allow_graph: bool = False,
+    allow_service: bool = False,
+    services: "dict | None" = None,
 ):
     """Execute a SPARQL BGP SELECT directly over a (s, p, o) string-typed
     triples DataFrame — no dictionary encoding or stats required.
+
+    ``allow_service=True`` + ``services={name: DataFrame}`` enables
+    ``SERVICE [SILENT] <name> { ... }`` blocks — a *federation seam*, not a
+    network call: each name resolves to a caller-registered (s, p, o)
+    relation, the block's BGP evaluates against it, and the cross-dataset
+    join is a plain Spark join (at 100 TB that means Catalyst/AQE pick the
+    strategy, exactly like any other join — no endpoint round-trips). An
+    unregistered name errors; with SILENT the block contributes nothing,
+    the spec's empty-solution failure semantics.
 
     This is the parser's oracle-checkable execution path (used by the
     driver-contract kg_sparql_* queries); :meth:`BGPEngine.sparql` is the
@@ -2041,6 +2113,7 @@ def execute_on_triples(
         allow_subquery=allow_subquery,
         allow_describe=allow_describe,
         allow_graph=allow_graph,
+        allow_service=allow_service,
     )
 
     # the quad interpretation (g column = graph label, default graph = null)
@@ -2159,9 +2232,11 @@ def execute_on_triples(
         rel_cache[key] = df
         return df
 
-    def scan(pat: Pattern):
+    def scan(pat: Pattern, service_rel=None):
         # one (var term -> source column) slot per distinct var: a repeated
-        # var adds an equality filter instead of a duplicate column
+        # var adds an equality filter instead of a duplicate column.
+        # ``service_rel`` overrides the scanned relation for SERVICE-block
+        # patterns (always plain — paths/GRAPH are parse-rejected there).
         p = pat.p
         if isinstance(p, str) and not _is_var(p) and p.endswith("+"):
             p = Path("plus", (Path("link", (p[:-1],)),))
@@ -2224,7 +2299,7 @@ def execute_on_triples(
             df = quads.filter(F.col("g").isNotNull())
             terms.append((pat.g, "g"))
         else:
-            df = triples
+            df = triples if service_rel is None else service_rel
         slots: dict[str, str] = {}
         for term, col in terms:
             if not _is_var(term):
@@ -2242,7 +2317,7 @@ def execute_on_triples(
     def n_consts(p: Pattern) -> int:
         return sum(not _is_var(t) for t in (p.s, p.o))
 
-    def join_bgp(pats):
+    def join_bgp(pats, service_rel=None):
         remaining = sorted(pats, key=lambda p: -n_consts(p))
         ordered = [remaining.pop(0)]
         bound = set(ordered[0].vars())
@@ -2253,7 +2328,7 @@ def execute_on_triples(
             bound |= nxt.vars()
         out = None
         for pat in ordered:
-            sc = scan(pat)
+            sc = scan(pat, service_rel)
             if out is None:
                 out = sc
             else:
@@ -2277,6 +2352,43 @@ def execute_on_triples(
             else:
                 shared = sorted(set(result.columns) & set(udf_.columns))
                 result = result.join(udf_, on=shared) if shared else result.crossJoin(udf_)
+        for silent, name, spats in q.services:
+            rel = (services or {}).get(name)
+            if rel is None:
+                if silent:
+                    # SERVICE SILENT failure = the single empty solution:
+                    # it joins as identity and leaves the block's variables
+                    # unbound (null), so projections still resolve
+                    svars = sorted(
+                        {
+                            v for p in spats for v in p.vars()
+                            if not v.startswith("__bn")
+                        }
+                    )
+                    nul = F.lit(None).cast("string")
+                    if result is None:
+                        result = triples.sparkSession.range(1).select(
+                            *[nul.alias(v) for v in svars]
+                        )
+                    else:
+                        for v in svars:
+                            if v not in result.columns:
+                                result = result.withColumn(v, nul)
+                    continue
+                raise ValueError(
+                    f"SERVICE {name!r} is not registered "
+                    "(pass services={name: DataFrame})"
+                )
+            sdf = join_bgp(spats, service_rel=rel.select("s", "p", "o"))
+            if result is None:
+                result = sdf
+            else:
+                shared = sorted(set(result.columns) & set(sdf.columns))
+                result = (
+                    result.join(sdf, on=shared)
+                    if shared
+                    else result.crossJoin(sdf)
+                )
         for sub in q.subqueries:
             # nested SELECT: evaluated independently (its own lowering,
             # recursively), then joined with the enclosing group on the

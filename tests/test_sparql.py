@@ -1583,3 +1583,47 @@ def test_strfn_substr_replace_before_after(spark):
         allow_bind=True,
     )
     assert [tuple(r) for r in got3.collect()] == [("",)]
+
+
+def test_service_joins_registered_relation(spark):
+    from parj_spark.query.sparql import execute_on_triples
+
+    core = spark.createDataFrame(
+        [("c1", "memberOf", "n1"), ("c2", "memberOf", "n2")], ["s", "p", "o"]
+    )
+    geo = spark.createDataFrame(
+        [("n1", "partOf", "r1"), ("n2", "partOf", "r2"), ("r1", "name", "AFRICA")],
+        ["s", "p", "o"],
+    )
+    got = execute_on_triples(
+        core,
+        'SELECT ?c ?r WHERE { ?c <memberOf> ?n . '
+        'SERVICE <urn:svc:geo> { ?n <partOf> ?r . ?r <name> "AFRICA" } }',
+        allow_service=True,
+        services={"urn:svc:geo": geo},
+    )
+    assert sorted(map(tuple, got.collect())) == [("c1", "r1")]
+    # unregistered endpoint errors without SILENT
+    with pytest.raises(ValueError, match="not registered"):
+        execute_on_triples(
+            core,
+            "SELECT ?c WHERE { ?c <memberOf> ?n . "
+            "SERVICE <urn:svc:gone> { ?n <partOf> ?r } }",
+            allow_service=True,
+            services={},
+        )
+
+
+def test_service_silent_failure_leaves_vars_unbound(spark):
+    from parj_spark.query.sparql import execute_on_triples
+
+    core = spark.createDataFrame([("c1", "memberOf", "n1")], ["s", "p", "o"])
+    got = execute_on_triples(
+        core,
+        "SELECT ?c ?r WHERE { ?c <memberOf> ?n . "
+        "SERVICE SILENT <urn:svc:gone> { ?n <partOf> ?r } }",
+        allow_service=True,
+        services={},
+    )
+    rows = [tuple(r) for r in got.collect()]
+    assert rows == [("c1", None)]  # empty solution joined: ?r unbound
