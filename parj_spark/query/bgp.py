@@ -1215,12 +1215,11 @@ class BGPEngine:
         # the hash aggregate shuffles long ids, not term strings; a value
         # var doubling as a group key would need both forms at once, so
         # that (rare) shape falls back to the early full decode
+        from parj_spark.query.sparql import agg_value_vars
+
         agg_late_decode = (
             bool(q.aggregates) and not q.filters and not q.binds and not sub_dec
-            and not (
-                {a.var for a in q.aggregates if a.var is not None}
-                & set(q.group_by)
-            )
+            and not (agg_value_vars(q.aggregates) & set(q.group_by))
         )
         # an ASK without filters never needs term strings — count ids as-is;
         # BIND/CONSTRUCT compute on term strings, so they force the decode;
@@ -1314,9 +1313,7 @@ class BGPEngine:
             from parj_spark.query.sparql import aggregate_columns
 
             if agg_late_decode and decode and result.columns:
-                value_vars = sorted(
-                    {a.var for a in q.aggregates if a.var is not None}
-                )
+                value_vars = sorted(agg_value_vars(q.aggregates))
                 if value_vars:
                     cols = list(result.columns)
                     result = self._decode_frame(

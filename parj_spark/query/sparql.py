@@ -296,13 +296,31 @@ def bind_to_column(e, colref):
 
 @dataclass(frozen=True)
 class AggSelect:
-    """One aggregate SELECT item: ``(FUNC([DISTINCT] ?var | *) AS ?alias)``."""
+    """One aggregate SELECT item:
+    ``(FUNC([DISTINCT] ?var | expr | *) AS ?alias)``. A non-variable
+    argument (``SUM(?a * ?b)``, ``AVG(STRLEN(?n))``) rides in ``expr`` as a
+    BIND expression tree, computed inside the aggregate; ``var`` and
+    ``expr`` both None means COUNT(*)."""
 
     func: str  # count / sum / avg / min / max / sample / group_concat
-    var: str | None  # None = COUNT(*)
+    var: str | None  # bare-variable argument (None for * or an expr)
     distinct: bool
     alias: str
     separator: str = " "  # GROUP_CONCAT only (SPARQL default: single space)
+    expr: object = None  # BIND expression argument (None for ?var or *)
+
+
+def agg_value_vars(aggs: "list[AggSelect]") -> set[str]:
+    """The input variables the aggregates read — bare-var arguments plus
+    every variable inside expression arguments (the engine decodes exactly
+    these before the hash aggregate)."""
+    out: set[str] = set()
+    for a in aggs:
+        if a.var is not None:
+            out.add(a.var)
+        elif a.expr is not None:
+            out |= bind_vars(a.expr)
+    return out
 
 
 def aggregate_columns(aggs: list[AggSelect]):
@@ -317,8 +335,13 @@ def aggregate_columns(aggs: list[AggSelect]):
 
     out = []
     for a in aggs:
-        col = F.col(a.var) if a.var is not None else None
-        if a.func == "count" and a.var is None:
+        if a.expr is not None:
+            col = bind_to_column(a.expr, F.col)
+        elif a.var is not None:
+            col = F.col(a.var)
+        else:
+            col = None
+        if a.func == "count" and col is None:
             e = F.count(F.lit(1))
         elif a.func == "count" and a.distinct:
             e = F.countDistinct(col)
@@ -1454,15 +1477,20 @@ class _Parser:
         if self._kw(self.peek(), "DISTINCT"):
             self.next()
             distinct = True
-        t = self.next()
-        if t == "*":
+        var: str | None = None
+        expr = None
+        if self.peek() == "*":
+            self.next()
             if func != "count" or distinct:
                 raise ValueError("'*' argument only valid for COUNT(*)")
-            var = None
-        elif t.startswith(("?", "$")):
-            var = t[1:]
         else:
-            raise ValueError(f"aggregate argument must be a ?var or *, got {t!r}")
+            # full expression argument (SUM(?a * ?b), AVG(STRLEN(?n)), ...)
+            # through the BIND grammar; a bare ?var keeps the fast path
+            e = self._bind_expr()
+            if isinstance(e, tuple) and e[0] == "var":
+                var = e[1]
+            else:
+                expr = e
         if distinct and func not in ("count", "group_concat"):
             raise ValueError(
                 "DISTINCT only supported inside COUNT() / GROUP_CONCAT()"
@@ -1486,7 +1514,7 @@ class _Parser:
         if not alias.startswith(("?", "$")):
             raise ValueError(f"AS: expected ?alias, got {alias!r}")
         self.expect(")")
-        return AggSelect(func, var, distinct, alias[1:], separator)
+        return AggSelect(func, var, distinct, alias[1:], separator, expr)
 
     def _values_block(self) -> tuple[list[str], list[list[str]]]:
         """``VALUES ?v { t1 t2 }`` or ``VALUES (?a ?b) { (t1 t2) ... }``
@@ -1951,9 +1979,7 @@ class _Parser:
             unknown = [v for v in q.group_by if v not in bound]
             if unknown:
                 raise ValueError(f"GROUP BY vars not bound by any pattern: {unknown}")
-            unknown = [
-                a.var for a in q.aggregates if a.var is not None and a.var not in bound
-            ]
+            unknown = sorted(agg_value_vars(q.aggregates) - bound)
             if unknown:
                 raise ValueError(f"aggregate vars not bound by any pattern: {unknown}")
             bad = [v for v in (q.select or []) if v not in q.group_by]

@@ -1627,3 +1627,53 @@ def test_service_silent_failure_leaves_vars_unbound(spark):
     )
     rows = [tuple(r) for r in got.collect()]
     assert rows == [("c1", None)]  # empty solution joined: ?r unbound
+
+
+def test_aggregate_over_expression(spark):
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [
+            ("o1", "qty", "2"), ("o1", "price", "10"),
+            ("o2", "qty", "3"), ("o2", "price", "5"),
+        ],
+        ["s", "p", "o"],
+    )
+    got = execute_on_triples(
+        t,
+        "SELECT (SUM(?q * ?pr) AS ?rev) WHERE "
+        "{ ?o <qty> ?q . ?o <price> ?pr }",
+        allow_aggregates=True,
+    )
+    assert [tuple(r) for r in got.collect()] == [(35.0,)]
+    got2 = execute_on_triples(
+        t,
+        "SELECT ?o (AVG(STRLEN(?v)) AS ?len) WHERE { ?o <price> ?v } "
+        "GROUP BY ?o ORDER BY ?o",
+        allow_aggregates=True,
+    )
+    assert [tuple(r) for r in got2.collect()] == [("o1", 2.0), ("o2", 1.0)]
+    # expression vars are validated like bare-var arguments
+    with pytest.raises(ValueError, match="not bound"):
+        execute_on_triples(
+            t, "SELECT (SUM(?nope * ?q) AS ?x) WHERE { ?o <qty> ?q }",
+            allow_aggregates=True,
+        )
+
+
+def test_aggregate_expression_engine(engine):
+    from pyspark.sql import functions as F
+
+    got = engine.sparql(
+        PREFIXES + "SELECT ?d (SUM(STRLEN(?n)) AS ?tot) WHERE "
+        "{ ?x ub:memberOf ?d . ?x ub:name ?n } GROUP BY ?d",
+        aggregates=True,
+    )
+    members = engine.query(
+        [Pattern("?x", "ub:memberOf", "?d"), Pattern("?x", "ub:name", "?n")]
+    )
+    manual = members.groupBy("d").agg(
+        F.sum(F.length("n").try_cast("double")).alias("tot")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, manual.collect()))
+    assert got.count() > 0
