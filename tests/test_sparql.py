@@ -1677,3 +1677,36 @@ def test_aggregate_expression_engine(engine):
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, manual.collect()))
     assert got.count() > 0
+
+
+def test_parser_roundtrip_property_graph_blocks():
+    """Random BGPs with random GRAPH contexts parse back to pattern lists
+    whose ``g`` term matches the wrapping block exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    var = st.sampled_from(["?a", "?b", "?c"])
+    pname = st.sampled_from(["ub:p1", "ub:p2", "ex:q"])
+    subj = st.one_of(var, pname)
+    obj = st.one_of(var, pname)
+    ctx = st.sampled_from([None, "<g:one>", "<g:two>", "?g"])
+    triple = st.tuples(subj, pname, obj, ctx)
+    bgps = st.lists(triple, min_size=1, max_size=6)
+
+    @settings(max_examples=50, deadline=None)
+    @given(bgp=bgps)
+    def check(bgp):
+        parts = []
+        for s, p, o, g in bgp:
+            if g is None:
+                parts.append(f"{s} {p} {o} .")
+            else:
+                parts.append(f"GRAPH {g} {{ {s} {p} {o} }}")
+        text = "SELECT * WHERE { " + " ".join(parts) + " }"
+        q = parse_sparql(text, allow_graph=True)
+        want = [
+            Pattern(s, p, o, g.strip("<>") if g else None)
+            for s, p, o, g in bgp
+        ]
+        assert q.patterns == want
+
+    check()
