@@ -257,3 +257,17 @@ def test_graph_constant_prunes_partitions(spark, tmp_path):
     plan = _plan(df)
     assert "PartitionFilters: [isnotnull(g" in plan
     assert df.count() == 30
+
+
+def test_quad_and_service_queries_broadcast(spark):
+    """The GRAPH quad join and the SERVICE federation join must stay
+    all-broadcast (small dims into the big membership scan) with zero
+    shuffle exchanges — the plan shape that survives a 100x scale-up of
+    the fact side."""
+    from parj_spark import contract
+
+    for name in ("kg_sparql_graph", "kg_sparql_service"):
+        df = contract.QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan, name
+        assert "Exchange hashpartitioning" not in plan, name
