@@ -100,13 +100,42 @@ class GraphStore:
     def triples_uri(self) -> DataFrame:
         return self._read("triples_uri")
 
+    def decoded_triples(self) -> DataFrame:
+        """The LIVE graph as (s_uri, p_uri, o_uri), decoded from the
+        permutation layout through the catalogs. This — not the
+        ``triples_uri`` stage checkpoint, which is a construct-time
+        artifact — reflects compacted stream/update epochs: compact_stream
+        rewrites spo/pos/osp + dict/properties but never the stage
+        checkpoints, so anything derived from triples_uri goes stale after
+        the first compaction."""
+        d = self.dict().select("id", "uri")
+        p = self.properties().select(
+            F.col("id").alias("p"), F.col("uri").alias("p_uri")
+        )
+        return (
+            self.spo()
+            .select("s", "p", "o")
+            .join(
+                d.select(F.col("id").alias("s"), F.col("uri").alias("s_uri")),
+                "s",
+            )
+            .join(F.broadcast(p), "p")
+            .join(
+                d.select(F.col("id").alias("o"), F.col("uri").alias("o_uri")),
+                "o",
+            )
+            .select("s_uri", "p_uri", "o_uri")
+        )
+
     def export_ntriples(self, path: str, partitions: int | None = None) -> None:
-        """Dump the graph as N-Triples text (rdf_io.write_ntriples over
-        triples_uri) — the importer's inverse, for handing a graph to any
-        RDF tool; the reference's loader is one-way."""
+        """Dump the graph as N-Triples text (rdf_io.write_ntriples over the
+        live decoded graph) — the importer's inverse, for handing a graph
+        to any RDF tool; the reference's loader is one-way. Reads through
+        :meth:`decoded_triples` so post-compaction exports include streamed
+        and updated triples."""
         from parj_spark.construct.rdf_io import write_ntriples
 
-        write_ntriples(self.triples_uri(), path, partitions=partitions)
+        write_ntriples(self.decoded_triples(), path, partitions=partitions)
 
     def mentions(self) -> DataFrame:
         return self._read("mentions")

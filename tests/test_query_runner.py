@@ -152,3 +152,19 @@ def test_nquads_mode_serves_graph_queries(runner, spark, tmp_path):
         decode=True, strict=False, reps=1, print_results=False, limit=0,
     )
     assert s2["rows"] == 1
+
+
+def test_demo_lifecycle(spark, tmp_path):
+    """scripts/demo_lifecycle.py end to end: construct -> query -> update ->
+    compaction -> export/re-import round trip (post-compaction export must
+    include the updated triple — the stale-triples_uri regression) ->
+    GRAPH + SERVICE over N-Quads."""
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(SCRIPT), "demo_lifecycle.py")
+    spec = importlib.util.spec_from_file_location("demo_lifecycle", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.run(spark, str(tmp_path))
+    assert out["reimported"] == out["triples"] + 1
+    assert out["federated"] == [("urn:b", "Sea")]
