@@ -236,10 +236,20 @@ def write_graph(
 
     # the writers are independent Spark jobs over the cached triples —
     # submit them concurrently so the scheduler interleaves their stages
-    # (hides per-job latency; same pattern works on a real cluster)
-    writers = [w_spo, w_pos, w_osp, w_stats]
+    # (hides per-job latency; same pattern works on a real cluster).
+    #
+    # Write amplification is 3x, matching the reference's three in-memory
+    # permutations (parj.c:89-104): the s-bucketed SPO and o-bucketed POS
+    # tables ARE the spo/pos layout (p-hive-partitioned, sorted within
+    # buckets, hot predicates spread over n_buckets files), so no separate
+    # salted copies are written — GraphStore.spo()/pos() read the bucketed
+    # files as plain parquet when the plain dirs are absent. At 100 TB the
+    # difference between writing the corpus 3x and 5x is the load budget.
+    writers = [w_osp, w_stats]
     if bucketed:
         writers.append(w_bucketed)
+    else:
+        writers += [w_spo, w_pos]
     with ThreadPoolExecutor(max_workers=len(writers)) as pool:
         futures = [pool.submit(f) for f in writers]
         for fut in futures:

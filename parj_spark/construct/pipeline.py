@@ -35,11 +35,24 @@ class GraphStore:
     def _read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.out_dir, name))
 
+    def _permutation(self, plain: str, bucketed_sub: str) -> DataFrame:
+        """Read a permutation relation from whichever on-disk copy exists.
+
+        Default graphs keep exactly one copy per sort order — the bucketed
+        tables' parquet files (p-hive-partitioned, sorted within buckets) —
+        read here as plain parquet, which preserves partition pruning and
+        row-group min/max pruning without needing the catalog registration.
+        Graphs written with ``bucketed=False`` (and pre-round-4 dirs) carry
+        the salted plain layout instead."""
+        if os.path.exists(os.path.join(self.out_dir, plain)):
+            return self._read(plain)
+        return self._read(os.path.join("bucketed", bucketed_sub))
+
     def spo(self) -> DataFrame:
-        return self._read("spo")
+        return self._permutation("spo", "spo")
 
     def pos(self) -> DataFrame:
-        return self._read("pos")
+        return self._permutation("pos", "pos")
 
     def osp(self) -> DataFrame:
         return self._read("osp")

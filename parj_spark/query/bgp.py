@@ -574,6 +574,34 @@ class BGPEngine:
             df = df.limit(1)
         return df.select(*cols)
 
+    def _scan_bucket_var(
+        self, pat: Pattern, terms: dict[str, int], orient_hint: str | None
+    ) -> str | None:
+        """The variable bound to the bucket column of the table
+        :meth:`_scan` will read for ``pat`` — replaying its access-path
+        choice — or None when the scan has no bucket layout behind it
+        (variable predicates, path closures, non-bucketed engine) or the
+        bucket column is constant-bound. Used by the join composer to spot
+        bucket-aligned joins (reference: every PARJ join column is the
+        first sorted column of its chosen orientation, SURVEY.md §4.1)."""
+        if not self.bucketed_prefix:
+            return None
+        if _is_var(pat.p) or isinstance(pat.p, Path) or pat.p.endswith("+"):
+            return None
+        s_const = None if _is_var(pat.s) else terms.get(pat.s)
+        o_const = None if _is_var(pat.o) else terms.get(pat.o)
+        if o_const is not None and s_const is None:
+            orientation = "pos"
+        elif s_const is not None:
+            orientation = "spo"
+        else:
+            orientation = orient_hint or "spo"
+        if orientation == "spo" and s_const is None and _is_var(pat.s):
+            return pat.s[1:]
+        if orientation == "pos" and o_const is None and _is_var(pat.o):
+            return pat.o[1:]
+        return None
+
     def _anchors(
         self, patterns: list[Pattern], terms: dict[str, int] | None
     ) -> dict[str, int]:
@@ -822,6 +850,16 @@ class BGPEngine:
         ordered = self._order(patterns, terms)
 
         result: DataFrame | None = None
+        # the variable on which `result` is still clustered BY THE BUCKET
+        # LAYOUT (first scan's bucket column, preserved through broadcast
+        # and same-key bucketed joins). A join whose single key is this var
+        # against a scan bucketed on the same var needs neither shuffle nor
+        # hash-relation build — bucketed SMJ beats even a small broadcast
+        # there (measured: the 5-pattern star at 8.35M triples runs 2x
+        # faster pure-SMJ than broadcast, BENCH/BASELINE.md bgp_large
+        # addendum), so the broadcast hint is skipped for aligned joins.
+        aligned_var: str | None = None
+        seed_est: float | None = None
         for pat in ordered:
             hint = None
             if result is not None:
@@ -840,13 +878,34 @@ class BGPEngine:
                 )
                 result = empty
                 break
-            if 0 < self.broadcast_rows >= self._estimate(pat, terms):
-                scan = F.broadcast(scan)
+            bucket_var = self._scan_bucket_var(pat, terms, hint)
             if result is None:
                 result = scan
-            else:
-                shared = sorted(set(result.columns) & set(scan.columns) - {"__exists"})
-                result = result.join(scan, on=shared) if shared else result.crossJoin(scan)
+                aligned_var = bucket_var
+                seed_est = self._estimate(pat, terms)
+                continue
+            shared = sorted(set(result.columns) & set(scan.columns) - {"__exists"})
+            aligned = (
+                aligned_var is not None
+                and shared == [aligned_var]
+                and bucket_var == aligned_var
+            )
+            lhs = result
+            if not aligned:
+                if 0 < self.broadcast_rows >= self._estimate(pat, terms):
+                    # broadcast the scan; result keeps its clustering
+                    scan = F.broadcast(scan)
+                elif seed_est is not None and 0 < self.broadcast_rows >= seed_est:
+                    # small seed joining a big scan: broadcast the seed side;
+                    # the streamed (scan) side's bucket clustering survives
+                    lhs = F.broadcast(result)
+                    aligned_var = bucket_var
+                else:
+                    aligned_var = None  # shuffle join: layout clustering gone
+            seed_est = None  # the seed hint decision is for the first join only
+            result = lhs.join(scan, on=shared) if shared else lhs.crossJoin(scan)
+            if not shared:
+                aligned_var = None  # cross join loses any clustering guarantee
         assert result is not None
         if "__exists" in result.columns:
             result = result.drop("__exists")
@@ -938,12 +997,14 @@ class BGPEngine:
             f"join order: {method}",
         ]
         bound_cols: set[str] = set()
+        aligned_var: str | None = None  # mirrors query()'s tracking
         for i, pat in enumerate(ordered):
             s_var = pat.s[1:] if _is_var(pat.s) else None
             o_var = pat.o[1:] if _is_var(pat.o) else None
             s_const = None if s_var else terms.get(pat.s)
             o_const = None if o_var else terms.get(pat.o)
             # replay _scan's access-path choice, including the join hint
+            hint = None
             if _is_var(pat.p):
                 access = "OSP (var predicate)" if o_const is not None else "SPO (var predicate)"
             elif isinstance(pat.p, Path) or (
@@ -951,7 +1012,6 @@ class BGPEngine:
             ):
                 access = "path closure (semi-naive fixpoint relation)"
             else:
-                hint = None
                 if i > 0:
                     if s_var and s_var in bound_cols:
                         hint = "spo"
@@ -971,22 +1031,27 @@ class BGPEngine:
                 )
             est = self._estimate(pat, terms)
             shared = sorted({v for v in (s_var, o_var) if v} & bound_cols)
+            # _scan_bucket_var itself returns None for var-pred/path/closure
+            bucket_var = self._scan_bucket_var(pat, terms, hint)
+            aligned = (
+                i > 0
+                and aligned_var is not None
+                and shared == [aligned_var]
+                and bucket_var == aligned_var
+            )
             if i == 0:
                 strat = "seed scan"
+                aligned_var = bucket_var
             elif not shared:
                 strat = "CARTESIAN (no shared vars)"
+                aligned_var = None
+            elif aligned:
+                strat = f"bucketed sort-merge join on ({shared[0]}), no exchange"
             elif 0 < self.broadcast_rows >= est:
                 strat = f"broadcast hash join on ({', '.join(shared)})"
-            elif (
-                self.bucketed_prefix
-                and len(shared) == 1
-                and not isinstance(pat.p, Path)
-                and not _is_var(pat.p)
-                and not pat.p.endswith("+")
-            ):
-                strat = f"bucketed sort-merge join on ({shared[0]}), no exchange"
             else:
                 strat = f"shuffle join on ({', '.join(shared)})"
+                aligned_var = None
             lines.append(
                 f"  [{i + 1}] {pat.s} {pat.p} {pat.o}  "
                 f"-> {access}; est {est:,.0f} rows; {strat}"

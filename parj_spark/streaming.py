@@ -369,7 +369,13 @@ def compact_stream(store, stream_dir: str):
         with open(ready, "w") as f:
             f.write("")
 
-    # 2. swap (idempotent: already-moved names are gone from tmp)
+    # 2. swap (idempotent: already-moved names are gone from tmp). Plain
+    # spo/pos are always cleared even when tmp carries none: the compacted
+    # layout keeps a single copy per sort order inside bucketed/, and a
+    # legacy salted dir left behind would shadow it in GraphStore.spo().
+    for name in ("spo", "pos"):
+        if not os.path.exists(os.path.join(tmp, name)):
+            shutil.rmtree(os.path.join(out, name), ignore_errors=True)
     for name in ("dict_stage", "properties_stage", "spo", "pos", "osp",
                  "stats", "bucketed"):
         src = os.path.join(tmp, name)

@@ -102,6 +102,48 @@ def test_bucketed_layout_survives_catalog_loss(spark, tiny_graph):
     assert "Scan parquet" in plan
 
 
+def test_star_joins_ride_bucket_layout_over_broadcast(spark, tiny_graph):
+    """All-subject star: every join key IS the bucket column on both sides,
+    so the composer prefers the exchange-free bucketed SMJ over broadcast
+    even for scans far below the gate — no hash relation is built at all
+    (measured 2x faster than the broadcast chain on the 5-pattern star at
+    8.35M triples, BENCH/BASELINE.md bgp_large addendum).
+
+    Spark's own autoBroadcastJoinThreshold is disabled so the ENGINE's
+    decision is observable: at fixture scale the 10MB auto threshold would
+    broadcast these scans anyway (and at 8.35M triples it would not — the
+    sides are 30MB+, which is exactly where the old forced hint hurt)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        eng = BGPEngine(tiny_graph)  # the engine's 500k-row gate stays on
+        pats = [
+            Pattern("?x", "ub:memberOf", "?d"),
+            Pattern("?x", "ub:advisor", "?p"),
+            Pattern("?x", "ub:takesCourse", "?c"),
+        ]
+        df = eng.query(pats, decode=False)
+        plan = _plan(df)
+        assert "SortMergeJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # the driver-side report mirrors the engine's strategy
+    rep = eng.explain(pats)
+    assert rep.count("bucketed sort-merge join on (x), no exchange") == 2
+    # a join off the bucket key still broadcasts (alignment is per-join):
+    # the triangle's closing pattern joins on two keys (p, c)
+    tri = eng.explain(
+        [
+            Pattern("?s", "ub:advisor", "?p"),
+            Pattern("?s", "ub:takesCourse", "?c"),
+            Pattern("?p", "ub:teacherOf", "?c"),
+        ]
+    )
+    assert "broadcast hash join" in tri
+
+
 def test_lubm7_bucketed_plan_is_stable(spark, tiny_graph):
     """The 6-pattern LUBM Q7 plan on the bucketed default must be
     deterministic (round-3 bench recorded an 18x max/min spread for

@@ -93,7 +93,12 @@ def test_encoded_graph_consistency(spark, tiny_graph):
     spo = tiny_graph.spo()
     pos = tiny_graph.pos()
     assert spo.count() == pos.count() == tiny_graph.triples_uri().count()
-    assert set(spo.columns) >= {"s", "o", "p", "salt"}
+    assert set(spo.columns) >= {"s", "o", "p"}
+    # single-copy layout: the default graph keeps no plain salted spo/pos
+    # dirs — spo()/pos() read the bucketed tables' parquet directly
+    import os as _os
+    assert not _os.path.exists(_os.path.join(tiny_graph.out_dir, "spo"))
+    assert _os.path.exists(_os.path.join(tiny_graph.out_dir, "bucketed", "spo"))
     # dictionary is a bijection with dense ids
     d = tiny_graph.dict()
     n = d.count()
@@ -150,9 +155,10 @@ def test_materialize_resume_marker(spark, tmp_path):
     marker = os.path.join(out, GRAPH_COMMITTED_MARKER)
     assert os.path.exists(marker)
     # simulate a torn materialize: spo committed, pos lost, marker absent
-    shutil.rmtree(os.path.join(out, "pos"))
+    # (single-copy layout: the permutations live under bucketed/)
+    shutil.rmtree(os.path.join(out, "bucketed", "pos"))
     os.remove(marker)
-    assert os.path.exists(os.path.join(out, "spo", "_SUCCESS"))
+    assert os.path.exists(os.path.join(out, "bucketed", "spo"))
     store = run_pipeline(spark, docs, out, resume=True)
     assert store.pos().count() == store.spo().count()
     assert os.path.exists(marker)

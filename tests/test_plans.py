@@ -27,8 +27,9 @@ def test_bgp_plan_prunes_and_broadcasts(spark, tiny_graph):
     plan = _plan(df)
     # every pattern scan must hit exactly its predicate partition
     assert plan.count("PartitionFilters: [isnotnull(p") >= 3
-    # salt column must be pruned from the read schema
-    assert "salt" not in plan.split("ReadSchema")[1].splitlines()[0]
+    # only the touched columns reach the scan (column pruning held)
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "struct<s:bigint,o:bigint>" in read_schema
     # small scans broadcast: no shuffle exchange in the join chain
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan

@@ -195,7 +195,10 @@ def test_store_update_insert_is_existence_guarded(spark, tiny_graph, tmp_path):
     """Inserting triples that already exist writes NO epoch (an RDF graph
     is a set; duplicate rows would double BGP solution counts)."""
     stream_dir = str(tmp_path / "stream")
-    some = next(iter(_rows(_decoded(tiny_graph))))
+    # pick a triple whose terms are all IRI-shaped: literal objects (names
+    # with spaces) can't round-trip through <...> INSERT DATA syntax, and
+    # set iteration order made this pick flaky
+    some = next(iter(r for r in _rows(_decoded(tiny_graph)) if r[1] == "ub:advisor"))
     live = apply_update(
         tiny_graph, stream_dir,
         PRO + f"INSERT DATA {{ <{some[0]}> <{some[1]}> <{some[2]}> }}",
