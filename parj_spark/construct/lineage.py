@@ -125,3 +125,45 @@ def read_lineage(out_dir: str, spark=None) -> list[dict]:
             stream.close()
         records.append(json.loads(data))
     return sorted(records, key=lambda r: r.get("ts", ""))
+
+
+def partition_counters(stage_dir: str) -> list[dict]:
+    """Per-partition row counters for a committed stage, read from the
+    parquet footers (zero extra Spark jobs — the counts were written with
+    the data). One dict per data file: file name, hive partition values
+    parsed from the path (e.g. ``p=7``), row count, byte size.
+
+    This is the per-partition half of the north rule's "per-partition
+    checkpoints with lineage + counters": `record_stage` keeps the stage-
+    level totals/wall-time, this exposes the partition grain for skew
+    audits and resume verification (a partition whose footer count is 0 or
+    whose file is missing pinpoints what a retry must redo). Local-FS
+    implementation; on a lakehouse these counters come from the table
+    format's manifest files instead.
+    """
+    import pyarrow.parquet as pq
+
+    root = _strip_file_scheme(stage_dir)
+    out: list[dict] = []
+    for dirpath, _dirnames, filenames in sorted(os.walk(root)):
+        parts = {}
+        rel = os.path.relpath(dirpath, root)
+        if rel != ".":
+            for seg in rel.split(os.sep):
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
+                    parts[k] = v
+        for fn in sorted(filenames):
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(dirpath, fn)
+            meta = pq.ParquetFile(fp).metadata
+            out.append(
+                {
+                    "file": os.path.relpath(fp, root),
+                    "partition": parts,
+                    "rows": meta.num_rows,
+                    "bytes": os.path.getsize(fp),
+                }
+            )
+    return out

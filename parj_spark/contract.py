@@ -1088,13 +1088,13 @@ def text_fingerprint(spark, sf_dir):
 
 
 def text_winnow(spark, sf_dir):
-    # rolling-hash winnowing (pandas stage): rows-only check
+    # rolling-hash winnowing (pandas stage); bit-exact HUGEINT SQL oracle
     return text.winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
 def text_winnow_pairs(spark, sf_dir):
-    # MOSS-style shared-fingerprint pairs: rows-only check (fingerprint
-    # values come from the numpy stage); overlap behavior pytest-gated
+    # MOSS-style shared-fingerprint pairs over the winnow fingerprints;
+    # oracle = the fingerprint SQL + df-cap + self-join
     return text.winnow_overlap_pairs(
         _t(spark, sf_dir, "documents"), min_overlap=3
     )
@@ -1215,12 +1215,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_frame_sample": mm_frame_sample,
     "kg_sparql_watdiv_c": kg_sparql_watdiv_c,
     # -- same-capability variants (see ordering note above) --
-    # LSH/IVF ANN, near-dup scale paths and winnowing: rows-only driver
-    # evidence by design (no SQL oracle); correctness lives in the
-    # recall/subset/bit-exact pytest gates, and the capabilities'
-    # oracle-backed exact twins (sim_cosine_topk, sim_neardup_pairs,
-    # text_fingerprint) are measured — so the rows-only entries yield
-    # the first-50 slots to oracle-green queries
+    # LSH/IVF ANN near-dup scale paths: rows-only driver evidence by
+    # design (approximate, no SQL oracle); correctness lives in the
+    # recall/subset pytest gates, and the capabilities' oracle-backed
+    # exact twins (sim_cosine_topk, sim_neardup_pairs) are measured — so
+    # the rows-only entries yield the first-50 slots to oracle-green
+    # queries
     "sim_lsh_topk": sim_lsh_topk,
     "sim_lsh_neardup": sim_lsh_neardup,
     "sim_ivf_topk": sim_ivf_topk,
@@ -1970,6 +1970,50 @@ ORACLES: dict[str, str] = {
                                   ' +', ' ', 'g'))) AS fingerprint
         FROM documents
     """,
+    # winnowing, bit-exact in SQL: HUGEINT is wide enough that one mod at
+    # the end of the k=5 Horner chain equals the numpy stage's mod-between-
+    # steps (values stay < 2^102 < 2^127); leftmost-window-min + consecutive
+    # dedup via window functions. Upgrades text_winnow from rows-only to a
+    # full value-hash check (VERDICT r3 flagged it driver-unmeasured).
+    "text_winnow": """
+        WITH chars AS (
+          SELECT doc_id, lower(text) AS s, length(lower(text)) AS n
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, n - 4 AS L, i::INT - 1 AS pos0,
+            ((((unicode(substr(s,i,1))::HUGEINT * 1000003
+               + unicode(substr(s,i+1,1))) * 1000003
+               + unicode(substr(s,i+2,1))) * 1000003
+               + unicode(substr(s,i+3,1))) * 1000003
+               + unicode(substr(s,i+4,1))) % 2305843009213693951 AS h
+          FROM (SELECT doc_id, s, n, unnest(range(1, n - 3)) AS i
+                FROM chars WHERE n >= 5)
+        ),
+        wmin AS (
+          SELECT doc_id, L, pos0 AS wpos, h,
+            min(h) OVER (PARTITION BY doc_id ORDER BY pos0
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+          FROM grams
+        ),
+        pick AS (
+          SELECT w1.doc_id, w1.wpos, min(g.pos0) AS pos
+          FROM wmin w1
+          JOIN grams g ON g.doc_id = w1.doc_id
+            AND g.pos0 BETWEEN w1.wpos AND w1.wpos + 3 AND g.h = w1.mn
+          WHERE w1.wpos <= greatest(w1.L - 4, 0)
+          GROUP BY w1.doc_id, w1.wpos
+        ),
+        dedup AS (
+          SELECT doc_id, wpos, pos,
+            lag(pos) OVER (PARTITION BY doc_id ORDER BY wpos) AS prev
+          FROM pick
+        )
+        SELECT d.doc_id, d.pos::INT AS pos, g.h::BIGINT AS fp
+        FROM dedup d
+        JOIN grams g ON g.doc_id = d.doc_id AND g.pos0 = d.pos
+        WHERE d.prev IS NULL OR d.pos != d.prev
+    """,
     "mm_binary_meta": """
         WITH m AS (
           SELECT doc_id, 1::INT AS pos,
@@ -2006,3 +2050,20 @@ ORACLES: dict[str, str] = {
 # MINUS result (the two differ only on no-shared-variable blocks), so the
 # oracle is shared
 ORACLES["kg_sparql_not_exists"] = ORACLES["kg_sparql_minus"]
+
+# MOSS overlap pairs on top of the fingerprint oracle: distinct (doc, fp),
+# document-frequency cap (mirrors winnow_overlap_pairs max_df=1000), self
+# equi-join, >= 3 shared fingerprints
+ORACLES["text_winnow_pairs"] = f"""
+    WITH fp_rows AS ({ORACLES["text_winnow"]}),
+    fps AS (SELECT DISTINCT doc_id, fp FROM fp_rows),
+    capped AS (
+      SELECT doc_id, fp FROM fps
+      QUALIFY count(*) OVER (PARTITION BY fp) <= 1000
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+    FROM capped a JOIN capped b USING (fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+"""

@@ -203,3 +203,22 @@ def test_lakehouse_seam_detects_and_gates(spark, tmp_path):
     assert "p=0" in str(sorted(__import__("os").listdir(out)))
     with pytest.raises(RuntimeError, match="[Ii]ceberg"):
         lakehouse.write_sorted_table(df, out, table_format="iceberg")
+
+
+def test_partition_counters_from_footers(spark, tiny_graph):
+    """Per-partition counters come from the parquet footers the stage
+    already wrote — no extra Spark job — and reconcile exactly with the
+    stage total (the per-partition half of the north rule's lineage +
+    counters contract)."""
+    import os
+
+    from parj_spark.construct import lineage
+
+    counters = lineage.partition_counters(
+        os.path.join(tiny_graph.out_dir, "bucketed", "spo")
+    )
+    assert counters
+    assert sum(c["rows"] for c in counters) == tiny_graph.spo().count()
+    # hive partition values parsed from the paths (skew audit grain)
+    assert all("p" in c["partition"] for c in counters)
+    assert all(c["bytes"] > 0 for c in counters)
