@@ -332,7 +332,49 @@ def main() -> None:
         # (same broadcast policy — only the big-big joins differ: bucketed
         # SMJ with no exchange, the comparison that matters at 100 TB)
         part_avgs, part_spread = _suite(BGPEngine(lstore, bucketed_prefix=None))
-        buck_avgs, buck_spread = _suite(BGPEngine(lstore))
+        buck_eng = BGPEngine(lstore)
+        buck_avgs, buck_spread = _suite(buck_eng)
+
+        # plan audit AT THIS SCALE (VERDICT r3 task 1: plan evidence at
+        # bgp_large, where the statistics — and therefore the DP order and
+        # broadcast gating — differ from the tiny pytest fixtures): node
+        # counts from the formatted physical plan of the two queries whose
+        # plans regressed in r3. No exchange on the big sides = the join
+        # keys ride the bucket layout end to end.
+        def _plan_nodes(df):
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            return {
+                "sort_merge_join": plan.count("SortMergeJoin") // 2,
+                "broadcast_hash_join": plan.count("BroadcastHashJoin") // 2,
+                "exchange_hashpartitioning": plan.count(
+                    "Exchange hashpartitioning"
+                ) // 2,
+            }
+
+        plan_audit = {
+            "lubm7": _plan_nodes(buck_eng.sparql(lubm7, decode=False)),
+            "chain_member": _plan_nodes(
+                buck_eng.query(parse_bgp(BGP_QUERIES["bgp_chain_member"]), decode=False)
+            ),
+        }
+        # the same two plans in the true-100TB regime, where no side fits a
+        # broadcast (auto threshold off, engine gate off): every join must
+        # ride the bucket layout — SMJ with exchanges ONLY where the join
+        # key leaves the bucket column, never on the leaf scans
+        prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            smj_eng = BGPEngine(lstore, broadcast_rows=0)
+            plan_audit["lubm7_smj_forced"] = _plan_nodes(
+                smj_eng.sparql(lubm7, decode=False)
+            )
+            plan_audit["chain_member_smj_forced"] = _plan_nodes(
+                smj_eng.query(parse_bgp(BGP_QUERIES["bgp_chain_member"]), decode=False)
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         bgp_large = {
             "n_depts": large_depts,
             "n_docs": n_ldocs,
@@ -347,6 +389,7 @@ def main() -> None:
             "partitioned_spread": part_spread,
             "bucketed": buck_avgs,
             "bucketed_spread": buck_spread,
+            "plan_audit": plan_audit,
         }
         shutil.rmtree(ldir, ignore_errors=True)
 
@@ -399,7 +442,7 @@ def main() -> None:
     os.makedirs(os.path.dirname(detail_path), exist_ok=True)
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
-    summary["detail"] = "BENCH/last_run.json"
+    summary["detail"] = os.path.relpath(detail_path, os.path.dirname(os.path.abspath(__file__)))
     print(json.dumps(summary))
 
 
