@@ -447,3 +447,40 @@ def test_streamed_store_live_queries(spark, tiny_corpus, tmp_path):
     assert eng2.bucketed_prefix is not None
     chain2 = eng2.query("?x ub:livePred ?y . ?y ub:livePred ?z").collect()
     assert [tuple(r) for r in chain2] == [tuple(r) for r in chain]
+
+
+def test_maybe_compact_policy(spark, tiny_corpus, tmp_path):
+    """The compaction POLICY: deltas below max_ratio stay merge-on-read (the
+    check itself is footer-only — no Spark jobs); crossing the ratio folds
+    them via compact_stream and truncates the delta dirs. Bounds read
+    amplification without rewriting the layout on every epoch."""
+    import os
+
+    from parj_spark.construct import run_pipeline
+
+    docs, _ = tiny_corpus
+    out = str(tmp_path / "pgraph")
+    stream_dir = str(tmp_path / "stream")
+    store = run_pipeline(spark, docs, out, resume=False, analyze=False)
+    n_base = store.spo().count()
+    assert streaming.delta_ratio(store, stream_dir) == 0.0
+
+    t0 = spark.createDataFrame(
+        [("ub:PNew_A", "ub:policyPred", "ub:PNew_B")],
+        "s_uri string, p_uri string, o_uri string",
+    )
+    streaming.append_epoch(t0, store.dict(), store.properties(), stream_dir, 0)
+    r = streaming.delta_ratio(store, stream_dir)
+    assert abs(r - 1 / n_base) < 1e-9
+
+    # below the ratio: untouched (same store object back, deltas intact)
+    same, compacted = streaming.maybe_compact(store, stream_dir, max_ratio=0.5)
+    assert not compacted and same is store
+    assert os.path.exists(os.path.join(stream_dir, "triples"))
+
+    # above the ratio: folded and truncated
+    fresh, compacted = streaming.maybe_compact(store, stream_dir, max_ratio=0.0)
+    assert compacted
+    assert not os.path.exists(os.path.join(stream_dir, "triples"))
+    assert fresh.spo().count() == n_base + 1
+    assert streaming.delta_ratio(fresh, stream_dir) == 0.0
