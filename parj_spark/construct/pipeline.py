@@ -4,7 +4,7 @@ Stage graph (each stage checkpointed as parquet, resumable, counted):
 
   docs --extract--> mentions --link--> edges --union-find--> canon_map
        --assemble--> triples_uri --encode--> dict/properties/triples_enc
-       --materialize--> spo/pos/osp/stats
+       --materialize--> bucketed spo/pos + osp + stats (single-copy layout)
 
 This is the BASELINE.json north_star pipeline; the reference only sketches
 its import path (ImportHandler.java, insert body commented out), so the
