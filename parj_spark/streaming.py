@@ -623,7 +623,16 @@ def maybe_compact(store, stream_dir: str, max_ratio: float = 0.10):
     write amplification sublinear in the number of epochs, the same
     trade lakehouse table services make. A crash-interrupted compaction
     (the _COMPACT_READY marker exists) is always resumed regardless of the
-    ratio. Returns (store, compacted: bool)."""
+    ratio. Returns (store, compacted: bool).
+
+    Run this BETWEEN streaming sessions (or from a separate table-service
+    job), not inside a live foreachBatch: compaction folds streamed terms
+    into the base dictionary, so an ingest loop that captured the
+    pre-compaction catalogs would re-emit those terms as deltas and fan
+    out decode joins with duplicate (id, uri) rows. Out-of-band compaction
+    is the lakehouse pattern this mirrors; the incremental ingest query
+    restarts cleanly against the compacted store
+    (test_compact_after_incremental_append_end_to_end)."""
     ready = os.path.join(store.out_dir, COMPACT_TMP, COMPACT_READY)
     if os.path.exists(ready) or delta_ratio(store, stream_dir) > max_ratio:
         new_store = compact_stream(store, stream_dir)
