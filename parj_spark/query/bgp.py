@@ -845,19 +845,31 @@ class BGPEngine:
                 f"variable(s) used in both predicate and subject/object "
                 f"position: {sorted(pvars & evars)}"
             )
-        terms = self._resolve_terms(list(patterns) + opt_patterns)
-        self._hydrate(all_for_check)  # core + optional predicates, one pass
-        ordered = self._order(patterns, terms)
+        return self._plan_and_execute(
+            patterns, opt_groups, opt_patterns, pvars,
+            select=select, distinct=distinct, decode=decode,
+            order_by=order_by, limit=limit,
+        )
 
+    def _compose_joins(
+        self, ordered: list[Pattern], terms: dict[str, int]
+    ) -> DataFrame | None:
+        """Join a pre-ordered pattern list into one relation; None when any
+        pattern's constant/predicate is absent from the catalogs (the empty
+        relation — callers decide whether that kills the query or just an
+        OPTIONAL block).
+
+        Join-side strategy per step: tracks the variable on which the
+        running result is still clustered BY THE BUCKET LAYOUT (first
+        scan's bucket column, preserved through broadcast and same-key
+        bucketed joins). A join whose single key is this var against a
+        scan bucketed on the same var needs neither shuffle nor
+        hash-relation build — bucketed SMJ beats even a small broadcast
+        there (measured: the 5-pattern star at 8.35M triples runs 2x
+        faster pure-SMJ than broadcast, BENCH/BASELINE.md bgp_large
+        addendum), so the broadcast hint is skipped for aligned joins.
+        Used by both the core BGP and each OPTIONAL group."""
         result: DataFrame | None = None
-        # the variable on which `result` is still clustered BY THE BUCKET
-        # LAYOUT (first scan's bucket column, preserved through broadcast
-        # and same-key bucketed joins). A join whose single key is this var
-        # against a scan bucketed on the same var needs neither shuffle nor
-        # hash-relation build — bucketed SMJ beats even a small broadcast
-        # there (measured: the 5-pattern star at 8.35M triples runs 2x
-        # faster pure-SMJ than broadcast, BENCH/BASELINE.md bgp_large
-        # addendum), so the broadcast hint is skipped for aligned joins.
         aligned_var: str | None = None
         seed_est: float | None = None
         for pat in ordered:
@@ -871,13 +883,7 @@ class BGPEngine:
                     hint = "pos"
             scan = self._scan(pat, terms, orient_hint=hint)
             if scan is None:
-                # unknown predicate/constant: empty result with right columns
-                all_vars = sorted({v for p in patterns for v in p.vars()})
-                empty = self.spark.createDataFrame(
-                    [], "".join(f"{v} long," for v in all_vars).rstrip(",") or "x long"
-                )
-                result = empty
-                break
+                return None
             bucket_var = self._scan_bucket_var(pat, terms, hint)
             if result is None:
                 result = scan
@@ -906,25 +912,35 @@ class BGPEngine:
             result = lhs.join(scan, on=shared) if shared else lhs.crossJoin(scan)
             if not shared:
                 aligned_var = None  # cross join loses any clustering guarantee
-        assert result is not None
+        return result
+
+    def _plan_and_execute(
+        self, patterns, opt_groups, opt_patterns, pvars,
+        select, distinct, decode, order_by, limit,
+    ) -> DataFrame:
+        """query()'s planning + execution tail, after input normalization
+        and the predicate/entity variable-space check."""
+        terms = self._resolve_terms(list(patterns) + opt_patterns)
+        # core + optional predicates, one hydration pass
+        self._hydrate(list(patterns) + opt_patterns)
+        ordered = self._order(patterns, terms)
+
+        result = self._compose_joins(ordered, terms)
+        if result is None:
+            # unknown predicate/constant: empty result with right columns
+            all_vars = sorted({v for p in patterns for v in p.vars()})
+            result = self.spark.createDataFrame(
+                [], "".join(f"{v} long," for v in all_vars).rstrip(",") or "x long"
+            )
         if "__exists" in result.columns:
             result = result.drop("__exists")
 
         for group in opt_groups:  # OPTIONAL blocks: left outer, after the core
-            gdf: DataFrame | None = None
-            dead = False  # a group pattern with an unknown constant matches nothing
-            for pat in self._order(group, terms) if len(group) > 1 else group:
-                scan = self._scan(pat, terms)
-                if scan is None:
-                    dead = True
-                    break
-                if gdf is not None and 0 < self.broadcast_rows >= self._estimate(pat, terms):
-                    scan = F.broadcast(scan)
-                if gdf is None:
-                    gdf = scan
-                else:
-                    shared = sorted(set(gdf.columns) & set(scan.columns) - {"__exists"})
-                    gdf = gdf.join(scan, on=shared) if shared else gdf.crossJoin(scan)
+            gdf = self._compose_joins(
+                self._order(group, terms) if len(group) > 1 else list(group), terms
+            )
+            # None = a group pattern with an unknown constant matches nothing
+            dead = gdf is None
             group_vars = sorted({v for p in group for v in p.vars()})
             if dead:
                 for v in group_vars:
