@@ -434,10 +434,13 @@ def main() -> None:
     # "parsed": null) — it now lands in a committed file instead, and the
     # printed line stays compact enough to survive the capture.
     detail = dict(summary, spread=spread, bgp_large=bgp_large)
-    # BENCH_DETAIL_PATH: redirect the detail artifact (smoke runs must not
-    # clobber the committed full-run record under BENCH/)
+    # BENCH_DETAIL_PATH: redirect the detail artifact. Without it, only the
+    # canonical per-round scale (sf0.1) lands in last_run.json; smoke runs at
+    # other scales get an sf-suffixed file so they cannot clobber the
+    # committed full-run record (which round 4's verify smoke once did).
+    default_name = "last_run.json" if sf == "0.1" else f"last_run_sf{sf}.json"
     detail_path = os.environ.get("BENCH_DETAIL_PATH") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_run.json"
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", default_name
     )
     os.makedirs(os.path.dirname(detail_path), exist_ok=True)
     with open(detail_path, "w") as f:
