@@ -54,6 +54,12 @@ HEADLINE = [
     "sim_cosine_topk",
     "text_stats",
     "text_fingerprint",
+    # corpus-curation tier (round 4): repetition signals are two
+    # explode+agg passes, substring spans a posexplode + hash-key agg,
+    # PII redaction a pure map — all JVM-side
+    "text_repetition",
+    "dedup_substring",
+    "text_pii_redact",
 ]
 
 # Bench-scale dedup variants: discriminative 3-word shingles + bucket-size
@@ -87,6 +93,13 @@ BENCH_EXTRA = {
         n_planes=8,
         n_bands=8,
         max_bucket=10_000,
+    ),
+    # SemDeDup over the planted-dup corpus at a true near-dup threshold:
+    # cell-bucketed pair join + distributed union-find closure
+    "sim_semantic_dedup": lambda spark, sf_dir: contract.similarity.semantic_dedup(
+        _with_planted_dups(contract._t(spark, sf_dir, "embeddings")),
+        threshold=0.9,
+        n_centroids=32,
     ),
 }
 

@@ -13,7 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from parj_spark.operators import dedup, multimodal, similarity, text
+from parj_spark.operators import corpus, dedup, multimodal, similarity, text
 
 CUTOFF = "1998-09-02"
 
@@ -1145,6 +1145,64 @@ def mm_decode_stub(spark, sf_dir):
     return multimodal.decode_images(_interleaved_media(spark, sf_dir))
 
 
+def text_repetition(spark, sf_dir):
+    # Gopher repetition signals (top-2-gram coverage, duplicated-5-gram
+    # fraction) — within-doc quality scoring for corpus filtering
+    return corpus.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def dedup_substring(spark, sf_dir):
+    # Lee-et-al. exact duplicated-substring spans: 8-token windows present
+    # in >= 2 distinct documents; Spark groups on xxhash64(gram), the
+    # oracle on the gram string itself (a 64-bit collision would surface
+    # as a hash mismatch here)
+    return corpus.dup_ngram_spans(_t(spark, sf_dir, "documents"), k=8)
+
+
+def sample_stratified(spark, sf_dir):
+    # deterministic md5-bucket stratified sampling by language: unlike
+    # df.sample, membership is stable across layouts/reruns, so the
+    # DuckDB oracle reproduces the exact keep-set
+    return corpus.stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        fractions={"en": 0.6, "de": 0.25, "fr": 0.1},
+    ).select("doc_id", "lang", "source")
+
+
+def _pii_docs(spark, sf_dir):
+    """Documents with deterministically injected PII (the synthetic corpus
+    has none): every 5th doc gains an email, every 7th a 555-phone. The
+    oracle mirrors the same injection in SQL."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    email = F.when(
+        did % 5 == 0,
+        F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 7 == 0,
+        F.concat(F.lit(" call 555-"), F.lpad((did % 1000).cast("string"), 4, "0")),
+    ).otherwise(F.lit(""))
+    return d.withColumn("text", F.concat("text", email, phone))
+
+
+def text_pii_redact(spark, sf_dir):
+    return corpus.pii_redact(_pii_docs(spark, sf_dir))
+
+
+def text_tfidf(spark, sf_dir):
+    return corpus.tfidf_topterms(_t(spark, sf_dir, "documents"), k=5)
+
+
+def sim_semantic_dedup(spark, sf_dir):
+    # SemDeDup keep-one-per-semantic-cluster: approximate by construction
+    # (within-centroid-cell pairs only) -> rows-only driver check; the
+    # cluster-validity and recall gates live in tests/test_operators.py
+    return similarity.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_centroids=8
+    )
+
+
 # Key order is load-bearing: the round-3 driver run measured exactly the
 # first 50 keys and silently skipped the rest (CORRECTNESS_r03 covered 50 of
 # 55, the missing five being the last five keys), so every DISTINCT
@@ -1166,10 +1224,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_scan": q02_filter_scan,
     "q03_top_revenue_orders": q03_top_revenue_orders,
-    "q04_region_customer_counts": q04_region_customer_counts,
     "q05_semijoin": q05_semijoin,
     "q07_left_join_agg": q07_left_join_agg,
-    "q09_topk_events": q09_topk_events,
     "q10_window_topk": q10_window_topk,
     "q12_groupby_having": q12_groupby_having,
     "q13_sessionize": q13_sessionize,
@@ -1180,7 +1236,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triples_derive": kg_triples_derive,
     "kg_rdf_import": kg_rdf_import,
     "kg_bgp_chain": kg_bgp_chain,
-    "kg_bgp_star": kg_bgp_star,
     "kg_sparql_chain": kg_sparql_chain,
     "kg_sparql_optional_group": kg_sparql_optional_group,
     "kg_sparql_minus": kg_sparql_minus,
@@ -1190,7 +1245,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_sparql_agg": kg_sparql_agg,
     "kg_sparql_values": kg_sparql_values,
     "kg_sparql_construct": kg_sparql_construct,
-    "kg_sparql_describe": kg_sparql_describe,
     "kg_sparql_bind": kg_sparql_bind,
     "kg_sparql_subquery": kg_sparql_subquery,
     "kg_sparql_filter": kg_sparql_filter,
@@ -1198,7 +1252,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_sparql_graph": kg_sparql_graph,
     "kg_sparql_varpred": kg_sparql_varpred,
     "kg_sparql_ask": kg_sparql_ask,
-    "kg_type_stats": kg_type_stats,
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_jaccard_bigram": dedup_jaccard_bigram,
@@ -1213,7 +1266,34 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_binary_meta": mm_binary_meta,
     "mm_frame_sample": mm_frame_sample,
     "kg_sparql_watdiv_c": kg_sparql_watdiv_c,
+    # corpus-curation tier (round-4 additions, each a distinct capability):
+    # Gopher repetition signals, Lee-et-al. duplicated-substring spans,
+    # deterministic stratified sampling, regex PII redaction, TF-IDF terms
+    "text_repetition": text_repetition,
+    "dedup_substring": dedup_substring,
+    "sample_stratified": sample_stratified,
+    "text_pii_redact": text_pii_redact,
+    "text_tfidf": text_tfidf,
     # -- same-capability variants (see ordering note above) --
+    # join+groupBy counts: the A2/J1 family keeps q01/q07/q12 up front;
+    # yielded its first-50 slot to the corpus-curation tier
+    "q04_region_customer_counts": q04_region_customer_counts,
+    # ORDER BY/LIMIT top-k: measured up front via q03 and q10 (window);
+    # yielded its first-50 slot to the corpus-curation tier
+    "q09_topk_events": q09_topk_events,
+    # star-shaped programmatic BGP: J1/J2 star access paths are measured
+    # via the SPARQL twins and the bgp_large bench; chain stays up front
+    "kg_bgp_star": kg_bgp_star,
+    # DESCRIBE = encoded semi-join sugar over the CONSTRUCT machinery
+    # measured via kg_sparql_construct up front
+    "kg_sparql_describe": kg_sparql_describe,
+    # T1/T2 stats tables: the stats surface keeps kg_class_join_stats (T3
+    # restricted, strictly richer) up front; T1/T2 are also exercised by
+    # every planner ordering test
+    "kg_type_stats": kg_type_stats,
+    # SemDeDup semantic dedup: rows-only by design (centroid-cell
+    # approximation, no SQL oracle); cluster validity + recall in pytest
+    "sim_semantic_dedup": sim_semantic_dedup,
     # left anti-join (J7): the capability keeps a measured oracle row via
     # kg_sparql_minus (an encoded-id left anti-join) and q24's semi twin;
     # yielded its first-50 slot to the WatDiv-C headline shape
@@ -2069,4 +2149,138 @@ ORACLES["text_winnow_pairs"] = f"""
     WHERE a.doc_id < b.doc_id
     GROUP BY 1, 2
     HAVING count(*) >= 3
+"""
+
+
+# --- corpus-curation tier oracles (round 4) -------------------------------
+
+# tokenization shared by the repetition / substring / tfidf oracles: DuckDB
+# string_split on single spaces, 1-based list indexing, mirrors
+# split(lower(text), ' ') on the Spark side
+_TOKS_CTE = """
+    toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ts,
+             len(string_split(lower(text), ' ')) AS n
+      FROM documents
+    )
+"""
+
+ORACLES["text_repetition"] = f"""
+    WITH {_TOKS_CTE},
+    g2 AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+      FROM toks, LATERAL unnest(generate_series(1, n - 1)) AS u(i)
+    ),
+    c2 AS (
+      SELECT doc_id, max(c) AS max_short
+      FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    g5 AS (
+      SELECT doc_id,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+                   || ' ' || ts[i+4] AS g
+      FROM toks, LATERAL unnest(generate_series(1, n - 4)) AS u(i)
+    ),
+    c5 AS (
+      SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_long
+      FROM (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT t.doc_id, t.n AS n_tokens,
+      CASE WHEN t.n >= 2
+           THEN round(coalesce(max_short, 0) * 2.0 / t.n, 6)
+           ELSE 0.0 END AS top_2gram_frac,
+      CASE WHEN t.n >= 5
+           THEN round(coalesce(dup_long, 0) * 1.0 / (t.n - 4), 6)
+           ELSE 0.0 END AS dup_5gram_frac
+    FROM toks t
+    LEFT JOIN c2 USING (doc_id)
+    LEFT JOIN c5 USING (doc_id)
+"""
+
+# the oracle groups by the exact gram STRING where the engine groups by
+# xxhash64(gram) — identical output unless a 64-bit collision occurs, which
+# this gate would surface as a mismatch
+ORACLES["dedup_substring"] = f"""
+    WITH {_TOKS_CTE},
+    w AS (
+      SELECT doc_id, i - 1 AS pos,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+                   || ' ' || ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6]
+                   || ' ' || ts[i+7] AS g
+      FROM toks, LATERAL unnest(generate_series(1, n - 7)) AS u(i)
+    ),
+    freq AS (
+      SELECT g, count(DISTINCT doc_id) AS n_docs
+      FROM w GROUP BY 1
+      HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT w.doc_id, w.pos, freq.n_docs
+    FROM w JOIN freq USING (g)
+"""
+
+# same md5-hex bucket derivation as operators/corpus.stratified_sample
+# (first 8 hex digits, mod 10000, salt 's1'); fractions en .6 / de .25 /
+# fr .1, other strata dropped
+ORACLES["sample_stratified"] = """
+    SELECT doc_id, lang, source FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 8))
+               AS BIGINT) % 10000 <
+      CASE lang WHEN 'en' THEN 6000 WHEN 'de' THEN 2500 WHEN 'fr' THEN 1000
+           ELSE 0 END
+"""
+
+# injection mirrors contract._pii_docs; patterns are the RE2-and-Java-safe
+# subset from operators/corpus (no backreferences/lookaround); DuckDB
+# regexp_replace needs the explicit 'g' flag to match Spark's replace-all
+ORACLES["text_pii_redact"] = r"""
+    WITH d AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 5 = 0
+                THEN ' contact user' || doc_id || '@example.com'
+                ELSE '' END
+        || CASE WHEN doc_id % 7 = 0
+                THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+                ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+      len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+        AS n_emails,
+      len(regexp_extract_all(text, '555-[0-9]{3,4}')) AS n_phones,
+      regexp_replace(
+        regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+                       '<EMAIL>', 'g'),
+        '555-[0-9]{3,4}', '<PHONE>', 'g') AS clean_text
+    FROM d
+"""
+
+# smoothed sklearn idf ln((1+N)/(1+df)) + 1; ties break on term ASC so the
+# ranking is engine-portable (integer tf/df -> identical doubles both sides)
+ORACLES["text_tfidf"] = """
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf_cnt
+      FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+      )
+      WHERE term <> ''
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY 1),
+    total AS (SELECT count(*) AS n_total FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf_cnt, dfreq.df_docs,
+             tf.tf_cnt * (ln((1.0 + n_total) / (1.0 + df_docs)) + 1.0) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN total
+    )
+    SELECT doc_id, term, tf_cnt, df_docs, round(tfidf, 4) AS tfidf, rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored
+    )
+    WHERE rank <= 5
 """

@@ -1,0 +1,246 @@
+"""Corpus-curation operators for LLM training-data pipelines: Gopher-style
+repetition quality signals, cross-document duplicated-substring spans
+(Lee et al., "Deduplicating Training Data Makes Language Models Better"),
+deterministic hash-based stratified sampling, regex PII redaction, and
+per-document TF-IDF top terms.
+
+All hot-path expressions are JVM built-ins (whole-stage codegen); no Python
+UDFs anywhere in this module. Every shuffle key is either the document id
+or a 64-bit gram hash, so at 100 TB each operator's cost is O(total tokens)
+map work + one hash-partitioned aggregation with map-side combine — never
+an all-pairs or driver-side pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str):
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def _gram_array(toks_col: str, n_col: str, n: int):
+    """Array of space-joined n-grams over a token array (1-based slice);
+    empty when the doc has fewer than n tokens (sequence(1,0) would count
+    DOWN in Spark, so the short-doc case must be guarded explicitly)."""
+    seq = F.sequence(F.lit(1), F.col(n_col) - F.lit(n - 1))
+    grams = F.transform(seq, lambda i: F.concat_ws(" ", F.slice(toks_col, i, n)))
+    return F.when(F.col(n_col) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    short_n: int = 2,
+    long_n: int = 5,
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1):
+
+    - ``top_2gram_frac``: fraction of tokens covered by the single most
+      frequent 2-gram (occurrences x 2 / n_tokens),
+    - ``dup_5gram_frac``: fraction of 5-gram positions whose gram occurs
+      more than once in the document.
+
+    Docs shorter than the gram size score 0.0 on that signal. Shape:
+    explode grams -> count per (doc, gram) -> per-doc aggregate; the
+    (doc_id, gram) groupBy gets map-side partial aggregation, so the
+    shuffle carries one row per distinct gram per doc, not per token.
+    """
+    toks = _tokens(text_col)
+    base = df.select(
+        id_col, toks.alias("toks"), F.size(toks).alias("n_tokens")
+    )
+
+    def gram_counts(n: int, agg):
+        g = base.select(
+            id_col, F.explode(_gram_array("toks", "n_tokens", n)).alias("g")
+        )
+        per_gram = g.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+        return per_gram.groupBy(id_col).agg(agg)
+
+    top2 = gram_counts(short_n, F.max("c").alias("max_short"))
+    dup5 = gram_counts(
+        long_n,
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("dup_long"),
+    )
+    out = (
+        base.select(id_col, "n_tokens")
+        .join(top2, id_col, "left")
+        .join(dup5, id_col, "left")
+    )
+    nt = F.col("n_tokens")
+    top_frac = F.when(
+        nt >= short_n,
+        F.round(F.coalesce(F.col("max_short"), F.lit(0)) * short_n / nt, 6),
+    ).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        nt >= long_n,
+        F.round(
+            F.coalesce(F.col("dup_long"), F.lit(0))
+            / (nt - F.lit(long_n - 1)),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        id_col,
+        "n_tokens",
+        top_frac.alias(f"top_{short_n}gram_frac"),
+        dup_frac.alias(f"dup_{long_n}gram_frac"),
+    )
+
+
+def dup_ngram_spans(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated k-token substring spans — the exact-
+    substring dedup signal of Lee et al. 2021: every position whose k-token
+    window also appears in at least ``min_docs - 1`` OTHER documents.
+
+    Returns (doc_id, pos, n_docs) with ``pos`` the 0-based token offset of
+    the window start and ``n_docs`` the number of distinct documents
+    containing that window.
+
+    Scale shape: posexplode the sliding windows (O(total tokens) rows),
+    group by the 64-bit xxhash64 of the gram — the shuffle moves 8-byte
+    keys, never the gram strings — then hash-join the qualifying keys back.
+    Collisions at 64 bits are ~n^2/2^65; the DuckDB oracle groups by the
+    exact gram string, so the contract gate would catch one.
+    """
+    toks = _tokens(text_col)
+    base = df.select(
+        id_col, toks.alias("toks"), F.size(toks).alias("n_tokens")
+    )
+    w = base.select(
+        id_col,
+        F.posexplode(_gram_array("toks", "n_tokens", k)).alias("pos", "g"),
+    ).select(id_col, "pos", F.xxhash64("g").alias("gk"))
+    freq = (
+        w.groupBy("gk")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return w.join(freq, "gk").select(id_col, "pos", "n_docs")
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "s1",
+    denom: int = 10000,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff the md5-derived
+    bucket of (key || salt) falls under its stratum's fraction. Strata not
+    in ``fractions`` are dropped.
+
+    The bucket is the first 8 hex digits of md5, mod ``denom`` — stable
+    across engines, partitionings, and reruns (unlike ``df.sample``, whose
+    per-partition RNG reshuffles membership when the input layout changes),
+    so a resumed or re-scaled pipeline selects the same rows. Changing
+    ``salt`` draws an independent sample.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % denom
+    )
+    thresh = F.create_map(
+        *[x for s, frac in fractions.items() for x in (F.lit(s), F.lit(int(frac * denom)))]
+    )
+    return df.filter(bucket < F.coalesce(thresh[F.col(strata_col)], F.lit(0)))
+
+
+# lowercase-only patterns, identical semantics under Java regex and RE2 —
+# no backreferences, no lookaround, so the DuckDB oracle runs them verbatim
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"555-[0-9]{3,4}"
+
+
+def pii_redact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Regex PII scrub: replace emails / 555-prefixed phone numbers with
+    placeholder tags and count the hits per document. Pure JVM regex — one
+    projection, no shuffle at all; at 100 TB this is a map-only pass."""
+    c = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0)))
+    clean = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        id_col,
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        clean.alias("clean_text"),
+    )
+
+
+def tfidf_topterms(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: (doc_id, term, tf_cnt, df_docs,
+    tfidf, rank). idf is the smoothed sklearn form ln((1+N)/(1+df)) + 1;
+    ties break on term ascending so the ranking is engine-portable.
+
+    N rides in via a broadcast 1-row aggregate (no driver action, one plan);
+    the per-(doc, term) groupBy gets map-side combine and the per-term
+    document frequency is a second small aggregate over distinct (doc, term)
+    rows — both shuffles carry term-sized keys, nothing quadratic.
+    """
+    tf = (
+        df.select(id_col, F.explode(_tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf_cnt"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
+    total = df.agg(F.count("*").alias("n_total"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "tfidf",
+            F.col("tf_cnt")
+            * (
+                F.log((F.lit(1.0) + F.col("n_total")) / (F.lit(1.0) + F.col("df_docs")))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf_cnt",
+            "df_docs",
+            F.round("tfidf", 4).alias("tfidf"),
+            "rank",
+        )
+    )

@@ -292,3 +292,95 @@ def cosine_lsh_topk(
         id_col, F.round(cosine_sim(vec_col, "qvec"), 6).alias("cosine")
     )
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): coarse-
+    cluster the embedding space, find near-duplicate pairs WITHIN each
+    cluster by exact cosine, take transitive closure, and keep one canonical
+    representative (the minimum id) per semantic cluster.
+
+    Returns (doc_id, cluster, is_canonical) — the keep-set is the
+    ``is_canonical`` rows. Approximate by construction: pairs straddling a
+    centroid boundary are missed (the recall/cost trade SemDeDup makes), so
+    this is a rows-only contract entry; the exact-oracle path is
+    dedup.embedding_neardup_pairs -> dedup.neardup_clusters.
+
+    Scale shape: centroids are the n_centroids vectors with the smallest
+    md5(id) (deterministic seeded sample, same as ivf_topk); assignment is
+    one Arrow-batched matmul with the vector riding through the stage; the
+    in-cell similarity is a per-cell numpy GEMM via applyInPandas — the
+    paper's own per-cluster pairwise shape, one shuffle of (id, vec, cell)
+    grouped by cell, compute O(sum cell_i^2) with cells ~n/k, never the
+    global O(n^2); the closure is the construction pipeline's distributed
+    union-find (O(diameter) joins). SemDeDup's standing constraint applies:
+    k must grow with n so a cell's c^2 similarity block fits an executor
+    (``max_cell`` skips degenerate cells outright, the same guard as the
+    LSH ``max_bucket``).
+    """
+    from parj_spark.operators.dedup import neardup_clusters
+
+    spark = emb.sparkSession
+    cent_rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(n_centroids)
+        .collect()
+    )
+    C = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    bC = spark.sparkContext.broadcast(C)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cm = bC.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.stack(pdf[vec_col].apply(lambda v: np.asarray(v, dtype=np.float64)))
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            out = pdf[[id_col, vec_col]].copy()
+            out["cell"] = (Mn @ cm.T).argmax(axis=1).astype(np.int32)
+            yield out
+
+    vtype = emb.schema[vec_col].dataType.simpleString()
+    with_cell = emb.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, {vec_col} {vtype}, cell int"
+    )
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64")})
+        c = len(pdf)
+        if c < 2 or (max_cell is not None and c > max_cell):
+            return empty
+        M = np.stack(pdf[vec_col].apply(lambda v: np.asarray(v, dtype=np.float64)))
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        S = Mn @ Mn.T  # one GEMM for the whole cell
+        iu, ju = np.triu_indices(c, 1)
+        # round(., 6) mirrors the exact-verify convention of the other
+        # cosine operators, so thresholds compare identically everywhere
+        keep = np.round(S[iu, ju], 6) >= threshold
+        ids = pdf[id_col].to_numpy()
+        x, y = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {"id_a": np.minimum(x, y), "id_b": np.maximum(x, y)}
+        )
+
+    # persist the verified pair set: the union-find closure consumes its
+    # input across several iterations, and without the cache each one would
+    # re-run the assignment + per-cell GEMM stages. Released before
+    # returning (contract operators must not leak persisted frames);
+    # neardup_clusters localCheckpoints the closure first.
+    pairs = with_cell.groupBy("cell").applyInPandas(
+        cell_pairs, "id_a long, id_b long"
+    ).persist()
+    out = neardup_clusters(pairs, all_ids=emb.select(id_col))
+    pairs.unpersist()
+    return out
