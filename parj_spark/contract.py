@@ -2012,6 +2012,9 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id,
           len(toks) AS n_tokens,
+          len(regexp_extract_all(lower(text),
+              '''(s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'))
+            AS n_bpe_tokens,
           n_chars,
           round(n_punct::DOUBLE / n_chars, 6) AS punct_ratio,
           round(len(list_filter(toks, x -> list_contains({_STOPLIST}, x)))::DOUBLE

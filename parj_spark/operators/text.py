@@ -31,10 +31,26 @@ def _tokens(text_col: str):
     return F.split(F.lower(F.col(text_col)), " ")
 
 
+# GPT-2-style pre-tokenizer, restricted to the Java-and-RE2-common subset
+# (no lookahead): contraction suffixes, space-prefixed letter runs, digit
+# runs, punctuation runs, residual whitespace. Counting its matches is the
+# "BPE-ish" token estimate of the task mandate — each match is one
+# pre-token, the unit BPE merges within, so the count tracks real tokenizer
+# output far closer than whitespace splitting on punctuation-heavy text.
+BPE_PRETOKEN_RE = r"'(s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
 def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, n_tokens, n_chars, punct_ratio, stopword_ratio, quality)."""
+    """(id, n_tokens, n_bpe_tokens, n_chars, punct_ratio, stopword_ratio,
+    quality) — n_tokens is the whitespace count, n_bpe_tokens the BPE-ish
+    pre-tokenizer match count (both mandated token-counting modes)."""
     toks = _tokens(text_col)
     n_tokens = F.size(toks)
+    n_bpe = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(BPE_PRETOKEN_RE), F.lit(0)
+        )
+    )
     n_chars = F.length(text_col)
     n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
@@ -49,6 +65,7 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     return df.select(
         id_col,
         n_tokens.alias("n_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
         n_chars.alias("n_chars"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
