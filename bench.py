@@ -388,6 +388,28 @@ def main() -> None:
             )
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        # PageRank over the big graph's structural edges (encoded ids as
+        # node labels — no decode needed to rank): the iterative-workload
+        # measurement where real shuffle work dominates the per-iteration
+        # scheduling floor that rules at sf0.1 (15k nodes ~6s of overhead;
+        # here the rank vector is ~1.9M nodes over ~2.1M edges)
+        from parj_spark.operators.graphalg import pagerank
+        from pyspark.sql import functions as SF
+
+        struct_pids = [
+            int(r["id"])
+            for r in lstore.properties()
+            .filter(SF.col("uri").isin("ub:memberOf", "ub:subOrganizationOf"))
+            .collect()
+        ]
+        ledges = lstore.pos().filter(SF.col("p").isin(struct_pids)).select(
+            SF.col("s").alias("src"), SF.col("o").alias("dst")
+        )
+        pr_runs = _timed_reps(
+            lambda: pagerank(ledges, n_iter=5).count(), min(reps, 3)
+        )
+        t_pagerank = round(sum(pr_runs) / len(pr_runs), 3)
+
         bgp_large = {
             "n_depts": large_depts,
             "n_docs": n_ldocs,
@@ -403,6 +425,8 @@ def main() -> None:
             "bucketed": buck_avgs,
             "bucketed_spread": buck_spread,
             "plan_audit": plan_audit,
+            "pagerank_5iter_sec": t_pagerank,
+            "pagerank_runs": [round(x, 3) for x in pr_runs],
         }
         shutil.rmtree(ldir, ignore_errors=True)
 
