@@ -1194,6 +1194,12 @@ def text_tfidf(spark, sf_dir):
     return corpus.tfidf_topterms(_t(spark, sf_dir, "documents"), k=5)
 
 
+def dedup_substring_clean(spark, sf_dir):
+    # Lee-et-al. span REMOVAL: drop every token covered by a cross-doc
+    # duplicated 8-token window, rebuild the doc from the survivors
+    return corpus.remove_dup_spans(_t(spark, sf_dir, "documents"), k=8)
+
+
 def _edge_relation(spark, sf_dir):
     """Structural (src, dst) edges of the derived graph — the link-graph
     input shape shared by the degree and PageRank operators."""
@@ -1311,6 +1317,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # iterative PageRank: rows-only by design (float aggregation order);
     # numpy power-iteration reference in tests/test_graphalg.py
     "kg_pagerank": kg_pagerank,
+    # removal half of the dedup_substring capability (measured up front):
+    # cut every cross-doc duplicated window and rebuild the text
+    "dedup_substring_clean": dedup_substring_clean,
     # join+groupBy counts: the A2/J1 family keeps q01/q07/q12 up front;
     # yielded its first-50 slot to the corpus-curation tier
     "q04_region_customer_counts": q04_region_customer_counts,
@@ -2337,4 +2346,46 @@ ORACLES["kg_degree"] = f"""
            coalesce(out_deg, 0) AS out_deg,
            coalesce(in_deg, 0) AS in_deg
     FROM od FULL OUTER JOIN id_ ON od.node = id_.node
+"""
+
+# span removal: same window derivation as dedup_substring, exploded to
+# covered token positions, surviving tokens re-joined in order
+ORACLES["dedup_substring_clean"] = f"""
+    WITH {_TOKS_CTE},
+    tok_rows AS (
+      SELECT doc_id, i - 1 AS tpos, ts[i] AS tok
+      FROM toks, LATERAL unnest(generate_series(1, n)) AS u(i)
+    ),
+    w AS (
+      SELECT doc_id, i - 1 AS pos,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+                   || ' ' || ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6]
+                   || ' ' || ts[i+7] AS g
+      FROM toks, LATERAL unnest(generate_series(1, n - 7)) AS u(i)
+    ),
+    dupg AS (
+      SELECT g FROM w GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+      SELECT DISTINCT w.doc_id, w.pos + j AS tpos
+      FROM w JOIN dupg USING (g),
+           LATERAL unnest(generate_series(0, 7)) AS v(j)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.tpos, t.tok
+      FROM tok_rows t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM covered c
+        WHERE c.doc_id = t.doc_id AND c.tpos = t.tpos
+      )
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY 1
+    )
+    SELECT t.doc_id,
+           coalesce(clean_text, '') AS clean_text,
+           t.n - coalesce(n_kept, 0) AS n_tokens_removed
+    FROM toks t LEFT JOIN rebuilt USING (doc_id)
 """

@@ -244,3 +244,75 @@ def tfidf_topterms(
             "rank",
         )
     )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """The removal half of exact-substring dedup (Lee et al. cut the
+    duplicated spans, they don't just report them): every token covered by
+    a cross-document duplicated k-token window is dropped and the document
+    re-joined from the surviving tokens, in order.
+
+    Returns (doc_id, clean_text, n_tokens_removed) for every input doc
+    (fully-duplicated docs come back with an empty clean_text).
+
+    Fully relational: duplicated window starts (the dup_ngram_spans
+    derivation) explode to covered token positions, surviving positions
+    anti-join, and the rebuild is sort_array(collect_list(struct(pos,
+    tok))) -> concat_ws — deterministic order without a window sort, one
+    (doc_id)-keyed aggregation. No Python in any path.
+    """
+    toks = _tokens(text_col)
+    base = df.select(
+        id_col, toks.alias("toks"), F.size(toks).alias("n_tokens")
+    )
+    tok_rows = base.select(
+        id_col, F.posexplode("toks").alias("tpos", "tok")
+    )
+    w = base.select(
+        id_col,
+        F.posexplode(_gram_array("toks", "n_tokens", k)).alias("pos", "g"),
+    ).select(id_col, "pos", F.xxhash64("g").alias("gk"))
+    dup_keys = (
+        w.groupBy("gk")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gk")
+    )
+    covered = (
+        w.join(dup_keys, "gk")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    kept = tok_rows.join(covered, [id_col, "tpos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_tokens_removed"
+            ),
+        )
+    )

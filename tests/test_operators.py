@@ -461,3 +461,26 @@ def test_semantic_dedup_clusters_planted_neighbors(spark):
         1 for i in range(20) if by_id[2 * i]["cluster"] == by_id[2 * i + 1]["cluster"]
     )
     assert paired >= 16
+
+
+def test_remove_dup_spans_cuts_shared_windows(spark):
+    from parj_spark.operators import corpus
+
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, f"intro {shared} outro"),
+        (2, f"{shared} trailing words here"),
+        (3, "nothing shared with any other document in this tiny corpus x"),
+        (4, "p q r s t u v w p q r s t u v w"),  # within-doc repeat only
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in corpus.remove_dup_spans(df, k=8).collect()}
+    # docs 1/2: the 8 shared tokens vanish, the unique rims survive in order
+    assert out[1]["clean_text"] == "intro outro"
+    assert out[1]["n_tokens_removed"] == 8
+    assert out[2]["clean_text"] == "trailing words here"
+    # doc 3 untouched; doc 4's repetition is within-doc, so also untouched
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[3]["clean_text"] == rows[2][1]
+    assert out[4]["n_tokens_removed"] == 0
+    assert out[4]["clean_text"] == rows[3][1]
