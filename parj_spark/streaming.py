@@ -638,3 +638,176 @@ def maybe_compact(store, stream_dir: str, max_ratio: float = 0.10):
         new_store = compact_stream(store, stream_dir)
         return new_store, True
     return store, False
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus dedup (the streaming face of operators/dedup)
+# ---------------------------------------------------------------------------
+
+# the text-documents feed shape (TESTDATA.md documents table)
+TEXT_DOCS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def read_text_docs_stream(
+    spark: SparkSession,
+    path: str,
+    max_files: int = 4,
+    schema: str = TEXT_DOCS_SCHEMA,
+) -> DataFrame:
+    """File-source stream of text documents (parquet drops into ``path``)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    return (
+        spark.readStream.schema(_parse_datatype_string(schema))
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def incremental_corpus_dedup(
+    docs_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Exactly-once streaming exact-dedup of a document feed: per epoch,
+    fingerprint the new docs (the batch operator's normalize+md5), keep the
+    min-id doc per within-batch fingerprint, drop everything already seen
+    in ANY prior epoch, and append
+
+      <state_dir>/seen/epoch=N  (fingerprint, doc_id)  dedup state delta
+      <state_dir>/kept/epoch=N  surviving documents    the curated output
+
+    Same invariants as the KG append path (:func:`append_epoch`): epoch
+    subdirs make redelivered batches idempotent (overwrite-by-epoch, the
+    current epoch excluded from the prior-state anti-join so a retry
+    rewrites its delta instead of anti-joining it away), and the state
+    delta is written BEFORE the kept docs so the kept dir is the epoch's
+    commit witness — a crash between the writes leaves at worst an orphan
+    seen-delta, which redelivery overwrites; it can never emit a duplicate.
+
+    Scale shape: the per-epoch cost is one shuffle of the batch (the
+    within-batch min) plus an anti-join keyed on the 32-hex fingerprint
+    against the accumulated state — O(batch + state) per epoch. The state
+    is append-only epoch deltas; fold them periodically with
+    :func:`compact_dedup_state` so the anti-join reads one coalesced
+    relation instead of an ever-longer union.
+    """
+    from pyspark.sql.window import Window
+
+    from parj_spark.operators.text import fingerprint
+
+    def _seen_fingerprints(spark, epoch_id: int) -> DataFrame | None:
+        """Fingerprints from the compacted base plus every PRIOR epoch's
+        delta (the current epoch excluded for retry idempotence — the
+        dict-delta rule of :func:`_prior_delta`, over this state's schema)."""
+        parts = []
+        base = os.path.join(state_dir, "seen_base")
+        if os.path.isdir(base):
+            parts.append(spark.read.parquet(base).select("fingerprint"))
+        deltas = os.path.join(state_dir, "seen")
+        if os.path.isdir(deltas):
+            parts.append(
+                spark.read.parquet(deltas)
+                .filter(F.col("epoch") != epoch_id)
+                .select("fingerprint")
+            )
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not batch_df.columns:
+            return
+        fp = fingerprint(batch_df, id_col=id_col, text_col=text_col)
+        docs_fp = batch_df.join(fp, id_col)
+        win = Window.partitionBy("fingerprint").orderBy(id_col)
+        firsts = (
+            docs_fp.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        prior = _seen_fingerprints(spark, epoch_id)
+        fresh = firsts
+        if prior is not None:
+            fresh = firsts.join(prior, "fingerprint", "left_anti")
+        # state delta first, kept docs last (commit-witness order)
+        fresh.select("fingerprint", id_col).write.mode("overwrite").parquet(
+            os.path.join(state_dir, "seen", f"epoch={epoch_id}")
+        )
+        fresh.drop("fingerprint").write.mode("overwrite").parquet(
+            os.path.join(state_dir, "kept", f"epoch={epoch_id}")
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def kept_docs(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The curated (deduplicated) corpus: union of every committed epoch's
+    kept docs plus the compacted base, if one exists."""
+    parts = []
+    base = os.path.join(state_dir, "kept_base")
+    if os.path.isdir(base):
+        parts.append(spark.read.parquet(base))
+    kept = os.path.join(state_dir, "kept")
+    if os.path.isdir(kept):
+        parts.append(spark.read.parquet(kept).drop("epoch"))
+    if not parts:
+        raise FileNotFoundError(f"no dedup state under {state_dir}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact_dedup_state(spark: SparkSession, state_dir: str) -> None:
+    """Fold the per-epoch seen/kept deltas into single sorted base tables
+    (``seen_base`` sorted by fingerprint — the anti-join side — and
+    ``kept_base``), then drop the epoch dirs. Same idempotent dir-swap
+    protocol as :func:`compact_stream`: the new base is written to a tmp
+    dir, swapped in, and the deltas truncated last, so a crash at any
+    point leaves either the old state or the new state plus already-folded
+    (harmless, re-foldable) deltas."""
+    import shutil
+
+    seen_dir = os.path.join(state_dir, "seen")
+    kept_dir = os.path.join(state_dir, "kept")
+    if not os.path.isdir(seen_dir) and not os.path.isdir(kept_dir):
+        return
+    for name, delta_dir, sort_col in (
+        ("seen_base", seen_dir, "fingerprint"),
+        ("kept_base", kept_dir, None),
+    ):
+        base = os.path.join(state_dir, name)
+        parts = []
+        if os.path.isdir(base):
+            parts.append(spark.read.parquet(base))
+        if os.path.isdir(delta_dir):
+            parts.append(spark.read.parquet(delta_dir).drop("epoch"))
+        if not parts:
+            continue
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        if sort_col is not None:
+            merged = merged.sort(sort_col)
+        tmp = base + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = base + ".old"
+        if os.path.isdir(base):
+            os.rename(base, old)
+        os.rename(tmp, base)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(seen_dir, ignore_errors=True)
+    shutil.rmtree(kept_dir, ignore_errors=True)

@@ -1,4 +1,6 @@
 
+import os
+
 from pyspark.sql import functions as F
 
 from parj_spark import streaming
@@ -484,3 +486,68 @@ def test_maybe_compact_policy(spark, tiny_corpus, tmp_path):
     assert not os.path.exists(os.path.join(stream_dir, "triples"))
     assert fresh.spo().count() == n_base + 1
     assert streaming.delta_ratio(fresh, stream_dir) == 0.0
+
+
+def test_incremental_corpus_dedup(spark, tmp_path):
+    """Streaming exact-dedup: within-batch dups collapse to the min id,
+    cross-epoch dups are dropped against the accumulated state, restarts
+    are no-ops, and compaction preserves the dedup guarantee."""
+    in_dir = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+
+    base_rows = [
+        (0, "alpha beta gamma delta", "en", "s0", 22),
+        (1, "epsilon zeta eta theta", "en", "s0", 22),
+        # within-batch duplicate of doc 0 (punct/case differences collapse
+        # under the fingerprint normalization)
+        (2, "Alpha beta gamma delta.", "en", "s1", 23),
+    ]
+    spark.createDataFrame(base_rows, streaming.TEXT_DOCS_SCHEMA).coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(in_dir, "drop1"))
+
+    def run():
+        q = streaming.incremental_corpus_dedup(
+            streaming.read_text_docs_stream(spark, in_dir + "/*"), state, ck
+        ).start()
+        q.awaitTermination(120)
+
+    run()
+    kept1 = {r["doc_id"] for r in streaming.kept_docs(spark, state).collect()}
+    assert kept1 == {0, 1}
+
+    # second drop: a cross-epoch duplicate of doc 1 plus one fresh doc
+    more_rows = [
+        (3, "epsilon zeta eta theta", "en", "s2", 22),
+        (4, "iota kappa lambda mu", "en", "s2", 20),
+    ]
+    spark.createDataFrame(more_rows, streaming.TEXT_DOCS_SCHEMA).coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(in_dir, "drop2"))
+    run()
+    kept2 = {r["doc_id"] for r in streaming.kept_docs(spark, state).collect()}
+    assert kept2 == {0, 1, 4}
+
+    # restart over the same input: checkpoint makes it a no-op
+    run()
+    assert {
+        r["doc_id"] for r in streaming.kept_docs(spark, state).collect()
+    } == kept2
+
+    # compact, then a third drop duplicating doc 4: the folded base must
+    # still suppress it
+    streaming.compact_dedup_state(spark, state)
+    assert {
+        r["doc_id"] for r in streaming.kept_docs(spark, state).collect()
+    } == kept2
+    third = [(5, "iota kappa lambda mu", "en", "s3", 20),
+             (6, "nu xi omicron pi", "en", "s3", 16)]
+    spark.createDataFrame(third, streaming.TEXT_DOCS_SCHEMA).coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(in_dir, "drop3"))
+    run()
+    assert {
+        r["doc_id"] for r in streaming.kept_docs(spark, state).collect()
+    } == {0, 1, 4, 6}
