@@ -1200,6 +1200,18 @@ def dedup_substring_clean(spark, sf_dir):
     return corpus.remove_dup_spans(_t(spark, sf_dir, "documents"), k=8)
 
 
+def text_decontaminate(spark, sf_dir):
+    # benchmark decontamination: every 31st doc plays the eval set; the
+    # remaining corpus is flagged on shared 8-token windows (broadcast of
+    # the tiny benchmark hash set — no corpus-sized shuffle)
+    d = _t(spark, sf_dir, "documents")
+    return corpus.contamination_check(
+        d.filter(F.col("doc_id") % 31 != 0),
+        d.filter(F.col("doc_id") % 31 == 0),
+        k=8,
+    )
+
+
 def _edge_relation(spark, sf_dir):
     """Structural (src, dst) edges of the derived graph — the link-graph
     input shape shared by the degree and PageRank operators."""
@@ -1286,7 +1298,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_sparql_ask": kg_sparql_ask,
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
-    "dedup_jaccard_bigram": dedup_jaccard_bigram,
     "dedup_cluster": dedup_cluster,
     "dedup_simhash": dedup_simhash,
     "sim_cosine_topk": sim_cosine_topk,
@@ -1309,7 +1320,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # link-graph degree profile: the full-outer-join shape, not otherwise
     # measured (q07 covers left outer only)
     "kg_degree": kg_degree,
+    # benchmark decontamination (cross-dataset window overlap)
+    "text_decontaminate": text_decontaminate,
     # -- same-capability variants (see ordering note above) --
+    # inverted-index n-gram Jaccard: the shingle-pair dedup family keeps
+    # dedup_minhash up front and the 3-gram variant is timed in the bench;
+    # yielded its first-50 slot to decontamination
+    "dedup_jaccard_bigram": dedup_jaccard_bigram,
     # relational GROUP BY + HAVING: the A2 family keeps q01 up front and
     # HAVING is measured via kg_sparql_agg; yielded its first-50 slot to
     # the link-graph degree profile
@@ -2388,4 +2405,33 @@ ORACLES["dedup_substring_clean"] = f"""
            coalesce(clean_text, '') AS clean_text,
            t.n - coalesce(n_kept, 0) AS n_tokens_removed
     FROM toks t LEFT JOIN rebuilt USING (doc_id)
+"""
+
+# decontamination: corpus x benchmark shared 8-token windows; the oracle
+# joins on the exact gram strings (the engine broadcasts xxhash64 keys)
+ORACLES["text_decontaminate"] = f"""
+    WITH split AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ts,
+             len(string_split(lower(text), ' ')) AS n,
+             (doc_id % 31 = 0) AS is_bench
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, is_bench, i - 1 AS pos,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+                   || ' ' || ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6]
+                   || ' ' || ts[i+7] AS g
+      FROM split, LATERAL unnest(generate_series(1, n - 7)) AS u(i)
+    ),
+    bkeys AS (
+      SELECT DISTINCT g, doc_id AS bench_id FROM grams WHERE is_bench
+    ),
+    hits AS (
+      SELECT c.doc_id, c.pos, bkeys.bench_id
+      FROM grams c JOIN bkeys USING (g)
+      WHERE NOT c.is_bench
+    )
+    SELECT doc_id, count(DISTINCT pos) AS n_hits,
+           count(DISTINCT bench_id) AS n_bench_docs
+    FROM hits GROUP BY 1
 """

@@ -316,3 +316,50 @@ def remove_dup_spans(
             ),
         )
     )
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM appendix procedure): flag
+    every corpus document sharing at least one k-token window with any
+    document of an evaluation set.
+
+    Returns (doc_id, n_hits, n_bench_docs) — one row per CONTAMINATED
+    corpus doc, where ``n_hits`` counts its overlapping window positions
+    and ``n_bench_docs`` the distinct benchmark docs it collides with.
+    Clean docs are absent (filter-side semantics: anti-join the output to
+    keep the clean corpus).
+
+    Scale shape: both sides explode to (window-hash, doc) rows; the
+    benchmark side is tiny by construction (an eval suite, not a corpus),
+    so its distinct hash set broadcast-joins against the corpus windows —
+    one map-side pass over O(corpus tokens), no corpus-sized shuffle. The
+    corpus-side aggregate groups by doc id only.
+    """
+    def windows(df, idc, txc, out_id):
+        toks = F.split(F.lower(F.col(txc)), " ")
+        base = df.select(
+            F.col(idc).alias(out_id),
+            toks.alias("toks"),
+            F.size(toks).alias("n_tokens"),
+        )
+        return base.select(
+            out_id,
+            F.posexplode(_gram_array("toks", "n_tokens", k)).alias("pos", "g"),
+        ).select(out_id, "pos", F.xxhash64("g").alias("gk"))
+
+    corpus_w = windows(docs, id_col, text_col, id_col)
+    bench_w = windows(benchmark, bench_id_col, bench_text_col, "bench_id")
+    bench_keys = bench_w.select("gk", "bench_id").distinct()
+    hits = corpus_w.join(F.broadcast(bench_keys), "gk")
+    return hits.groupBy(id_col).agg(
+        F.countDistinct("pos").alias("n_hits"),
+        F.countDistinct("bench_id").alias("n_bench_docs"),
+    )

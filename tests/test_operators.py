@@ -484,3 +484,23 @@ def test_remove_dup_spans_cuts_shared_windows(spark):
     assert out[3]["clean_text"] == rows[2][1]
     assert out[4]["n_tokens_removed"] == 0
     assert out[4]["clean_text"] == rows[3][1]
+
+
+def test_contamination_check_flags_overlap(spark):
+    from parj_spark.operators import corpus
+
+    eval_q = "what is the capital of france paris obviously"
+    docs = spark.createDataFrame(
+        [
+            (1, f"some filler then {eval_q} leaked verbatim"),
+            (2, "entirely clean document with no overlap whatsoever here"),
+            # 7 shared tokens only — below the k=8 window, stays clean
+            (3, "what is the capital of france paris maybe"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, eval_q)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           corpus.contamination_check(docs, bench, k=8).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_bench_docs"] == 1 and out[1]["n_hits"] >= 1
