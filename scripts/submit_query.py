@@ -158,21 +158,34 @@ def read_query_file(path: str) -> list[str]:
 
 
 def run_one(engine, text: str, *, decode: bool, strict: bool, reps: int,
-            print_results: bool, limit: int) -> dict:
+            print_results: bool, limit: int, fmt: str = "table") -> dict:
     """Time one query for ``reps`` reps; returns a result-summary dict."""
     flags = {} if strict else EXTENSIONS
     times_ms: list[float] = []
     n_rows = None
     shown = None
+    serialized = None
     for rep in range(reps):
         t0 = time.monotonic()
         df = engine.sparql(text, decode=decode, **flags)
         if print_results and rep == 0:
-            shown = df.limit(limit).collect() if limit else df.collect()
-            n_rows = len(shown) if not limit else df.count()
+            if fmt == "table":
+                shown = df.limit(limit).collect() if limit else df.collect()
+                n_rows = len(shown) if not limit else df.count()
+            else:
+                # W3C result serializations (parj_spark.query.results);
+                # the same URI-shape rule as export/FILTER types the terms
+                from parj_spark.query import results as res
+
+                ser = {"json": res.to_sparql_json, "csv": res.to_csv,
+                       "tsv": res.to_tsv}[fmt]
+                serialized = ser(df, limit or None)
+                n_rows = df.count()
         else:
             n_rows = df.count()
         times_ms.append((time.monotonic() - t0) * 1000.0)
+    if serialized is not None:
+        print(serialized, end="" if serialized.endswith("\n") else "\n")
     if shown is not None:
         for row in shown:
             print("\t".join("" if v is None else str(v) for v in row))
@@ -215,6 +228,10 @@ def main() -> None:
                     help="print result rows (first rep)")
     ap.add_argument("--limit", type=int, default=20,
                     help="max rows printed with --print-results (0 = all)")
+    ap.add_argument("--format", dest="fmt", default="table",
+                    choices=("table", "json", "csv", "tsv"),
+                    help="result serialization with --print-results: plain "
+                    "rows (default) or W3C SPARQL 1.1 results JSON/CSV/TSV")
     ap.add_argument("--strict", action="store_true",
                     help="reference parity mode: reject FILTER/UNION/... "
                     "like DagCreator.java:170-171")
@@ -335,7 +352,7 @@ def main() -> None:
         try:
             s = run_one(engine, text, decode=args.decode, strict=args.strict,
                         reps=reps, print_results=args.print_results,
-                        limit=args.limit)
+                        limit=args.limit, fmt=args.fmt)
         except ValueError as e:
             print(f"  REJECTED: {e}")
             summaries.append({"query": text, "error": str(e)})
