@@ -774,40 +774,62 @@ def kept_docs(spark: SparkSession, state_dir: str) -> DataFrame:
 def compact_dedup_state(spark: SparkSession, state_dir: str) -> None:
     """Fold the per-epoch seen/kept deltas into single sorted base tables
     (``seen_base`` sorted by fingerprint — the anti-join side — and
-    ``kept_base``), then drop the epoch dirs. Same idempotent dir-swap
-    protocol as :func:`compact_stream`: the new base is written to a tmp
-    dir, swapped in, and the deltas truncated last, so a crash at any
-    point leaves either the old state or the new state plus already-folded
-    (harmless, re-foldable) deltas."""
+    ``kept_base``), then drop the epoch dirs.
+
+    Crash-safe via :func:`compact_stream`'s marker protocol: the merged
+    bases are written under ``_dedup_compact_tmp/`` first, a READY marker
+    commits them, and only then are the live bases swapped and the deltas
+    truncated. A crash BEFORE the marker leaves live state untouched (the
+    tmp dir is rebuilt from scratch on retry); a crash mid-swap resumes
+    from the marker, whose tmp copy still contains the old base content —
+    a naive base->old / tmp->base rename pair would lose the old base in
+    the window between the two renames. Folding is also idempotent under
+    a crash after the swap but before truncation: the merge deduplicates
+    by fingerprint / doc id, so re-folding already-folded deltas is a
+    no-op."""
     import shutil
 
     seen_dir = os.path.join(state_dir, "seen")
     kept_dir = os.path.join(state_dir, "kept")
-    if not os.path.isdir(seen_dir) and not os.path.isdir(kept_dir):
-        return
-    for name, delta_dir, sort_col in (
-        ("seen_base", seen_dir, "fingerprint"),
-        ("kept_base", kept_dir, None),
-    ):
-        base = os.path.join(state_dir, name)
-        parts = []
-        if os.path.isdir(base):
-            parts.append(spark.read.parquet(base))
-        if os.path.isdir(delta_dir):
-            parts.append(spark.read.parquet(delta_dir).drop("epoch"))
-        if not parts:
-            continue
-        merged = parts[0]
-        for p in parts[1:]:
-            merged = merged.unionByName(p)
-        if sort_col is not None:
-            merged = merged.sort(sort_col)
-        tmp = base + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = base + ".old"
-        if os.path.isdir(base):
-            os.rename(base, old)
-        os.rename(tmp, base)
-        shutil.rmtree(old, ignore_errors=True)
+    tmp = os.path.join(state_dir, "_dedup_compact_tmp")
+    ready = os.path.join(tmp, "_COMPACT_READY")
+    tables = (
+        ("seen_base", seen_dir, "fingerprint", ["fingerprint"]),
+        ("kept_base", kept_dir, None, ["doc_id"]),
+    )
+
+    if not os.path.exists(ready):
+        if not os.path.isdir(seen_dir) and not os.path.isdir(kept_dir):
+            return
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        for name, delta_dir, sort_col, key in tables:
+            base = os.path.join(state_dir, name)
+            parts = []
+            if os.path.isdir(base):
+                parts.append(spark.read.parquet(base))
+            if os.path.isdir(delta_dir):
+                parts.append(spark.read.parquet(delta_dir).drop("epoch"))
+            if not parts:
+                continue
+            merged = parts[0]
+            for p in parts[1:]:
+                merged = merged.unionByName(p)
+            merged = merged.dropDuplicates(key)
+            if sort_col is not None:
+                merged = merged.sort(sort_col)
+            merged.write.mode("overwrite").parquet(os.path.join(tmp, name))
+        with open(ready, "w"):
+            pass
+
+    # swap (idempotent: already-moved names are gone from tmp), then
+    # truncate the folded deltas and drop the tmp dir last
+    for name, _, _, _ in tables:
+        src = os.path.join(tmp, name)
+        if os.path.isdir(src):
+            dst = os.path.join(state_dir, name)
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(src, dst)
     shutil.rmtree(seen_dir, ignore_errors=True)
     shutil.rmtree(kept_dir, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)

@@ -551,3 +551,42 @@ def test_incremental_corpus_dedup(spark, tmp_path):
     assert {
         r["doc_id"] for r in streaming.kept_docs(spark, state).collect()
     } == {0, 1, 4, 6}
+
+
+def test_compact_dedup_state_recovers_mid_swap_crash(spark, tmp_path):
+    """The marker protocol must survive the worst window: READY written,
+    live base already deleted, process dies before the tmp copy moved in.
+    Recovery = rerun compact_dedup_state; the tmp copy (which contains the
+    old base content) is swapped in and nothing is lost."""
+    import shutil
+
+    in_dir = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+    rows = [(0, "alpha beta gamma", "en", "s0", 16),
+            (1, "delta epsilon zeta", "en", "s0", 18)]
+    spark.createDataFrame(rows, streaming.TEXT_DOCS_SCHEMA).coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(in_dir, "drop1"))
+    q = streaming.incremental_corpus_dedup(
+        streaming.read_text_docs_stream(spark, in_dir + "/*"), state, ck
+    ).start()
+    q.awaitTermination(120)
+    streaming.compact_dedup_state(spark, state)
+    before = {r["doc_id"] for r in streaming.kept_docs(spark, state).collect()}
+    assert before == {0, 1}
+
+    # forge the mid-swap crash state: tmp holds the merged bases + READY,
+    # the live bases are already gone
+    tmp = os.path.join(state, "_dedup_compact_tmp")
+    os.makedirs(tmp)
+    for name in ("seen_base", "kept_base"):
+        shutil.copytree(os.path.join(state, name), os.path.join(tmp, name))
+        shutil.rmtree(os.path.join(state, name))
+    open(os.path.join(tmp, "_COMPACT_READY"), "w").close()
+
+    streaming.compact_dedup_state(spark, state)
+    after = {r["doc_id"] for r in streaming.kept_docs(spark, state).collect()}
+    assert after == before
+    assert not os.path.exists(tmp)
