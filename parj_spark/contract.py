@@ -1212,6 +1212,12 @@ def text_decontaminate(spark, sf_dir):
     )
 
 
+def text_lm_score(spark, sf_dir):
+    # corpus-trained add-one bigram LM perplexity per doc (the CCNet
+    # quality-filter signal, KenLM stood in by the self-trained model)
+    return corpus.ngram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def _edge_relation(spark, sf_dir):
     """Structural (src, dst) edges of the derived graph — the link-graph
     input shape shared by the degree and PageRank operators."""
@@ -1337,6 +1343,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # removal half of the dedup_substring capability (measured up front):
     # cut every cross-doc duplicated window and rebuild the text
     "dedup_substring_clean": dedup_substring_clean,
+    # CCNet-style LM perplexity scoring: quality-scoring family (text_stats
+    # and text_repetition measured up front); oracle-gated locally
+    "text_lm_score": text_lm_score,
     # join+groupBy counts: the A2/J1 family keeps q01/q07/q12 up front;
     # yielded its first-50 slot to the corpus-curation tier
     "q04_region_customer_counts": q04_region_customer_counts,
@@ -2434,4 +2443,43 @@ ORACLES["text_decontaminate"] = f"""
     SELECT doc_id, count(DISTINCT pos) AS n_hits,
            count(DISTINCT bench_id) AS n_bench_docs
     FROM hits GROUP BY 1
+"""
+
+# add-one bigram LM scoring; prev derives from the raw token position
+# (pos-1 self-join) exactly as the engine's shifted-window join
+ORACLES["text_lm_score"] = f"""
+    WITH {_TOKS_CTE},
+    pos_tok AS (
+      SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+      FROM toks, LATERAL unnest(generate_series(1, n)) AS u(i)
+      WHERE ts[i] <> ''
+    ),
+    pairs AS (
+      SELECT a.doc_id, a.pos, a.tok, b.tok AS prev
+      FROM pos_tok a
+      LEFT JOIN pos_tok b ON a.doc_id = b.doc_id AND b.pos = a.pos - 1
+    ),
+    uni AS (SELECT tok, count(*) AS c_tok FROM pos_tok GROUP BY 1),
+    tot AS (SELECT sum(c_tok) AS t_total, count(*) AS v_size FROM uni),
+    bi AS (
+      SELECT prev, tok, count(*) AS c_bi
+      FROM pairs WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    cprev AS (SELECT tok AS prev, c_tok AS c_prev FROM uni),
+    scored AS (
+      SELECT p.doc_id,
+        CASE WHEN p.prev IS NULL
+          THEN ln((uni.c_tok + 1.0) / (t_total + 1.0 * v_size))
+          ELSE ln((coalesce(bi.c_bi, 0) + 1.0) / (cprev.c_prev + 1.0 * v_size))
+        END AS lp
+      FROM pairs p
+      JOIN uni USING (tok)
+      LEFT JOIN bi ON bi.prev = p.prev AND bi.tok = p.tok
+      LEFT JOIN cprev ON cprev.prev = p.prev
+      CROSS JOIN tot
+    )
+    SELECT doc_id, count(*) AS n_scored,
+           round(avg(lp), 4) AS avg_logprob,
+           round(exp(-avg(lp)), 2) AS perplexity
+    FROM scored GROUP BY 1
 """

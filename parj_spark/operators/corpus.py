@@ -363,3 +363,76 @@ def contamination_check(
         F.countDistinct("pos").alias("n_hits"),
         F.countDistinct("bench_id").alias("n_bench_docs"),
     )
+
+
+def ngram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020
+    filter corpora by LM perplexity): score every document under an
+    add-alpha bigram model estimated from the corpus itself, returning
+    (doc_id, n_scored, avg_logprob, perplexity) — low perplexity = typical
+    text, high = outlier/noise. A corpus-trained bigram model is the
+    self-contained stand-in for CCNet's external KenLM; the plumbing
+    (count model + per-token join + per-doc aggregate) is identical.
+
+    p(w | prev) = (C(prev, w) + alpha) / (C(prev) + alpha * V); the first
+    token scores under the unigram (C(w) + alpha) / (T + alpha * V).
+
+    Scale shape: model estimation is two map-side-combined count
+    aggregates over O(total tokens) rows; scoring joins each token
+    position against the bigram counts (hash join on 2-token keys) and the
+    tiny unigram/vocab aggregates broadcast. No Python anywhere; at 100 TB
+    the model tables are themselves DataFrames, so nothing is collected.
+    """
+    toks = _tokens(text_col)
+    pos_tok = df.select(
+        id_col, F.posexplode(toks).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    prev_win = pos_tok.select(
+        id_col,
+        (F.col("pos") + 1).alias("pos"),
+        F.col("tok").alias("prev"),
+    )
+    pairs = pos_tok.join(prev_win, [id_col, "pos"], "left")
+
+    uni = pos_tok.groupBy("tok").agg(F.count("*").alias("c_tok"))
+    totals = uni.agg(
+        F.sum("c_tok").alias("t_total"), F.count("*").alias("v_size")
+    )
+    bi = (
+        pairs.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "tok")
+        .agg(F.count("*").alias("c_bi"))
+    )
+    c_prev = uni.select(F.col("tok").alias("prev"), F.col("c_tok").alias("c_prev"))
+
+    scored = (
+        pairs.join(uni, "tok")
+        .join(bi, ["prev", "tok"], "left")
+        .join(c_prev, "prev", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "lp",
+            F.when(
+                F.col("prev").isNull(),
+                F.log(
+                    (F.col("c_tok") + F.lit(alpha))
+                    / (F.col("t_total") + F.lit(alpha) * F.col("v_size"))
+                ),
+            ).otherwise(
+                F.log(
+                    (F.coalesce(F.col("c_bi"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("c_prev") + F.lit(alpha) * F.col("v_size"))
+                )
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_scored"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        F.round(F.exp(-F.avg("lp")), 2).alias("perplexity"),
+    )

@@ -504,3 +504,29 @@ def test_contamination_check_flags_overlap(spark):
            corpus.contamination_check(docs, bench, k=8).collect()}
     assert set(out) == {1}
     assert out[1]["n_bench_docs"] == 1 and out[1]["n_hits"] >= 1
+
+
+def test_ngram_logprob_matches_hand_model(spark):
+    import math
+
+    from parj_spark.operators import corpus
+
+    rows = [(1, "a b a b"), (2, "a b"), (3, "z z")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in corpus.ngram_logprob(df).collect()}
+    # corpus: tokens a(3) b(3) z(2), T=8, V=3; bigrams: ab x3, ba x1, zz x1
+    V, T = 3, 8
+
+    def uni(c):
+        return math.log((c + 1) / (T + V))
+
+    def bi(c_bi, c_prev):
+        return math.log((c_bi + 1) / (c_prev + V))
+
+    # doc 1: a | b|a a|b(prev a) b|... -> uni(a), bi(ab)=log(4/6),
+    # bi(ba)=log(2/6), bi(ab)
+    lp1 = (uni(3) + bi(3, 3) + bi(1, 3) + bi(3, 3)) / 4
+    assert abs(out[1]["avg_logprob"] - round(lp1, 4)) < 1e-9
+    assert out[1]["n_scored"] == 4
+    # doc 3 ('z z') is the outlier: higher perplexity than doc 2 ('a b')
+    assert out[3]["perplexity"] > out[2]["perplexity"]
