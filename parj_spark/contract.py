@@ -1218,6 +1218,12 @@ def text_lm_score(spark, sf_dir):
     return corpus.ngram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def text_curation_filter(spark, sf_dir):
+    # the composed FineWeb-style filter stack: length floor + repetition
+    # ceilings + LM perplexity ceiling, with per-rule drop reasons
+    return corpus.curation_filter(_t(spark, sf_dir, "documents"))
+
+
 def _edge_relation(spark, sf_dir):
     """Structural (src, dst) edges of the derived graph — the link-graph
     input shape shared by the degree and PageRank operators."""
@@ -1346,6 +1352,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # CCNet-style LM perplexity scoring: quality-scoring family (text_stats
     # and text_repetition measured up front); oracle-gated locally
     "text_lm_score": text_lm_score,
+    # composed curation filter stack (length + repetition + perplexity):
+    # composition of measured signals; oracle-gated locally
+    "text_curation_filter": text_curation_filter,
     # join+groupBy counts: the A2/J1 family keeps q01/q07/q12 up front;
     # yielded its first-50 slot to the corpus-curation tier
     "q04_region_customer_counts": q04_region_customer_counts,
@@ -2482,4 +2491,26 @@ ORACLES["text_lm_score"] = f"""
            round(avg(lp), 4) AS avg_logprob,
            round(exp(-avg(lp)), 2) AS perplexity
     FROM scored GROUP BY 1
+"""
+
+# composed filter stack: reuses the repetition and LM-score oracles as CTEs
+# so the composition provably agrees with its parts
+ORACLES["text_curation_filter"] = f"""
+    WITH rep AS ({ORACLES["text_repetition"]}),
+    lm AS ({ORACLES["text_lm_score"]}),
+    j AS (
+      SELECT rep.doc_id, rep.n_tokens, rep.top_2gram_frac,
+             rep.dup_5gram_frac, lm.perplexity
+      FROM rep JOIN lm USING (doc_id)
+    )
+    SELECT doc_id,
+      (n_tokens >= 20 AND top_2gram_frac <= 0.2 AND dup_5gram_frac <= 0.5
+       AND perplexity <= 33.0) AS keep,
+      coalesce(array_to_string(list_filter([
+        CASE WHEN n_tokens < 20 THEN 'too_short' END,
+        CASE WHEN top_2gram_frac > 0.2 OR dup_5gram_frac > 0.5
+             THEN 'repetitive' END,
+        CASE WHEN perplexity > 33.0 THEN 'high_perplexity' END
+      ], x -> x IS NOT NULL), ','), '') AS reasons
+    FROM j
 """

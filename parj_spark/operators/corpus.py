@@ -436,3 +436,48 @@ def ngram_logprob(
         F.round(F.avg("lp"), 4).alias("avg_logprob"),
         F.round(F.exp(-F.avg("lp")), 2).alias("perplexity"),
     )
+
+
+def curation_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_top2: float = 0.2,
+    max_dup5: float = 0.5,
+    max_perplexity: float = 33.0,
+) -> DataFrame:
+    """The composed filter stack of a FineWeb/Gopher-style curation
+    pipeline: (doc_id, keep, reasons) where ``reasons`` names every
+    violated rule — length floor, repetition ceilings (top-2-gram
+    coverage / duplicated-5-gram fraction), LM perplexity ceiling
+    (:func:`ngram_logprob`). Keeping the per-rule breakdown (not just the
+    boolean) is the standard quality-report shape: curation needs drop
+    counts per rule per shard.
+
+    One join tree over the signal operators — everything stays JVM-side,
+    and the decisions compare the same rounded values the individual
+    operators publish, so the composed filter agrees with its parts.
+    """
+    rep = repetition_stats(df, id_col=id_col, text_col=text_col)
+    lm = ngram_logprob(df, id_col=id_col, text_col=text_col)
+    joined = rep.join(lm.select(id_col, "perplexity"), id_col)
+    reasons = F.filter(
+        F.array(
+            F.when(F.col("n_tokens") < min_tokens, F.lit("too_short")),
+            F.when(
+                (F.col(f"top_2gram_frac") > max_top2)
+                | (F.col(f"dup_5gram_frac") > max_dup5),
+                F.lit("repetitive"),
+            ),
+            F.when(
+                F.col("perplexity") > max_perplexity, F.lit("high_perplexity")
+            ),
+        ),
+        lambda r: r.isNotNull(),
+    )
+    return joined.select(
+        id_col,
+        (F.size(reasons) == 0).alias("keep"),
+        F.array_join(reasons, ",").alias("reasons"),
+    )
