@@ -60,6 +60,9 @@ HEADLINE = [
     "text_repetition",
     "dedup_substring",
     "text_pii_redact",
+    # materialized transitive closure (reason.py): O(log depth) path
+    # doubling, one self-join shuffle per round on the closing slice only
+    "kg_transitive_closure",
 ]
 
 # Bench-scale dedup variants: discriminative 3-word shingles + bucket-size
@@ -410,6 +413,59 @@ def main() -> None:
         )
         t_pagerank = round(sum(pr_runs) / len(pr_runs), 3)
 
+        # RDFS entailment materialization at scale (reason.py): the closure
+        # is value-generic, so it runs over the ENCODED graph — the 8.35M
+        # triples never decode, schema-predicate probes prune to zero spo
+        # partitions, and rdfs2/3 scans are predicate-pruned. LUBM-flavored
+        # TBox: worksFor ⊑ memberOf ⊑ affiliatedWith*, Grad/UG-Student ⊑
+        # Student* ⊑ Person*, FullProfessor ⊑ Faculty*, teacherOf
+        # domain Faculty* / range Course (* = new terms, negative ids like
+        # the streaming path's reserved range).
+        from parj_spark.construct.reason import rdfs_closure
+
+        prop_ids = {
+            r["uri"]: int(r["id"]) for r in lstore.properties().collect()
+        }
+        cls_uris = [
+            "ub:GraduateStudent", "ub:UndergraduateStudent",
+            "ub:FullProfessor", "ub:Course",
+        ]
+        cls_ids = {
+            r["uri"]: int(r["id"])
+            for r in lstore.dict().filter(SF.col("uri").isin(cls_uris)).collect()
+        }
+        T_SC, T_SP, T_DOM, T_RNG = -101, -102, -103, -104
+        AFFIL, STUDENT, PERSON, FACULTY = -1, -2, -3, -4
+        tbox_rows = [
+            (prop_ids["ub:worksFor"], T_SP, prop_ids["ub:memberOf"]),
+            (prop_ids["ub:memberOf"], T_SP, AFFIL),
+            (cls_ids["ub:GraduateStudent"], T_SC, STUDENT),
+            (cls_ids["ub:UndergraduateStudent"], T_SC, STUDENT),
+            (STUDENT, T_SC, PERSON),
+            (cls_ids["ub:FullProfessor"], T_SC, FACULTY),
+            (prop_ids["ub:teacherOf"], T_DOM, FACULTY),
+            (prop_ids["ub:teacherOf"], T_RNG, cls_ids["ub:Course"]),
+        ]
+        base_enc = lstore.spo().select("s", "p", "o").union(
+            spark.createDataFrame(tbox_rows, "s long, p long, o long")
+        )
+        ent_counts: list[int] = []
+        ent_runs = _timed_reps(
+            lambda: ent_counts.append(
+                rdfs_closure(
+                    base_enc,
+                    type_pred=prop_ids["rdf:type"],
+                    subclass_pred=T_SC,
+                    subprop_pred=T_SP,
+                    domain_pred=T_DOM,
+                    range_pred=T_RNG,
+                ).count()
+            ),
+            min(reps, 3),
+        )
+        t_entail = round(sum(ent_runs) / len(ent_runs), 3)
+        n_entailed = ent_counts[-1]
+
         bgp_large = {
             "n_depts": large_depts,
             "n_docs": n_ldocs,
@@ -427,6 +483,11 @@ def main() -> None:
             "plan_audit": plan_audit,
             "pagerank_5iter_sec": t_pagerank,
             "pagerank_runs": [round(x, 3) for x in pr_runs],
+            "rdfs_entail_sec": t_entail,
+            "rdfs_entail_runs": [round(x, 3) for x in ent_runs],
+            "rdfs_entailed_triples": n_entailed,
+            "rdfs_derived_triples": n_entailed - n_ltriples - len(tbox_rows),
+            "rdfs_entail_triples_per_sec": round(n_ltriples / t_entail, 1),
         }
         shutil.rmtree(ldir, ignore_errors=True)
 

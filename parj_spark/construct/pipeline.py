@@ -212,6 +212,7 @@ def run_pipeline(
     analyze: bool = True,
     bucketed: bool = True,
     n_buckets: int = mat.DEFAULT_JOIN_BUCKETS,
+    entail: bool = False,
 ) -> GraphStore:
     mentions = _run_stage(
         spark, out_dir, "mentions", resume, lambda: extract.extract_mentions(docs)
@@ -279,7 +280,7 @@ def run_pipeline(
     return materialize_triples(
         spark, triples_uri, out_dir, resume=resume, salt_buckets=salt_buckets,
         hash_ids=hash_ids, analyze=analyze, bucketed=bucketed,
-        n_buckets=n_buckets,
+        n_buckets=n_buckets, entail=entail,
     )
 
 
@@ -293,11 +294,45 @@ def materialize_triples(
     analyze: bool = True,
     bucketed: bool = True,
     n_buckets: int = mat.DEFAULT_JOIN_BUCKETS,
+    entail: bool | dict = False,
 ) -> GraphStore:
     """The pipeline tail shared by every triple producer (docs extraction,
     RDF import, derived CONSTRUCT graphs): (s_uri, p_uri, o_uri) ->
     dictionary + predicate catalog -> encoded permutation layout -> stats.
-    Stages checkpoint/resume like the rest of the pipeline."""
+    Stages checkpoint/resume like the rest of the pipeline.
+
+    ``entail=True`` inserts an RDFS forward-chaining stage (reason.py —
+    rdfs2/3/5/7/9/11) before encoding, so the dictionary, permutation
+    layout, statistics and both query engines see the entailed graph as
+    plain data — query-time reasoning is never needed, matching how the
+    reference's pre-expanded LUBM corpus behaves
+    (QueryTester.java:107-119). ``True`` uses the fixture's prefixed
+    ``rdf:``/``rdfs:`` vocabulary; pass a dict of rdfs_closure keyword
+    overrides (e.g. ``reason.W3C_VOCAB`` for full-URI graphs from
+    import_rdf) to retarget it. Checkpointed like every other stage; a
+    no-TBox graph passes through untouched."""
+    if entail:
+        from parj_spark.construct.reason import rdfs_closure
+
+        entail_kw = entail if isinstance(entail, dict) else {}
+        triples_uri = _run_stage(
+            spark,
+            out_dir,
+            "entailed",
+            resume,
+            lambda: rdfs_closure(
+                triples_uri.select(
+                    F.col("s_uri").alias("s"),
+                    F.col("p_uri").alias("p"),
+                    F.col("o_uri").alias("o"),
+                ),
+                **entail_kw,
+            ).select(
+                F.col("s").alias("s_uri"),
+                F.col("p").alias("p_uri"),
+                F.col("o").alias("o_uri"),
+            ),
+        )
     # dictionary and predicate-catalog builds are independent readers of the
     # checkpointed triples_uri — submit them concurrently so their jobs
     # interleave (each stage is a chain of small jobs whose cost at sandbox

@@ -1255,6 +1255,79 @@ def sim_semantic_dedup(spark, sf_dir):
     )
 
 
+# ---- RDFS entailment + materialized transitive closure (reason.py) ----
+
+# TBox over the urn: fixture vocabulary: multi-hop class and property
+# hierarchies plus a range on a DERIVED predicate (rdfs7 must feed rdfs3)
+# and a domain whose class climbs further (rdfs2 must feed rdfs9).
+_RDFS_SCHEMA = [
+    ("urn:Customer", "urn:subClassOf", "urn:Agent"),
+    ("urn:Agent", "urn:subClassOf", "urn:Entity"),
+    ("urn:Nation", "urn:subClassOf", "urn:GeoEntity"),
+    ("urn:Region", "urn:subClassOf", "urn:GeoEntity"),
+    ("urn:GeoEntity", "urn:subClassOf", "urn:Entity"),
+    ("urn:memberOf", "urn:subPropertyOf", "urn:affiliatedWith"),
+    ("urn:affiliatedWith", "urn:subPropertyOf", "urn:connectedTo"),
+    ("urn:partOf", "urn:subPropertyOf", "urn:connectedTo"),
+    ("urn:affiliatedWith", "urn:range", "urn:Polity"),
+    ("urn:partOf", "urn:domain", "urn:Place"),
+    ("urn:Place", "urn:subClassOf", "urn:Entity"),
+]
+
+_RDFS_SCHEMA_SQL = "SELECT * FROM (VALUES " + ", ".join(
+    f"('{s}', '{p}', '{o}')" for s, p, o in _RDFS_SCHEMA
+) + ") AS sch(s, p, o)"
+
+
+def kg_rdfs_closure(spark, sf_dir):
+    """RDFS forward-chaining entailment (rdfs2/3/5/7/9/11) materialized at
+    construct time — WebPIE-style TBox-broadcast, one ABox pass (the
+    reference queries a pre-expanded corpus; we produce that expansion).
+    Result: per-predicate profile of the entailed graph."""
+    from parj_spark.construct.reason import rdfs_closure
+
+    t = _derived_triples(spark, sf_dir).union(
+        spark.createDataFrame(_RDFS_SCHEMA, ["s", "p", "o"])
+    )
+    ent = rdfs_closure(
+        t,
+        type_pred="urn:type",
+        subclass_pred="urn:subClassOf",
+        subprop_pred="urn:subPropertyOf",
+        domain_pred="urn:domain",
+        range_pred="urn:range",
+    )
+    return (
+        ent.groupBy("p")
+        .agg(F.count("*").alias("n"), F.countDistinct("s").alias("n_subj"))
+        .orderBy("p")
+    )
+
+
+def kg_transitive_closure(spark, sf_dir):
+    """Instance-level transitive closure of one predicate, materialized by
+    log-step path doubling (owl:TransitiveProperty analog — LUBM's
+    subOrganizationOf): a 25-node urn:next chain over the nation keys
+    closes to all 300 reachability pairs in O(log 24) self-join rounds."""
+    from parj_spark.construct.reason import transitive_materialize
+
+    n = _t(spark, sf_dir, "nation")
+    key = F.col("n_nationkey").cast("long")
+    edges = n.filter(key + 1 <= 24).select(
+        F.concat(F.lit("urn:nation:"), key.cast("string")).alias("s"),
+        F.lit("urn:next").alias("p"),
+        F.concat(F.lit("urn:nation:"), (key + 1).cast("string")).alias("o"),
+    )
+    t = _derived_triples(spark, sf_dir).union(edges)
+    closed = transitive_materialize(t, "urn:next")
+    return (
+        closed.filter(F.col("p") == "urn:next")
+        .groupBy("s")
+        .agg(F.count("*").alias("n_reach"))
+        .orderBy("s")
+    )
+
+
 # Key order is load-bearing: the round-3 driver run measured exactly the
 # first 50 keys and silently skipped the rest (CORRECTNESS_r03 covered 50 of
 # 55, the missing five being the last five keys), so every DISTINCT
@@ -1287,9 +1360,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_sessionize": q13_sessionize,
     "q14_json_extract": q14_json_extract,
     "q15_rollup": q15_rollup,
-    "q19_except": q19_except,
+    # RDFS entailment + materialized transitive closure (round-4
+    # continuation): distinct construct-time reasoning capabilities, each
+    # oracle-backed (recursive-CTE DuckDB twins); they took the first-50
+    # slots of q19_except (U3: q20_intersect is the measured sibling and
+    # both were green r1-r3) and kg_triples_derive (S7: the same derivation
+    # is embedded in EVERY kg_* oracle pair, so any divergence would
+    # break all of them — its standalone row is redundant evidence)
+    "kg_rdfs_closure": kg_rdfs_closure,
+    "kg_transitive_closure": kg_transitive_closure,
     "q22_string_funcs": q22_string_funcs,
-    "kg_triples_derive": kg_triples_derive,
     "kg_rdf_import": kg_rdf_import,
     "kg_bgp_chain": kg_bgp_chain,
     "kg_sparql_chain": kg_sparql_chain,
@@ -1338,6 +1418,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # inverted-index n-gram Jaccard: the shingle-pair dedup family keeps
     # dedup_minhash up front and the 3-gram variant is timed in the bench;
     # yielded its first-50 slot to decontamination
+    # displaced by the reasoning tier (see comment at kg_rdfs_closure):
+    # U3 EXCEPT — q20_intersect measures the set-op family in r1-r3 greens
+    "q19_except": q19_except,
+    # S7 derivation — embedded verbatim in every kg_* oracle pair above
+    "kg_triples_derive": kg_triples_derive,
     "dedup_jaccard_bigram": dedup_jaccard_bigram,
     # relational GROUP BY + HAVING: the A2 family keeps q01 up front and
     # HAVING is measured via kg_sparql_agg; yielded its first-50 slot to
@@ -1694,6 +1779,67 @@ ORACLES: dict[str, str] = {
         FROM triples GROUP BY p
     """,
     "kg_triples_derive": _TRIPLES_SQL,
+    # RDFS entailment oracle: the exact rule semantics as recursive CTEs —
+    # transitive sc/sp closures (rdfs11/5), rdfs7 expansion, domain/range
+    # over the expanded graph (rdfs2/3 fed by rdfs7), subclass over every
+    # type assertion (rdfs9 fed by rdfs2/3), distinct at the end.
+    "kg_rdfs_closure": f"""
+        WITH RECURSIVE base AS (
+            {_TRIPLES_SQL}
+            UNION ALL {_RDFS_SCHEMA_SQL}
+        ),
+        sc(c, sup) AS (
+            SELECT s, o FROM base WHERE p = 'urn:subClassOf'
+            UNION
+            SELECT sc.c, b.o FROM sc JOIN base b
+              ON b.s = sc.sup AND b.p = 'urn:subClassOf'
+        ),
+        sp(q, sup) AS (
+            SELECT s, o FROM base WHERE p = 'urn:subPropertyOf'
+            UNION
+            SELECT sp.q, b.o FROM sp JOIN base b
+              ON b.s = sp.sup AND b.p = 'urn:subPropertyOf'
+        ),
+        after_sp AS (
+            SELECT s, p, o FROM base
+            UNION ALL
+            SELECT t.s, sp.sup, t.o FROM base t JOIN sp ON t.p = sp.q
+        ),
+        new_types AS (
+            SELECT t.s AS s, d.o AS c FROM after_sp t
+              JOIN base d ON d.p = 'urn:domain' AND t.p = d.s
+            UNION ALL
+            SELECT t.o AS s, r.o AS c FROM after_sp t
+              JOIN base r ON r.p = 'urn:range' AND t.p = r.s
+        ),
+        types AS (
+            SELECT s, o AS c FROM after_sp WHERE p = 'urn:type'
+            UNION ALL SELECT s, c FROM new_types
+        ),
+        entailed AS (
+            SELECT DISTINCT s, p, o FROM (
+                SELECT s, p, o FROM after_sp
+                UNION ALL SELECT s, 'urn:type', c FROM new_types
+                UNION ALL SELECT t.s, 'urn:type', sc.sup
+                  FROM types t JOIN sc ON t.c = sc.c
+            )
+        )
+        SELECT p, count(*) AS n, count(DISTINCT s) AS n_subj
+        FROM entailed GROUP BY p ORDER BY p
+    """,
+    "kg_transitive_closure": """
+        WITH RECURSIVE edges AS (
+            SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR) AS s,
+                   'urn:nation:' || CAST(n_nationkey + 1 AS VARCHAR) AS o
+            FROM nation WHERE n_nationkey + 1 <= 24
+        ),
+        reach(s, o) AS (
+            SELECT s, o FROM edges
+            UNION
+            SELECT r.s, e.o FROM reach r JOIN edges e ON r.o = e.s
+        )
+        SELECT s, count(*) AS n_reach FROM reach GROUP BY s ORDER BY s
+    """,
     "kg_bgp_chain": f"""
         WITH triples AS ({_TRIPLES_SQL})
         SELECT m.s AS c, m.o AS n
