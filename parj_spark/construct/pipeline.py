@@ -212,7 +212,7 @@ def run_pipeline(
     analyze: bool = True,
     bucketed: bool = True,
     n_buckets: int = mat.DEFAULT_JOIN_BUCKETS,
-    entail: bool = False,
+    entail: bool | dict = False,
 ) -> GraphStore:
     mentions = _run_stage(
         spark, out_dir, "mentions", resume, lambda: extract.extract_mentions(docs)

@@ -43,6 +43,12 @@ def main() -> None:
         "--no-bucketed", dest="bucketed", action="store_false", default=True,
         help="skip the bucketed layout (p-partitioned parquet only)",
     )
+    ap.add_argument(
+        "--entail", choices=["off", "prefixed", "w3c"], default="off",
+        help="materialize the RDFS closure (rdfs2/3/5/7/9/11) before "
+        "encoding: 'prefixed' = rdf:/rdfs: vocabulary (the fixture "
+        "corpus), 'w3c' = full-URI vocabulary (imported RDF)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -66,11 +72,19 @@ def main() -> None:
 
     from parj_spark.construct import materialize as _mat
 
+    if args.entail == "w3c":
+        from parj_spark.construct import reason
+
+        entail = reason.W3C_VOCAB
+    else:
+        entail = args.entail == "prefixed"
+
     store = run_pipeline(
         spark, docs, args.output, resume=args.resume,
         salt_buckets=args.salt_buckets,
         bucketed=args.bucketed,
         n_buckets=args.join_buckets or _mat.DEFAULT_JOIN_BUCKETS,
+        entail=entail,
     )
     n = store.spo().count()
     print(f"graph materialized at {args.output}: {n} triples")

@@ -141,6 +141,44 @@ def test_schema_cycle_terminates_and_cross_entails(spark):
     assert out.count() == out.dropDuplicates(["s", "p", "o"]).count()
 
 
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _terms = st.integers(0, 5).map(lambda i: f"t{i}")
+    _props = st.integers(0, 3).map(lambda i: f"p{i}")
+    _classes = st.integers(0, 3).map(lambda i: f"C{i}")
+    _graphs = st.lists(
+        st.one_of(
+            st.tuples(_classes, st.just(SC), _classes),
+            st.tuples(_props, st.just(SP), _props),
+            st.tuples(_props, st.just(DOM), _classes),
+            st.tuples(_props, st.just(RNG), _classes),
+            st.tuples(_terms, st.just(TYPE), _classes),
+            st.tuples(_terms, _props, _terms),
+        ),
+        min_size=1,
+        max_size=14,
+    ).map(lambda rows: sorted(set(rows)))
+
+    @settings(max_examples=8, deadline=None)
+    @given(g=_graphs)
+    def test_closure_property_random_graphs(spark, g):
+        """Random TBox+ABox mixes — including schema cycles, dangling
+        hierarchy nodes and domain/range on derived predicates — reach the
+        same instance-level fixpoint as the naive rule loop."""
+        got = _spark_closure(spark, set(g))
+        want = fixpoint_oracle(set(g))
+        want_inst = {t for t in want if t[1] not in (SC, SP)} | {
+            t for t in g if t[1] in (SC, SP)
+        }
+        assert got == want_inst
+
+
 def test_transitive_pairs_closure():
     got = transitive_pairs([("a", "b"), ("b", "c"), ("c", "d")])
     assert ("a", "d") in got and ("a", "c") in got and ("b", "d") in got
