@@ -43,6 +43,7 @@ rewriting, mirroring how the reference's pre-expanded corpus behaves
 from __future__ import annotations
 
 from collections import defaultdict
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -92,6 +93,56 @@ def transitive_pairs(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
     return sorted(out)
 
 
+@dataclass(frozen=True)
+class TBox:
+    """Driver-side closed schema: the (tiny) broadcast side of every RDFS
+    instance rule. ``sub_c``/``sub_p`` are already transitively closed
+    (rdfs5/11); ``dom``/``rng`` are the raw domain/range pairs. Collected
+    once, applicable to any number of instance-triple partitions — the
+    split that makes per-epoch delta reasoning exact (see
+    :func:`apply_tbox`)."""
+
+    type_pred: str = RDF_TYPE
+    sub_c: tuple[tuple[str, str], ...] = field(default_factory=tuple)
+    sub_p: tuple[tuple[str, str], ...] = field(default_factory=tuple)
+    dom: tuple[tuple[str, str], ...] = field(default_factory=tuple)
+    rng: tuple[tuple[str, str], ...] = field(default_factory=tuple)
+
+    def __bool__(self) -> bool:
+        return bool(self.sub_c or self.sub_p or self.dom or self.rng)
+
+
+def collect_tbox(
+    triples: DataFrame,
+    *,
+    type_pred: str = RDF_TYPE,
+    subclass_pred: str = RDFS_SUBCLASS,
+    subprop_pred: str = RDFS_SUBPROP,
+    domain_pred: str = RDFS_DOMAIN,
+    range_pred: str = RDFS_RANGE,
+) -> TBox:
+    """One filtered scan of the schema predicates, closed driver-side
+    (rdfs5/rdfs11). The result is data-independent of the ABox, so it can
+    be reused across epochs as long as no new schema triples arrive."""
+    schema_preds = [subclass_pred, subprop_pred, domain_pred, range_pred]
+    rows = (
+        triples.filter(F.col("p").isin(schema_preds))
+        .select("s", "p", "o")
+        .collect()
+    )
+    return TBox(
+        type_pred=type_pred,
+        sub_c=tuple(
+            transitive_pairs([(r.s, r.o) for r in rows if r.p == subclass_pred])
+        ),
+        sub_p=tuple(
+            transitive_pairs([(r.s, r.o) for r in rows if r.p == subprop_pred])
+        ),
+        dom=tuple(sorted({(r.s, r.o) for r in rows if r.p == domain_pred})),
+        rng=tuple(sorted({(r.s, r.o) for r in rows if r.p == range_pred})),
+    )
+
+
 def rdfs_closure(
     triples: DataFrame,
     *,
@@ -113,20 +164,42 @@ def rdfs_closure(
     once per applicable rule (columnar, predicate-pruned on the permutation
     layout) and shuffled exactly once.
     """
-    spark = triples.sparkSession
-    schema_preds = [subclass_pred, subprop_pred, domain_pred, range_pred]
-    tbox = (
-        triples.filter(F.col("p").isin(schema_preds))
-        .select("s", "p", "o")
-        .collect()
+    tbox = collect_tbox(
+        triples,
+        type_pred=type_pred,
+        subclass_pred=subclass_pred,
+        subprop_pred=subprop_pred,
+        domain_pred=domain_pred,
+        range_pred=range_pred,
     )
     if not tbox:
         return triples
+    return apply_tbox(triples, tbox)
 
-    sub_c = transitive_pairs([(r.s, r.o) for r in tbox if r.p == subclass_pred])
-    sub_p = transitive_pairs([(r.s, r.o) for r in tbox if r.p == subprop_pred])
-    dom = sorted({(r.s, r.o) for r in tbox if r.p == domain_pred})
-    rng = sorted({(r.s, r.o) for r in tbox if r.p == range_pred})
+
+def apply_tbox(triples: DataFrame, tbox: TBox) -> DataFrame:
+    """Apply a pre-closed :class:`TBox` to an instance-triple partition:
+    ``triples`` ∪ every triple the RDFS instance rules (rdfs2/3/7/9) derive
+    from it, distinct.
+
+    Because every instance rule has exactly ONE ABox premise once the TBox
+    is closed, application distributes over union:
+
+        apply_tbox(A ∪ B, T) == apply_tbox(A, T) ∪ apply_tbox(B, T)
+
+    which is the exactness guarantee the streaming path relies on — a
+    delta epoch can be entailed alone, against the base graph's TBox,
+    and the union of per-epoch closures equals the closure of the union
+    (DRed / WebPIE's static-schema increment, Urbani et al., ISWC 2010).
+    """
+    if not tbox:
+        return triples
+    spark = triples.sparkSession
+    type_pred = tbox.type_pred
+    sub_c = list(tbox.sub_c)
+    sub_p = list(tbox.sub_p)
+    dom = list(tbox.dom)
+    rng = list(tbox.rng)
 
     base = triples.select("s", "p", "o")
 
@@ -209,6 +282,60 @@ def rdfs_closure(
             td.select("s", F.lit(type_pred).alias("p"), "o")
         )
     return out.dropDuplicates(["s", "p", "o"])
+
+
+def tbox_from_store(
+    store,
+    *,
+    type_pred: str = RDF_TYPE,
+    subclass_pred: str = RDFS_SUBCLASS,
+    subprop_pred: str = RDFS_SUBPROP,
+    domain_pred: str = RDFS_DOMAIN,
+    range_pred: str = RDFS_RANGE,
+) -> TBox:
+    """Decode the TBox out of a materialized (encoded) GraphStore.
+
+    The schema predicates are resolved to ids through the predicate catalog
+    (4 rows), the POS permutation is predicate-pruned to just those ids —
+    partition-pruned on the p-hive layout, so this never scans instance
+    data — and the s/o ids decode through the dictionary. Driver-side
+    collect is safe for the same reason :func:`collect_tbox` is: schemas
+    are thousands of rows on real ontologies, never data-sized."""
+    spark = store.spark
+    uri_to_pred = {
+        subclass_pred: "subclass",
+        subprop_pred: "subprop",
+        domain_pred: "domain",
+        range_pred: "range",
+    }
+    pid_rows = (
+        store.properties()
+        .filter(F.col("uri").isin(list(uri_to_pred)))
+        .collect()
+    )
+    if not pid_rows:
+        return TBox(type_pred=type_pred)
+    pid_kind = {r.id: uri_to_pred[r.uri] for r in pid_rows}
+    d = store.dict()
+    pruned = store.pos().filter(F.col("p").isin(list(pid_kind))).select(
+        "s", "p", "o"
+    )
+    rows = (
+        pruned.join(d.select(F.col("id").alias("s"), F.col("uri").alias("s_uri")), "s")
+        .join(d.select(F.col("id").alias("o"), F.col("uri").alias("o_uri")), "o")
+        .select("s_uri", "p", "o_uri")
+        .collect()
+    )
+    by_kind: dict[str, list[tuple[str, str]]] = defaultdict(list)
+    for r in rows:
+        by_kind[pid_kind[r.p]].append((r.s_uri, r.o_uri))
+    return TBox(
+        type_pred=type_pred,
+        sub_c=tuple(transitive_pairs(by_kind.get("subclass", []))),
+        sub_p=tuple(transitive_pairs(by_kind.get("subprop", []))),
+        dom=tuple(sorted(set(by_kind.get("domain", [])))),
+        rng=tuple(sorted(set(by_kind.get("range", [])))),
+    )
 
 
 def transitive_materialize(

@@ -73,7 +73,13 @@ def next_epoch(stream_dir: str) -> int:
     return mx + 1
 
 
-def _alive_triples(spark, base: DataFrame, stream_dir: str) -> DataFrame:
+def _alive_triples(
+    spark,
+    base: DataFrame,
+    stream_dir: str,
+    exclude_epoch: int | None = None,
+    pids: list[int] | None = None,
+) -> DataFrame:
     """Merge-on-read visibility rule: base rows (epoch -1) plus insert-epoch
     rows, minus every row killed by a LATER tombstone epoch (SPARQL update
     deletes, written by :func:`parj_spark.query.update.apply_update`).
@@ -84,13 +90,23 @@ def _alive_triples(spark, base: DataFrame, stream_dir: str) -> DataFrame:
     comparison is a residual predicate, and the tombstone side is the small
     one (AQE picks a broadcast build), so the base permutation scan is never
     shuffled. This is the deletion-vector half of the lakehouse
-    merge-on-read pattern; compaction folds it away."""
+    merge-on-read pattern; compaction folds it away.
+
+    ``exclude_epoch`` drops one insert epoch from the tail (the append-time
+    dedup probe must not see the current epoch's own prior delivery, or a
+    foreachBatch retry would anti-join the whole redelivered epoch away);
+    ``pids`` predicate-prunes the tail when the caller only cares about a
+    known predicate slice (the caller prunes ``base`` itself)."""
     rows = base.select("s", "p", "o").withColumn("__epoch", F.lit(-1).cast("long"))
     tri_path = os.path.join(stream_dir, "triples")
     if os.path.exists(tri_path):
         tail = spark.read.parquet(tri_path).select(
             "s", "p", "o", F.col("epoch").cast("long").alias("__epoch")
         )
+        if exclude_epoch is not None:
+            tail = tail.filter(F.col("__epoch") != exclude_epoch)
+        if pids is not None:
+            tail = tail.filter(F.col("p").isin(pids))
         rows = rows.unionByName(tail)
     tomb_path = os.path.join(stream_dir, "tombstones")
     if not os.path.exists(tomb_path):
@@ -136,6 +152,7 @@ def append_epoch(
     props_df: DataFrame,
     stream_dir: str,
     epoch_id: int,
+    base_spo: DataFrame | None = None,
 ) -> None:
     """Encode one epoch's (s_uri, p_uri, o_uri) triples against the base
     catalogs and append the encoded triples plus duplicate-free dict /
@@ -196,8 +213,63 @@ def append_epoch(
             F.coalesce("o_id", _neg_id(F.col("o_uri"))).alias("o"),
         )
     )
+    if base_spo is not None:
+        # set semantics at append time (an RDF graph is a set — duplicate
+        # rows double BGP solution counts; update.apply_update enforces the
+        # same invariant on its insert path): anti-join the epoch against
+        # the currently-ALIVE copy of its own predicate slice. The probe is
+        # predicate-pruned on both the p-partitioned base layout and the
+        # epoch tail, so at scale it touches only the slices the epoch
+        # writes; excluding the current epoch keeps foreachBatch retries
+        # idempotent (a redelivered epoch must not anti-join itself away),
+        # and anti-joining ALIVE (not merely present) rows keeps a
+        # tombstoned-then-reasserted triple alive.
+        pids = [r.p for r in enc.select("p").distinct().collect()]
+        alive = _alive_triples(
+            spark,
+            base_spo.filter(F.col("p").isin(pids)),
+            stream_dir,
+            exclude_epoch=epoch_id,
+            pids=pids,
+        )
+        enc = enc.join(alive, ["s", "p", "o"], "left_anti")
     enc.write.mode("overwrite").parquet(
         os.path.join(stream_dir, "triples", f"epoch={epoch_id}")
+    )
+
+
+def entail_delta(triples_uri: DataFrame, tbox, schema_preds: list[str]) -> DataFrame:
+    """Per-epoch RDFS closure of a delta against the base graph's TBox
+    (reason.apply_tbox over the (s_uri, p_uri, o_uri) pipeline shape).
+
+    Exact because every instance rule has one ABox premise once the TBox is
+    closed — apply distributes over union, so per-epoch closures compose to
+    the closure of the whole graph. That guarantee holds ONLY for a static
+    schema, so a delta carrying schema-predicate triples is rejected: a new
+    subclass axiom retroactively entails triples from the already-
+    materialized base, which no delta append can produce."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from parj_spark.construct import reason
+
+    if triples_uri.filter(F.col("p_uri").isin(schema_preds)).limit(1).count():
+        raise ValueError(
+            "streamed epoch carries schema-predicate triples: a new TBox "
+            "axiom retroactively entails base triples, which a delta append "
+            "cannot produce — re-materialize the full graph with entail=True "
+            "instead"
+        )
+    return reason.apply_tbox(
+        triples_uri.select(
+            F.col("s_uri").alias("s"),
+            F.col("p_uri").alias("p"),
+            F.col("o_uri").alias("o"),
+        ),
+        tbox,
+    ).select(
+        F.col("s").alias("s_uri"),
+        F.col("p").alias("p_uri"),
+        F.col("o").alias("o_uri"),
     )
 
 
@@ -206,6 +278,7 @@ def incremental_graph_append(
     store,
     stream_dir: str,
     checkpoint_dir: str,
+    entail: bool | dict = False,
 ):
     """End-to-end incremental KG ingest: per micro-batch the batch stages run
     over the new documents only —
@@ -234,16 +307,43 @@ def incremental_graph_append(
     xxhash64 values, which can collide with ``hash_ids=True`` base graphs
     (raw xxhash64 spans the full signed int64 range), so those are rejected.
     Use :func:`combined_triples` to query base + appended together.
+
+    ``entail=True`` (or a vocab dict, as in ``materialize_triples``)
+    extends RDFS entailment to the streamed epochs: the BASE graph's TBox
+    is decoded once at stream construction (reason.tbox_from_store) and
+    applied per epoch to the delta alone, BEFORE encoding. Because every
+    RDFS instance rule has one ABox premise once the TBox is closed,
+    ``apply_tbox`` distributes over union — so
+
+        combined closure == closure(base) ∪ apply_tbox(delta_i, TBox) ∀i
+
+    is EXACT, never approximate, as long as the TBox is static. Epochs that
+    carry schema-predicate triples are rejected with an error (a new
+    subclass axiom would retroactively entail triples from the already-
+    materialized base — that is a batch re-materialization with
+    ``entail=True``, not a delta append).
     """
     from pyspark.sql import functions as F  # noqa: F811
 
-    from parj_spark.construct import encode, linking
+    from parj_spark.construct import encode, linking, reason
 
     spark = store.spark
     canon_path = os.path.join(store.out_dir, "canon_map")
     base_canon = spark.read.parquet(canon_path)
     dict_df = store.dict()
     props_df = store.properties()
+
+    entail_tbox = None
+    schema_preds: list[str] = []
+    if entail:
+        vocab = entail if isinstance(entail, dict) else {}
+        entail_tbox = reason.tbox_from_store(store, **vocab)
+        schema_preds = [
+            vocab.get("subclass_pred", reason.RDFS_SUBCLASS),
+            vocab.get("subprop_pred", reason.RDFS_SUBPROP),
+            vocab.get("domain_pred", reason.RDFS_DOMAIN),
+            vocab.get("range_pred", reason.RDFS_RANGE),
+        ]
     min_id = dict_df.agg(F.min("id")).first()[0]
     if min_id is not None and min_id < 0:
         raise ValueError(
@@ -265,8 +365,14 @@ def incremental_graph_append(
                 F.coalesce("canon", "terminal").alias("canon"),
             )
         )
-        triples_uri = encode.assemble_triples(mentions, canon).persist()
-        append_epoch(triples_uri, dict_df, props_df, stream_dir, epoch_id)
+        triples_uri = encode.assemble_triples(mentions, canon)
+        if entail_tbox is not None:
+            triples_uri = entail_delta(triples_uri, entail_tbox, schema_preds)
+        triples_uri = triples_uri.persist()
+        append_epoch(
+            triples_uri, dict_df, props_df, stream_dir, epoch_id,
+            base_spo=store.spo(),
+        )
         triples_uri.unpersist()
 
     return (

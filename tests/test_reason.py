@@ -245,3 +245,46 @@ def test_transitive_materialize_cycle_terminates(spark):
     pairs = {(r.s, r.o) for r in got.collect()}
     # full 3x3 reachability including self-loops via the cycle
     assert pairs == {(x, y) for x in "abc" for y in "abc"}
+
+
+def test_apply_tbox_distributes_over_union(spark):
+    """The delta-exactness guarantee the streaming path relies on: with a
+    shared (pre-closed) TBox, per-partition application unions to exactly
+    the closure of the union — every RDFS instance rule has one ABox
+    premise, so no derivation ever needs triples from two partitions."""
+    from parj_spark.construct.reason import apply_tbox, collect_tbox
+
+    tbox_rows = {t for t in GRAPH if t[1] in (SC, SP, DOM, RNG)}
+    abox = sorted(t for t in GRAPH if t[1] not in (SC, SP, DOM, RNG))
+    base = set(tbox_rows) | set(abox[: len(abox) // 2])
+    delta = set(abox[len(abox) // 2:])  # schema-free delta
+
+    tbox = collect_tbox(spark.createDataFrame(sorted(base), ["s", "p", "o"]))
+    whole = _spark_closure(spark, base | delta)
+    base_closed = _spark_closure(spark, base)
+    delta_df = spark.createDataFrame(sorted(delta), ["s", "p", "o"])
+    delta_closed = {
+        (r.s, r.p, r.o) for r in apply_tbox(delta_df, tbox).collect()
+    }
+    assert base_closed | delta_closed == whole
+
+
+def test_tbox_from_store_roundtrip(spark, tmp_path):
+    """Decoding the TBox back out of a materialized (encoded) graph yields
+    the same closed schema collect_tbox sees on the URI triples."""
+    from parj_spark.construct.pipeline import materialize_triples
+    from parj_spark.construct.reason import collect_tbox, tbox_from_store
+
+    df = spark.createDataFrame(sorted(GRAPH), ["s", "p", "o"]).select(
+        F.col("s").alias("s_uri"),
+        F.col("p").alias("p_uri"),
+        F.col("o").alias("o_uri"),
+    )
+    store = materialize_triples(
+        spark, df, str(tmp_path / "g"), resume=False, analyze=False,
+        bucketed=False, entail=True,
+    )
+    want = collect_tbox(spark.createDataFrame(sorted(GRAPH), ["s", "p", "o"]))
+    got = tbox_from_store(store)
+    assert got == want
+    assert got  # non-empty: the fixture has all four schema predicates
