@@ -466,6 +466,26 @@ def main() -> None:
         t_entail = round(sum(ent_runs) / len(ent_runs), 3)
         n_entailed = ent_counts[-1]
 
+        # sameAs smushing throughput at graph scale: fold_sameas is
+        # value-generic, so it runs straight on the ENCODED graph with the
+        # ub:advisor slice standing in as the equivalence relation (a
+        # ~large-fraction-of-students edge set — a far denser merge than
+        # real alias clusters, i.e. a conservative upper bound on cost:
+        # union-find over the slice + two-sided rewrite + distinct)
+        from parj_spark.construct.canonicalize import fold_sameas
+
+        fold_counts: list[int] = []
+        fold_runs = _timed_reps(
+            lambda: fold_counts.append(
+                fold_sameas(
+                    lstore.spo().select("s", "p", "o"),
+                    pred=prop_ids["ub:advisor"],
+                ).count()
+            ),
+            min(reps, 3),
+        )
+        t_fold = round(sum(fold_runs) / len(fold_runs), 3)
+
         bgp_large = {
             "n_depts": large_depts,
             "n_docs": n_ldocs,
@@ -488,6 +508,10 @@ def main() -> None:
             "rdfs_entailed_triples": n_entailed,
             "rdfs_derived_triples": n_entailed - n_ltriples - len(tbox_rows),
             "rdfs_entail_triples_per_sec": round(n_ltriples / t_entail, 1),
+            "sameas_fold_sec": t_fold,
+            "sameas_fold_runs": [round(x, 3) for x in fold_runs],
+            "sameas_folded_triples": fold_counts[-1],
+            "sameas_fold_triples_per_sec": round(n_ltriples / t_fold, 1),
         }
         shutil.rmtree(ldir, ignore_errors=True)
 

@@ -193,3 +193,112 @@ def canonical_map(labels: DataFrame, priority) -> DataFrame:
         F.min_by("node", F.struct("rank", "node")).alias("canon")
     )
     return labels.join(reps, "component").select("node", "canon")
+
+
+def fold_sameas(
+    triples: DataFrame,
+    pred: str = "owl:sameAs",
+    priority=None,
+) -> DataFrame:
+    """owl:sameAs smushing at construct time: merge every sameAs-connected
+    entity cluster onto one representative and rewrite the graph.
+
+    The construct-side OWL analog of the coref canonicalization stage (the
+    reference has no reasoning at all — its corpus is pre-expanded offline;
+    sameAs folding is the standard lakehouse-scale treatment, e.g. LOD
+    "smushing"): ``sameAs`` is an equivalence relation, so its connected
+    components ARE the entity clusters. Reuses the distributed union-find
+    (:func:`connected_components` — undirected, so edge direction in the
+    data does not matter); the representative defaults to the
+    lexicographically smallest member (the component label itself — no
+    second pass), or pass ``priority`` (a Column over ``node`` or a
+    (node, rank) DataFrame) to pick by rank via :func:`canonical_map`.
+
+    Scale shape: the CC loop touches only the sameAs slice (predicate-
+    pruned scan), never the full graph; the rewrite is two left joins of
+    the graph against the cluster-members-only canon map (data-dependent
+    but always << graph; AQE broadcasts it when small) plus one distinct —
+    the single full-data shuffle, same as rdfs_closure. Literal objects
+    never appear in sameAs edges, so they pass through the left join
+    untouched. The sameAs triples themselves are dropped (post-merge they
+    are self-loops carrying no information).
+    """
+    return fold_entities(triples, pred=pred, priority=priority)
+
+
+def ifp_sameas_edges(
+    triples: DataFrame,
+    ifp_preds: list,
+    max_group: int = 1000,
+) -> DataFrame:
+    """owl:InverseFunctionalProperty entity-resolution edges:
+    (x p v), (y p v) with p inverse-functional  =>  x sameAs y.
+
+    The classic KG-construction identity rule (an email/ISBN/DOI value
+    identifies its subject). Emitted as STAR edges — every group member
+    links to the group's min subject — so a k-subject value yields k-1
+    edges, never the O(k^2) pair explosion; connected components downstream
+    restore the full equivalence class (the star is connected).
+
+    ``max_group`` drops (p, v) groups with more subjects than the cap:
+    at corpus scale a junk value (empty string, "n/a", a default) can be
+    shared by millions of subjects, and merging those would both be wrong
+    (the value is not identifying) and create a hot CC component. Dropped
+    groups are a precision guard, mirroring the df-caps on the dedup
+    operators.
+
+    Scale shape: one groupBy (p, v) over the IFP slice (predicate-pruned
+    scan) + one co-partitioned join back — AQE reuses the (p, o) hash
+    partitioning, so the slice shuffles once.
+    """
+    t = triples.filter(F.col("p").isin(list(ifp_preds))).select("s", "p", "o")
+    reps = (
+        t.groupBy("p", "o")
+        .agg(F.min("s").alias("src"), F.countDistinct("s").alias("__n"))
+        .filter((F.col("__n") > 1) & (F.col("__n") <= max_group))
+        .drop("__n")
+    )
+    return (
+        t.join(reps, ["p", "o"])
+        .filter(F.col("s") != F.col("src"))
+        .select("src", F.col("s").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def fold_entities(
+    triples: DataFrame,
+    pred: str = "owl:sameAs",
+    ifp_preds: list | None = None,
+    max_group: int = 1000,
+    priority=None,
+) -> DataFrame:
+    """Entity resolution over BOTH identity sources in one union-find pass:
+    explicit ``sameAs`` assertions plus edges derived from shared
+    inverse-functional-property values (:func:`ifp_sameas_edges`). A single
+    CC over the unioned edge set merges clusters the two sources only
+    jointly connect (x sameAs y, y shares an email with z => {x, y, z}).
+    Same rewrite machinery and guarantees as :func:`fold_sameas`."""
+    edges = triples.filter(F.col("p") == pred).select(
+        F.col("s").alias("src"), F.col("o").alias("dst")
+    )
+    if ifp_preds:
+        edges = edges.union(ifp_sameas_edges(triples, ifp_preds, max_group))
+    labels, _ = connected_components(edges)
+    if priority is None:
+        canon = labels.select("node", F.col("component").alias("canon"))
+    else:
+        canon = canonical_map(labels, priority)
+    rest = triples.filter(F.col("p") != pred).select("s", "p", "o")
+    cs = canon.select(F.col("node").alias("s"), F.col("canon").alias("__cs"))
+    co = canon.select(F.col("node").alias("o"), F.col("canon").alias("__co"))
+    return (
+        rest.join(cs, "s", "left")
+        .join(co, "o", "left")
+        .select(
+            F.coalesce("__cs", "s").alias("s"),
+            "p",
+            F.coalesce("__co", "o").alias("o"),
+        )
+        .dropDuplicates(["s", "p", "o"])
+    )

@@ -213,6 +213,7 @@ def run_pipeline(
     bucketed: bool = True,
     n_buckets: int = mat.DEFAULT_JOIN_BUCKETS,
     entail: bool | dict = False,
+    sameas: str | None = None,
 ) -> GraphStore:
     mentions = _run_stage(
         spark, out_dir, "mentions", resume, lambda: extract.extract_mentions(docs)
@@ -280,7 +281,7 @@ def run_pipeline(
     return materialize_triples(
         spark, triples_uri, out_dir, resume=resume, salt_buckets=salt_buckets,
         hash_ids=hash_ids, analyze=analyze, bucketed=bucketed,
-        n_buckets=n_buckets, entail=entail,
+        n_buckets=n_buckets, entail=entail, sameas=sameas,
     )
 
 
@@ -295,11 +296,23 @@ def materialize_triples(
     bucketed: bool = True,
     n_buckets: int = mat.DEFAULT_JOIN_BUCKETS,
     entail: bool | dict = False,
+    sameas: str | dict | None = None,
 ) -> GraphStore:
     """The pipeline tail shared by every triple producer (docs extraction,
     RDF import, derived CONSTRUCT graphs): (s_uri, p_uri, o_uri) ->
     dictionary + predicate catalog -> encoded permutation layout -> stats.
     Stages checkpoint/resume like the rest of the pipeline.
+
+    ``sameas="owl:sameAs"`` (or any predicate URI) inserts an entity-merge
+    stage first: sameAs-connected clusters fold onto one representative via
+    the distributed union-find and the graph is rewritten
+    (canonicalize.fold_sameas — LOD "smushing"). A dict passes
+    fold_entities keywords instead — e.g. ``{"pred": "owl:sameAs",
+    "ifp_preds": [...], "max_group": 1000}`` adds inverse-functional-
+    property resolution to the same union-find pass. Folding runs BEFORE
+    entailment, the standard order: merged entities pool their type/
+    property assertions, so the closure sees the union of each cluster's
+    facts.
 
     ``entail=True`` inserts an RDFS forward-chaining stage (reason.py —
     rdfs2/3/5/7/9/11) before encoding, so the dictionary, permutation
@@ -311,6 +324,29 @@ def materialize_triples(
     overrides (e.g. ``reason.W3C_VOCAB`` for full-URI graphs from
     import_rdf) to retarget it. Checkpointed like every other stage; a
     no-TBox graph passes through untouched."""
+    if sameas:
+        from parj_spark.construct.canonicalize import fold_entities
+
+        fold_kw = sameas if isinstance(sameas, dict) else {"pred": sameas}
+        src = triples_uri
+        triples_uri = _run_stage(
+            spark,
+            out_dir,
+            "sameas_folded",
+            resume,
+            lambda: fold_entities(
+                src.select(
+                    F.col("s_uri").alias("s"),
+                    F.col("p_uri").alias("p"),
+                    F.col("o_uri").alias("o"),
+                ),
+                **fold_kw,
+            ).select(
+                F.col("s").alias("s_uri"),
+                F.col("p").alias("p_uri"),
+                F.col("o").alias("o_uri"),
+            ),
+        )
     if entail:
         from parj_spark.construct.reason import rdfs_closure
 

@@ -1328,6 +1328,86 @@ def kg_transitive_closure(spark, sf_dir):
     )
 
 
+def kg_sameas_fold(spark, sf_dir):
+    """owl:sameAs smushing (canonicalize.fold_sameas): merge sameAs-connected
+    entity clusters onto their lexicographically-smallest member via the
+    distributed union-find and rewrite the graph — duplicate facts collapse
+    (distinct), alias-only facts transfer to the representative, sameAs
+    rows drop. Synth aliases: every 7th customer gains an urn:dup: alias
+    (edge direction flipped for every 14th, exercising undirected CC) with
+    one duplicate fact + one new fact; every 21st chains on an urn:dup2:
+    alias two hops out. Result: per-predicate profile of the folded graph."""
+    from parj_spark.construct.canonicalize import fold_sameas
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    al = c.filter(k % 7 == 0)
+    ch = c.filter(k % 21 == 0)
+    cust = F.concat(F.lit("urn:cust:"), k)
+    dup = F.concat(F.lit("urn:dup:"), k)
+    dup2 = F.concat(F.lit("urn:dup2:"), k)
+    same = F.lit("urn:sameAs")
+    extra = (
+        al.select(
+            F.when(k % 14 == 0, dup).otherwise(cust).alias("s"),
+            same.alias("p"),
+            F.when(k % 14 == 0, cust).otherwise(dup).alias("o"),
+        )
+        .union(al.select(
+            dup.alias("s"), F.lit("urn:memberOf").alias("p"),
+            F.concat(F.lit("urn:nation:"), F.col("c_nationkey")).alias("o"),
+        ))
+        .union(al.select(
+            dup.alias("s"), F.lit("urn:email").alias("p"),
+            F.concat(F.col("c_name"), F.lit("@example.com")).alias("o"),
+        ))
+        .union(ch.select(dup.alias("s"), same.alias("p"), dup2.alias("o")))
+        .union(ch.select(
+            dup2.alias("s"), F.lit("urn:segment").alias("p"),
+            F.col("c_mktsegment").alias("o"),
+        ))
+    )
+    t = _derived_triples(spark, sf_dir).union(extra)
+    folded = fold_sameas(t, pred="urn:sameAs")
+    return (
+        folded.groupBy("p")
+        .agg(F.count("*").alias("n"), F.countDistinct("s").alias("n_subj"))
+        .orderBy("p")
+    )
+
+
+def kg_ifp_fold(spark, sf_dir):
+    """Inverse-functional-property entity resolution
+    (canonicalize.fold_entities): subjects sharing an identifying urn:name
+    value merge via star edges + union-find; junk values shared too widely
+    are dropped by the max_group precision guard. Synth aliases: every 5th
+    customer gains an urn:dupifp: alias carrying the SAME urn:name (merged)
+    plus a flag fact; every 100th alias instead carries the junk name
+    'unknown' — its 15-subject group exceeds max_group=10, so those
+    aliases stay unmerged. Result: per-predicate profile."""
+    from parj_spark.construct.canonicalize import fold_entities
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    al = c.filter(k % 5 == 0)
+    alias = F.concat(F.lit("urn:dupifp:"), k)
+    name_val = F.when(k % 100 == 0, F.lit("unknown")).otherwise(F.col("c_name"))
+    extra = al.select(
+        alias.alias("s"), F.lit("urn:name").alias("p"), name_val.alias("o")
+    ).union(al.select(
+        alias.alias("s"), F.lit("urn:flag").alias("p"), F.lit("alias").alias("o")
+    ))
+    t = _derived_triples(spark, sf_dir).union(extra)
+    folded = fold_entities(
+        t, pred="urn:sameAs", ifp_preds=["urn:name"], max_group=10
+    )
+    return (
+        folded.groupBy("p")
+        .agg(F.count("*").alias("n"), F.countDistinct("s").alias("n_subj"))
+        .orderBy("p")
+    )
+
+
 # Key order is load-bearing: the round-3 driver run measured exactly the
 # first 50 keys and silently skipped the rest (CORRECTNESS_r03 covered 50 of
 # 55, the missing five being the last five keys), so every DISTINCT
@@ -1414,6 +1494,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_degree": kg_degree,
     # benchmark decontamination (cross-dataset window overlap)
     "text_decontaminate": text_decontaminate,
+    # owl:sameAs smushing (fold_sameas — union-find entity merge + graph
+    # rewrite): a new oracle-backed capability landed after the first-50
+    # window froze for r4; local-gate + pytest evidence until a slot opens
+    "kg_sameas_fold": kg_sameas_fold,
+    # IFP entity resolution (fold_entities — star edges from shared
+    # inverse-functional values + max_group junk guard, one CC with the
+    # explicit sameAs edges): same late-landing note as kg_sameas_fold
+    "kg_ifp_fold": kg_ifp_fold,
     # -- same-capability variants (see ordering note above) --
     # inverted-index n-gram Jaccard: the shingle-pair dedup family keeps
     # dedup_minhash up front and the 3-gram variant is timed in the bench;
@@ -1839,6 +1927,102 @@ ORACLES: dict[str, str] = {
             SELECT r.s, e.o FROM reach r JOIN edges e ON r.o = e.s
         )
         SELECT s, count(*) AS n_reach FROM reach GROUP BY s ORDER BY s
+    """,
+    # sameAs smushing oracle: symmetric-closure reachability (recursive
+    # CTE), representative = least(self, min reachable) — the exact
+    # min-member-label semantics of connected_components — then rewrite
+    # both columns through the canon map and profile the DISTINCT graph
+    "kg_sameas_fold": f"""
+        WITH RECURSIVE base AS (
+            {_TRIPLES_SQL}
+            UNION ALL
+            SELECT CASE WHEN c_custkey % 14 = 0
+                        THEN 'urn:dup:' || c_custkey
+                        ELSE 'urn:cust:' || c_custkey END,
+                   'urn:sameAs',
+                   CASE WHEN c_custkey % 14 = 0
+                        THEN 'urn:cust:' || c_custkey
+                        ELSE 'urn:dup:' || c_custkey END
+            FROM customer WHERE c_custkey % 7 = 0
+            UNION ALL SELECT 'urn:dup:' || c_custkey, 'urn:memberOf',
+                   'urn:nation:' || c_nationkey
+            FROM customer WHERE c_custkey % 7 = 0
+            UNION ALL SELECT 'urn:dup:' || c_custkey, 'urn:email',
+                   c_name || '@example.com'
+            FROM customer WHERE c_custkey % 7 = 0
+            UNION ALL SELECT 'urn:dup:' || c_custkey, 'urn:sameAs',
+                   'urn:dup2:' || c_custkey
+            FROM customer WHERE c_custkey % 21 = 0
+            UNION ALL SELECT 'urn:dup2:' || c_custkey, 'urn:segment',
+                   c_mktsegment
+            FROM customer WHERE c_custkey % 21 = 0
+        ),
+        sa AS (
+            SELECT s AS a, o AS b FROM base WHERE p = 'urn:sameAs'
+            UNION SELECT o, s FROM base WHERE p = 'urn:sameAs'
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM sa
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sa s ON r.b = s.a
+              WHERE s.b <> r.a
+        ),
+        canon AS (
+            SELECT a AS node, least(a, min(b)) AS canon FROM reach GROUP BY a
+        ),
+        folded AS (
+            SELECT DISTINCT coalesce(cs.canon, t.s) AS s, t.p,
+                   coalesce(co.canon, t.o) AS o
+            FROM base t
+            LEFT JOIN canon cs ON t.s = cs.node
+            LEFT JOIN canon co ON t.o = co.node
+            WHERE t.p <> 'urn:sameAs'
+        )
+        SELECT p, count(*) AS n, count(DISTINCT s) AS n_subj
+        FROM folded GROUP BY p ORDER BY p
+    """,
+    # IFP oracle: star edges = per-(p, value) min subject to every other
+    # subject, gated on 1 < group <= 10 distinct subjects; then the same
+    # symmetric-reachability canon + rewrite as kg_sameas_fold
+    "kg_ifp_fold": f"""
+        WITH RECURSIVE base AS (
+            {_TRIPLES_SQL}
+            UNION ALL SELECT 'urn:dupifp:' || c_custkey, 'urn:name',
+                   CASE WHEN c_custkey % 100 = 0 THEN 'unknown' ELSE c_name END
+            FROM customer WHERE c_custkey % 5 = 0
+            UNION ALL SELECT 'urn:dupifp:' || c_custkey, 'urn:flag', 'alias'
+            FROM customer WHERE c_custkey % 5 = 0
+        ),
+        ifp AS (SELECT DISTINCT s, p, o FROM base WHERE p = 'urn:name'),
+        grp AS (
+            SELECT p, o, min(s) AS src, count(DISTINCT s) AS n
+            FROM ifp GROUP BY p, o
+        ),
+        star AS (
+            SELECT g.src AS a, i.s AS b
+            FROM ifp i JOIN grp g ON i.p = g.p AND i.o = g.o
+            WHERE g.n > 1 AND g.n <= 10 AND i.s <> g.src
+        ),
+        sa AS (SELECT a, b FROM star UNION SELECT b, a FROM star),
+        reach(a, b) AS (
+            SELECT a, b FROM sa
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sa s ON r.b = s.a
+              WHERE s.b <> r.a
+        ),
+        canon AS (
+            SELECT a AS node, least(a, min(b)) AS canon FROM reach GROUP BY a
+        ),
+        folded AS (
+            SELECT DISTINCT coalesce(cs.canon, t.s) AS s, t.p,
+                   coalesce(co.canon, t.o) AS o
+            FROM base t
+            LEFT JOIN canon cs ON t.s = cs.node
+            LEFT JOIN canon co ON t.o = co.node
+            WHERE t.p <> 'urn:sameAs'
+        )
+        SELECT p, count(*) AS n, count(DISTINCT s) AS n_subj
+        FROM folded GROUP BY p ORDER BY p
     """,
     "kg_bgp_chain": f"""
         WITH triples AS ({_TRIPLES_SQL})

@@ -44,6 +44,12 @@ def main() -> None:
         help="skip the bucketed layout (p-partitioned parquet only)",
     )
     ap.add_argument(
+        "--sameas", default=None, metavar="PRED",
+        help="fold owl:sameAs-style entity clusters onto one representative "
+        "before entailment/encoding (pass the sameAs predicate URI, e.g. "
+        "owl:sameAs)",
+    )
+    ap.add_argument(
         "--entail", choices=["off", "prefixed", "w3c"], default="off",
         help="materialize the RDFS closure (rdfs2/3/5/7/9/11) before "
         "encoding: 'prefixed' = rdf:/rdfs: vocabulary (the fixture "
@@ -85,6 +91,7 @@ def main() -> None:
         bucketed=args.bucketed,
         n_buckets=args.join_buckets or _mat.DEFAULT_JOIN_BUCKETS,
         entail=entail,
+        sameas=args.sameas,
     )
     n = store.spo().count()
     print(f"graph materialized at {args.output}: {n} triples")

@@ -222,3 +222,134 @@ def test_partition_counters_from_footers(spark, tiny_graph):
     # hive partition values parsed from the paths (skew audit grain)
     assert all("p" in c["partition"] for c in counters)
     assert all(c["bytes"] > 0 for c in counters)
+
+
+def test_fold_sameas_semantics(spark):
+    """sameAs smushing: undirected multi-hop merge onto the min member,
+    duplicate facts collapse, alias facts transfer, literals untouched,
+    sameAs rows dropped, non-cluster rows pass through."""
+    from parj_spark.construct.canonicalize import fold_sameas
+
+    t = spark.createDataFrame(
+        [
+            # 3-node cluster with mixed edge directions: min member = ub:a
+            ("ub:b", "owl:sameAs", "ub:a"),
+            ("ub:b", "owl:sameAs", "ub:c"),
+            ("ub:a", "ub:knows", "ub:z"),
+            ("ub:b", "ub:knows", "ub:z"),      # duplicate after folding
+            ("ub:c", "ub:mail", "c@x.org"),    # literal object, transfers
+            ("ub:z", "ub:likes", "ub:c"),      # object-side rewrite
+            # untouched row
+            ("ub:q", "ub:knows", "ub:r"),
+        ],
+        ["s", "p", "o"],
+    )
+    got = {(r.s, r.p, r.o) for r in fold_sameas(t).collect()}
+    assert got == {
+        ("ub:a", "ub:knows", "ub:z"),
+        ("ub:a", "ub:mail", "c@x.org"),
+        ("ub:z", "ub:likes", "ub:a"),
+        ("ub:q", "ub:knows", "ub:r"),
+    }
+
+
+def test_fold_sameas_priority_representative(spark):
+    """Priority column overrides the min-member default (e.g. prefer
+    canonical-prefix URIs regardless of lexicographic order)."""
+    from pyspark.sql import functions as F
+
+    from parj_spark.construct.canonicalize import fold_sameas
+
+    t = spark.createDataFrame(
+        [
+            ("ub:alias_a", "owl:sameAs", "ub:zcanon_a"),
+            ("ub:alias_a", "ub:knows", "ub:alias_b"),
+            ("ub:alias_b", "owl:sameAs", "ub:zcanon_b"),
+        ],
+        ["s", "p", "o"],
+    )
+    rank = F.when(F.col("node").startswith("ub:zcanon"), 0).otherwise(1)
+    got = {(r.s, r.p, r.o) for r in fold_sameas(t, priority=rank).collect()}
+    assert got == {("ub:zcanon_a", "ub:knows", "ub:zcanon_b")}
+
+
+def test_materialize_sameas_stage(spark, tmp_path):
+    """materialize_triples(sameas=...) folds clusters before encoding (and
+    before entailment — merged entities pool their assertions, so the
+    closure types the representative from an alias's type triple)."""
+    from parj_spark.construct.pipeline import materialize_triples
+
+    rows = [
+        ("ub:a", "owl:sameAs", "ub:b"),
+        ("ub:b", "rdf:type", "ub:Grad"),           # alias-held type
+        ("ub:Grad", "rdfs:subClassOf", "ub:Student"),
+        ("ub:a", "ub:knows", "ub:z"),
+    ]
+    df = spark.createDataFrame(rows, ["s_uri", "p_uri", "o_uri"])
+    store = materialize_triples(
+        spark, df, str(tmp_path / "g"), resume=False, analyze=False,
+        bucketed=False, sameas="owl:sameAs", entail=True,
+    )
+    d = store.dict()
+    p = store.properties()
+    dec = (
+        store.spo()
+        .join(d.select(F.col("id").alias("s"), F.col("uri").alias("su")), "s")
+        .join(d.select(F.col("id").alias("o"), F.col("uri").alias("ou")), "o")
+        .join(p.select(F.col("id").alias("p"), F.col("uri").alias("pu")), "p")
+    )
+    got = {(r.su, r.pu, r.ou) for r in dec.select("su", "pu", "ou").collect()}
+    assert got == {
+        ("ub:a", "rdf:type", "ub:Grad"),        # folded onto min member
+        ("ub:a", "rdf:type", "ub:Student"),     # entailed AFTER the fold
+        ("ub:Grad", "rdfs:subClassOf", "ub:Student"),
+        ("ub:a", "ub:knows", "ub:z"),
+    }
+    # sameAs rows are gone; ub:b is not a subject anywhere
+    assert not any(s == "ub:b" or pu == "owl:sameAs" for s, pu, _ in got)
+
+
+def test_ifp_fold_entities(spark):
+    """IFP rule: subjects sharing an inverse-functional value merge (star
+    edges, min representative); junk values over max_group are dropped;
+    IFP-derived and explicit sameAs edges close over ONE union-find."""
+    from parj_spark.construct.canonicalize import fold_entities, ifp_sameas_edges
+
+    t = spark.createDataFrame(
+        [
+            # x and y share an identifying email -> merge (min = ub:x)
+            ("ub:x", "ub:email", "a@x.org"),
+            ("ub:y", "ub:email", "a@x.org"),
+            # y is ALSO explicitly sameAs z -> {x, y, z} one cluster
+            ("ub:y", "owl:sameAs", "ub:z"),
+            ("ub:z", "ub:age", "30"),
+            # junk value shared by 3 subjects > max_group=2 -> no merge
+            ("ub:j1", "ub:email", "n/a"),
+            ("ub:j2", "ub:email", "n/a"),
+            ("ub:j3", "ub:email", "n/a"),
+            # non-IFP predicate sharing a value -> never merges
+            ("ub:p1", "ub:city", "Springfield"),
+            ("ub:p2", "ub:city", "Springfield"),
+        ],
+        ["s", "p", "o"],
+    )
+    edges = {
+        (r.src, r.dst)
+        for r in ifp_sameas_edges(t, ["ub:email"], max_group=2).collect()
+    }
+    assert edges == {("ub:x", "ub:y")}
+    got = {
+        (r.s, r.p, r.o)
+        for r in fold_entities(
+            t, ifp_preds=["ub:email"], max_group=2
+        ).collect()
+    }
+    assert got == {
+        ("ub:x", "ub:email", "a@x.org"),   # duplicates collapsed
+        ("ub:x", "ub:age", "30"),          # via the sameAs hop
+        ("ub:j1", "ub:email", "n/a"),
+        ("ub:j2", "ub:email", "n/a"),
+        ("ub:j3", "ub:email", "n/a"),
+        ("ub:p1", "ub:city", "Springfield"),
+        ("ub:p2", "ub:city", "Springfield"),
+    }
