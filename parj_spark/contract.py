@@ -1408,6 +1408,75 @@ def kg_ifp_fold(spark, sf_dir):
     )
 
 
+def kg_validate(spark, sf_dir):
+    """SHACL-lite constraint validation (construct/validate.py): the
+    data-quality report a raw-lakehouse ingest needs before the graph is
+    trusted — the reference has no validation surface (pre-cleaned corpus,
+    parj.c:1972-2189). Four checks over one dirty graph, all pure Catalyst
+    (scan + aggregate/anti-join, zero UDFs):
+      functional  — every 9th customer asserts a SECOND urn:memberOf value
+      ifp         — every 30th customer shares the nickname 'SHARED'
+      dangling    — every 11th customer knows a ghost urn:cust: URI (and a
+                    REAL older customer, which must NOT be flagged)
+      domain      — every 17th customer gains an untyped urn:dupv: alias
+                    using urn:memberOf (declared domain urn:Customer)
+    Result: one row per violation, normalized to (chk, a, b, n)."""
+    from parj_spark.construct.validate import (
+        dangling_refs,
+        domain_violations,
+        functional_violations,
+        inverse_functional_violations,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cust = F.concat(F.lit("urn:cust:"), k)
+    extra = (
+        c.filter(k % 9 == 0).select(
+            cust.alias("s"), F.lit("urn:memberOf").alias("p"),
+            F.lit("urn:nation:alt").alias("o"),
+        )
+        .union(c.filter(k % 30 == 0).select(
+            cust.alias("s"), F.lit("urn:nickname").alias("p"),
+            F.lit("SHARED").alias("o"),
+        ))
+        .union(c.filter(k % 11 == 0).select(
+            cust.alias("s"), F.lit("urn:knows").alias("p"),
+            F.concat(F.lit("urn:cust:ghost"), k).alias("o"),
+        ))
+        .union(c.filter((k % 11 == 0) & (k > 10)).select(
+            cust.alias("s"), F.lit("urn:knows").alias("p"),
+            F.concat(F.lit("urn:cust:"), k - 10).alias("o"),
+        ))
+        .union(c.filter(k % 17 == 0).select(
+            F.concat(F.lit("urn:dupv:"), k).alias("s"),
+            F.lit("urn:memberOf").alias("p"),
+            F.concat(F.lit("urn:nation:"), F.col("c_nationkey")).alias("o"),
+        ))
+    )
+    t = _derived_triples(spark, sf_dir).union(extra)
+    n_long = lambda col: F.col(col).cast("long").alias("n")  # noqa: E731
+    fv = functional_violations(t, ["urn:memberOf"]).select(
+        F.lit("functional").alias("chk"), F.col("s").alias("a"),
+        F.col("p").alias("b"), n_long("n_values"),
+    )
+    iv = inverse_functional_violations(t, ["urn:nickname"]).select(
+        F.lit("ifp").alias("chk"), F.col("p").alias("a"),
+        F.col("o").alias("b"), n_long("n_subjects"),
+    )
+    dr = dangling_refs(t, "urn:cust:").select(
+        F.lit("dangling").alias("chk"), F.col("o").alias("a"),
+        F.lit("-").alias("b"), n_long("n_refs"),
+    )
+    dv = domain_violations(
+        t, [("urn:memberOf", "urn:Customer")], type_pred="urn:type"
+    ).select(
+        F.lit("domain").alias("chk"), F.col("s").alias("a"),
+        F.col("p").alias("b"), F.lit(1).cast("long").alias("n"),
+    )
+    return fv.union(iv).union(dr).union(dv).orderBy("chk", "a", "b")
+
+
 # Key order is load-bearing: the round-3 driver run measured exactly the
 # first 50 keys and silently skipped the rest (CORRECTNESS_r03 covered 50 of
 # 55, the missing five being the last five keys), so every DISTINCT
@@ -1435,10 +1504,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q02_filter_scan": q02_filter_scan,
     "q03_top_revenue_orders": q03_top_revenue_orders,
     "q05_semijoin": q05_semijoin,
-    "q07_left_join_agg": q07_left_join_agg,
     "q10_window_topk": q10_window_topk,
     "q13_sessionize": q13_sessionize,
-    "q14_json_extract": q14_json_extract,
     "q15_rollup": q15_rollup,
     # RDFS entailment + materialized transitive closure (round-4
     # continuation): distinct construct-time reasoning capabilities, each
@@ -1449,6 +1516,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # break all of them — its standalone row is redundant evidence)
     "kg_rdfs_closure": kg_rdfs_closure,
     "kg_transitive_closure": kg_transitive_closure,
+    # round-4 continuation: entity canonicalization by owl:sameAs smushing
+    # (the north-star's union-find merge of coreferent entities, applied as
+    # a graph rewrite) and SHACL-lite constraint validation (the
+    # data-quality lane), each oracle-backed; they took the first-50 slots
+    # of q07_left_join_agg (J5: kg_sparql_optional_group measures the
+    # strictly-stronger grouped OPTIONAL semantics, q07 green r1-r3) and
+    # q14_json_extract (function family: q22_string_funcs stays measured,
+    # q14 green r1-r3)
+    "kg_sameas_fold": kg_sameas_fold,
+    "kg_validate": kg_validate,
     "q22_string_funcs": q22_string_funcs,
     "kg_rdf_import": kg_rdf_import,
     "kg_bgp_chain": kg_bgp_chain,
@@ -1475,7 +1552,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_cosine_topk": sim_cosine_topk,
     "text_stats": text_stats_q,
     "text_langid": text_langid,
-    "text_fingerprint": text_fingerprint,
     "text_winnow": text_winnow,
     "text_winnow_pairs": text_winnow_pairs,
     "mm_binary_meta": mm_binary_meta,
@@ -1489,19 +1565,33 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": sample_stratified,
     "text_pii_redact": text_pii_redact,
     "text_tfidf": text_tfidf,
+    # CCNet-style LM perplexity scoring (corpus-trained bigram LM): a
+    # distinct quality-scoring capability, oracle-backed; took the
+    # first-50 slot of text_fingerprint (normalize+md5 — the md5-key
+    # capability stays measured via dedup_exact; fingerprint green r1-r3)
+    "text_lm_score": text_lm_score,
     # link-graph degree profile: the full-outer-join shape, not otherwise
     # measured (q07 covers left outer only)
     "kg_degree": kg_degree,
     # benchmark decontamination (cross-dataset window overlap)
     "text_decontaminate": text_decontaminate,
-    # owl:sameAs smushing (fold_sameas — union-find entity merge + graph
-    # rewrite): a new oracle-backed capability landed after the first-50
-    # window froze for r4; local-gate + pytest evidence until a slot opens
-    "kg_sameas_fold": kg_sameas_fold,
     # IFP entity resolution (fold_entities — star edges from shared
     # inverse-functional values + max_group junk guard, one CC with the
-    # explicit sameAs edges): same late-landing note as kg_sameas_fold
+    # explicit sameAs edges): the fold/rewrite capability is measured up
+    # front via kg_sameas_fold; the IFP edge-derivation delta is
+    # oracle-gated locally + pinned in tests/test_cc_property.py
     "kg_ifp_fold": kg_ifp_fold,
+    # LEFT OUTER + agg (J5): kg_sparql_optional_group measures the
+    # strictly-stronger grouped OPTIONAL; q07 green r1-r3 — yielded its
+    # first-50 slot to the sameAs-smushing canonicalization stage
+    "q07_left_join_agg": q07_left_join_agg,
+    # JSON extraction functions: the builtin-function family keeps
+    # q22_string_funcs measured; q14 green r1-r3 — yielded its slot to
+    # SHACL-lite validation
+    "q14_json_extract": q14_json_extract,
+    # normalize+md5 fingerprint: md5-key capability measured via
+    # dedup_exact; green r1-r3 — yielded its slot to LM perplexity scoring
+    "text_fingerprint": text_fingerprint,
     # -- same-capability variants (see ordering note above) --
     # inverted-index n-gram Jaccard: the shingle-pair dedup family keeps
     # dedup_minhash up front and the 3-gram variant is timed in the bench;
@@ -1522,11 +1612,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # removal half of the dedup_substring capability (measured up front):
     # cut every cross-doc duplicated window and rebuild the text
     "dedup_substring_clean": dedup_substring_clean,
-    # CCNet-style LM perplexity scoring: quality-scoring family (text_stats
-    # and text_repetition measured up front); oracle-gated locally
-    "text_lm_score": text_lm_score,
     # composed curation filter stack (length + repetition + perplexity):
-    # composition of measured signals; oracle-gated locally
+    # composition of measured signals (text_stats/text_repetition/
+    # text_lm_score all up front); oracle-gated locally
     "text_curation_filter": text_curation_filter,
     # join+groupBy counts: the A2/J1 family keeps q01/q07/q12 up front;
     # yielded its first-50 slot to the corpus-curation tier
@@ -2023,6 +2111,57 @@ ORACLES: dict[str, str] = {
         )
         SELECT p, count(*) AS n, count(DISTINCT s) AS n_subj
         FROM folded GROUP BY p ORDER BY p
+    """,
+    # validation oracle: the four checks as plain SQL over the same planted
+    # base — HAVING for functional/IFP, NOT IN for dangling, NOT EXISTS for
+    # the closed-world domain check
+    "kg_validate": f"""
+        WITH base AS (
+            {_TRIPLES_SQL}
+            UNION ALL SELECT 'urn:cust:' || c_custkey, 'urn:memberOf',
+                   'urn:nation:alt' FROM customer WHERE c_custkey % 9 = 0
+            UNION ALL SELECT 'urn:cust:' || c_custkey, 'urn:nickname',
+                   'SHARED' FROM customer WHERE c_custkey % 30 = 0
+            UNION ALL SELECT 'urn:cust:' || c_custkey, 'urn:knows',
+                   'urn:cust:ghost' || c_custkey
+            FROM customer WHERE c_custkey % 11 = 0
+            UNION ALL SELECT 'urn:cust:' || c_custkey, 'urn:knows',
+                   'urn:cust:' || (c_custkey - 10)
+            FROM customer WHERE c_custkey % 11 = 0 AND c_custkey > 10
+            UNION ALL SELECT 'urn:dupv:' || c_custkey, 'urn:memberOf',
+                   'urn:nation:' || c_nationkey
+            FROM customer WHERE c_custkey % 17 = 0
+        ),
+        fv AS (
+            SELECT 'functional' AS chk, s AS a, p AS b,
+                   CAST(count(DISTINCT o) AS BIGINT) AS n
+            FROM base WHERE p = 'urn:memberOf'
+            GROUP BY s, p HAVING count(DISTINCT o) > 1
+        ),
+        iv AS (
+            SELECT 'ifp', p, o, CAST(count(DISTINCT s) AS BIGINT)
+            FROM base WHERE p = 'urn:nickname'
+            GROUP BY p, o HAVING count(DISTINCT s) > 1
+        ),
+        dr AS (
+            SELECT 'dangling', o, '-', CAST(count(*) AS BIGINT)
+            FROM base
+            WHERE o LIKE 'urn:cust:%'
+              AND o NOT IN (SELECT DISTINCT s FROM base)
+            GROUP BY o
+        ),
+        dv AS (
+            SELECT DISTINCT 'domain', t.s, t.p, CAST(1 AS BIGINT)
+            FROM base t
+            WHERE t.p = 'urn:memberOf' AND NOT EXISTS (
+                SELECT 1 FROM base ty
+                WHERE ty.p = 'urn:type' AND ty.s = t.s
+                  AND ty.o = 'urn:Customer'
+            )
+        )
+        SELECT * FROM fv UNION ALL SELECT * FROM iv
+        UNION ALL SELECT * FROM dr UNION ALL SELECT * FROM dv
+        ORDER BY chk, a, b
     """,
     "kg_bgp_chain": f"""
         WITH triples AS ({_TRIPLES_SQL})

@@ -704,6 +704,21 @@ def test_incremental_append_entailment_exact(spark, tmp_path):
         (F.col("pu") == "rdf:type") & (F.col("ou") == "ub:Student")
     ).count() > 0
 
+    # compaction folds the ENTAILED deltas into the permutation layout
+    # without re-reasoning — entailed triples are plain data, so the
+    # closure property survives the layout rewrite byte-for-byte
+    store2 = streaming.compact_stream(store, stream_dir)
+    d2 = store2.dict()
+    p2 = store2.properties()
+    dec2 = (
+        store2.spo()
+        .join(d2.select(F.col("id").alias("s"), F.col("uri").alias("su")), "s")
+        .join(d2.select(F.col("id").alias("o"), F.col("uri").alias("ou")), "o")
+        .join(p2.select(F.col("id").alias("p"), F.col("uri").alias("pu")), "p")
+        .select("su", "pu", "ou")
+    )
+    assert {(r.su, r.pu, r.ou) for r in dec2.collect()} == want
+
 
 def test_entail_delta_rejects_schema_in_epoch(spark):
     """A streamed epoch carrying TBox triples cannot be delta-entailed —
