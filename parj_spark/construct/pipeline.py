@@ -214,6 +214,7 @@ def run_pipeline(
     n_buckets: int = mat.DEFAULT_JOIN_BUCKETS,
     entail: bool | dict = False,
     sameas: str | None = None,
+    validate: dict | None = None,
 ) -> GraphStore:
     mentions = _run_stage(
         spark, out_dir, "mentions", resume, lambda: extract.extract_mentions(docs)
@@ -282,6 +283,7 @@ def run_pipeline(
         spark, triples_uri, out_dir, resume=resume, salt_buckets=salt_buckets,
         hash_ids=hash_ids, analyze=analyze, bucketed=bucketed,
         n_buckets=n_buckets, entail=entail, sameas=sameas,
+        validate=validate,
     )
 
 
@@ -297,11 +299,21 @@ def materialize_triples(
     n_buckets: int = mat.DEFAULT_JOIN_BUCKETS,
     entail: bool | dict = False,
     sameas: str | dict | None = None,
+    validate: dict | None = None,
 ) -> GraphStore:
     """The pipeline tail shared by every triple producer (docs extraction,
     RDF import, derived CONSTRUCT graphs): (s_uri, p_uri, o_uri) ->
     dictionary + predicate catalog -> encoded permutation layout -> stats.
     Stages checkpoint/resume like the rest of the pipeline.
+
+    ``validate={...}`` (validation_report keywords: func_preds, ifp_preds,
+    uri_prefix, domains, type_pred) inserts a report-only SHACL-lite stage
+    that persists the normalized (chk, a, b, n) violation relation as the
+    ``violations`` table — the keep/drop/fix report for raw ingests. It
+    runs AFTER the sameAs fold (violations of merged entities would be
+    noise) and BEFORE entailment (rdfs_closure makes the closed-world
+    domain check vacuous by construction — tests/test_validate.py pins
+    this); the triple stream itself passes through unchanged.
 
     ``sameas="owl:sameAs"`` (or any predicate URI) inserts an entity-merge
     stage first: sameAs-connected clusters fold onto one representative via
@@ -345,6 +357,24 @@ def materialize_triples(
                 F.col("s").alias("s_uri"),
                 F.col("p").alias("p_uri"),
                 F.col("o").alias("o_uri"),
+            ),
+        )
+    if validate:
+        from parj_spark.construct.validate import validation_report
+
+        vsrc = triples_uri
+        _run_stage(
+            spark,
+            out_dir,
+            "violations",
+            resume,
+            lambda: validation_report(
+                vsrc.select(
+                    F.col("s_uri").alias("s"),
+                    F.col("p_uri").alias("p"),
+                    F.col("o_uri").alias("o"),
+                ),
+                **validate,
             ),
         )
     if entail:

@@ -116,6 +116,61 @@ def domain_violations(
     )
 
 
+def validation_report(
+    triples: DataFrame,
+    func_preds: list | None = None,
+    ifp_preds: list | None = None,
+    uri_prefix: str | None = None,
+    domains: list | None = None,
+    type_pred: str = "rdf:type",
+) -> DataFrame:
+    """All requested checks as ONE normalized report relation
+    (chk, a, b, n) — the shape a curation dashboard or keep/drop joiner
+    consumes, and the shape the `violations` pipeline stage persists:
+      functional  -> ('functional', s, p, n_distinct_values)
+      ifp         -> ('ifp', p, value, n_subjects)
+      dangling    -> ('dangling', o, '-', n_refs)
+      domain      -> ('domain', s, p, 1)
+    Checks whose config is absent contribute nothing (and cost nothing —
+    the union is built lazily from the requested slices only)."""
+    n_long = lambda c: F.col(c).cast("long").alias("n")  # noqa: E731
+    parts = []
+    if func_preds:
+        parts.append(
+            functional_violations(triples, func_preds).select(
+                F.lit("functional").alias("chk"), F.col("s").alias("a"),
+                F.col("p").alias("b"), n_long("n_values"),
+            )
+        )
+    if ifp_preds:
+        parts.append(
+            inverse_functional_violations(triples, ifp_preds).select(
+                F.lit("ifp").alias("chk"), F.col("p").alias("a"),
+                F.col("o").alias("b"), n_long("n_subjects"),
+            )
+        )
+    if uri_prefix:
+        parts.append(
+            dangling_refs(triples, uri_prefix).select(
+                F.lit("dangling").alias("chk"), F.col("o").alias("a"),
+                F.lit("-").alias("b"), n_long("n_refs"),
+            )
+        )
+    if domains:
+        parts.append(
+            domain_violations(triples, domains, type_pred=type_pred).select(
+                F.lit("domain").alias("chk"), F.col("s").alias("a"),
+                F.col("p").alias("b"), F.lit(1).cast("long").alias("n"),
+            )
+        )
+    if not parts:
+        raise ValueError("validation_report: no checks configured")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
 def cardinality_profile(triples: DataFrame) -> DataFrame:
     """Per-predicate objects-per-subject profile: (p, n_subjects,
     max_per_subject, avg_per_subject). The curator's map of what is

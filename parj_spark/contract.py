@@ -1420,13 +1420,9 @@ def kg_validate(spark, sf_dir):
                     REAL older customer, which must NOT be flagged)
       domain      — every 17th customer gains an untyped urn:dupv: alias
                     using urn:memberOf (declared domain urn:Customer)
-    Result: one row per violation, normalized to (chk, a, b, n)."""
-    from parj_spark.construct.validate import (
-        dangling_refs,
-        domain_violations,
-        functional_violations,
-        inverse_functional_violations,
-    )
+    Result: one row per violation, normalized to (chk, a, b, n) — the same
+    report relation the pipeline's `violations` stage persists."""
+    from parj_spark.construct.validate import validation_report
 
     c = _t(spark, sf_dir, "customer")
     k = F.col("c_custkey")
@@ -1455,26 +1451,14 @@ def kg_validate(spark, sf_dir):
         ))
     )
     t = _derived_triples(spark, sf_dir).union(extra)
-    n_long = lambda col: F.col(col).cast("long").alias("n")  # noqa: E731
-    fv = functional_violations(t, ["urn:memberOf"]).select(
-        F.lit("functional").alias("chk"), F.col("s").alias("a"),
-        F.col("p").alias("b"), n_long("n_values"),
-    )
-    iv = inverse_functional_violations(t, ["urn:nickname"]).select(
-        F.lit("ifp").alias("chk"), F.col("p").alias("a"),
-        F.col("o").alias("b"), n_long("n_subjects"),
-    )
-    dr = dangling_refs(t, "urn:cust:").select(
-        F.lit("dangling").alias("chk"), F.col("o").alias("a"),
-        F.lit("-").alias("b"), n_long("n_refs"),
-    )
-    dv = domain_violations(
-        t, [("urn:memberOf", "urn:Customer")], type_pred="urn:type"
-    ).select(
-        F.lit("domain").alias("chk"), F.col("s").alias("a"),
-        F.col("p").alias("b"), F.lit(1).cast("long").alias("n"),
-    )
-    return fv.union(iv).union(dr).union(dv).orderBy("chk", "a", "b")
+    return validation_report(
+        t,
+        func_preds=["urn:memberOf"],
+        ifp_preds=["urn:nickname"],
+        uri_prefix="urn:cust:",
+        domains=[("urn:memberOf", "urn:Customer")],
+        type_pred="urn:type",
+    ).orderBy("chk", "a", "b")
 
 
 # Key order is load-bearing: the round-3 driver run measured exactly the

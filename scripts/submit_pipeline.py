@@ -18,6 +18,7 @@ Local smoke (generates a synthetic corpus instead of reading one):
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 import os
 
@@ -48,6 +49,13 @@ def main() -> None:
         help="fold owl:sameAs-style entity clusters onto one representative "
         "before entailment/encoding (pass the sameAs predicate URI, e.g. "
         "owl:sameAs)",
+    )
+    ap.add_argument(
+        "--validate", default=None, metavar="JSON",
+        help="persist a SHACL-lite violation report as the 'violations' "
+        "table (JSON of validation_report keywords, e.g. "
+        '\'{"func_preds": ["urn:hasHead"], "uri_prefix": "urn:"}\'); '
+        "report-only — the triple stream is unchanged",
     )
     ap.add_argument(
         "--entail", choices=["off", "prefixed", "w3c"], default="off",
@@ -92,6 +100,7 @@ def main() -> None:
         n_buckets=args.join_buckets or _mat.DEFAULT_JOIN_BUCKETS,
         entail=entail,
         sameas=args.sameas,
+        validate=json.loads(args.validate) if args.validate else None,
     )
     n = store.spo().count()
     print(f"graph materialized at {args.output}: {n} triples")

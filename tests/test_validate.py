@@ -118,6 +118,39 @@ def test_cardinality_profile_exact(spark):
     assert prof["urn:knows"] == (2, 1, 1.0)
 
 
+def test_pipeline_violations_stage(spark, tmp_path):
+    """materialize_triples(validate={...}) persists the normalized
+    (chk, a, b, n) report as the `violations` table with a lineage row,
+    and the triple stream itself is untouched (report-only stage)."""
+    from pyspark.sql import functions as F  # noqa: F401 (house import)
+
+    from parj_spark.construct.lineage import read_lineage
+    from parj_spark.construct.pipeline import materialize_triples
+
+    rows = [
+        ("urn:e:a", "urn:hasHead", "urn:e:h1"),
+        ("urn:e:a", "urn:hasHead", "urn:e:h2"),  # functional violation
+        ("urn:e:h1", "rdf:type", "urn:Head"),
+        ("urn:e:a", "urn:knows", "urn:e:ghost"),  # dangling
+    ]
+    t = spark.createDataFrame(rows, ["s_uri", "p_uri", "o_uri"])
+    out = str(tmp_path / "g")
+    store = materialize_triples(
+        spark, t, out, resume=True, analyze=False, bucketed=False,
+        validate={"func_preds": ["urn:hasHead"], "uri_prefix": "urn:e:"},
+    )
+    rep = spark.read.parquet(out + "/violations")
+    got = {(r.chk, r.a, r.b, r.n) for r in rep.collect()}
+    assert got == {
+        ("functional", "urn:e:a", "urn:hasHead", 2),
+        ("dangling", "urn:e:h2", "-", 1),  # never a subject
+        ("dangling", "urn:e:ghost", "-", 1),
+    }
+    assert store.spo().count() == len(rows)  # stream unchanged
+    stages = {rec["stage"]: rec for rec in read_lineage(out)}
+    assert stages["violations"]["rows_out"] == 3
+
+
 def test_validation_plan_has_no_python_udf(spark):
     """Every check compiles to pure Catalyst (scan + aggregate/anti-join):
     no BatchEvalPython / ArrowEvalPython stage may appear — at 10^12 rows
