@@ -89,11 +89,15 @@ def domain_violations(
 ) -> DataFrame:
     """Closed-world rdfs:domain check: subjects using a predicate whose
     declared domain class they never assert. ``domains`` is the
-    (predicate, required_class) list — pass the TBox's EFFECTIVE domain
-    pairs (reason.collect_tbox's ``dom`` composed through the closed
-    subclass hierarchy if subclass membership should satisfy the check),
-    and run BEFORE entailment: after rdfs_closure the check is vacuous by
-    construction (rdfs2 asserts exactly the missing types).
+    (predicate, required_class) list; MULTIPLE pairs for one predicate are
+    CONJUNCTIVE (each row is an independent requirement in the anti-join),
+    so adding subclass-composed pairs makes the check stricter and yields
+    false-positive violations. If subclass membership should satisfy the
+    check, expand the ASSERTED-TYPE side upward through the closed
+    subclass hierarchy (or entail rdf:type triples only) before calling —
+    that cannot be expressed through this list. Run BEFORE entailment:
+    after rdfs_closure the check is vacuous by construction (rdfs2
+    asserts exactly the missing types).
 
     Returns (s, p, required_class), one row per violating use."""
     spark = triples.sparkSession

@@ -129,7 +129,7 @@ def minhash_lsh_pairs(
     )
     sh_a = with_sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = with_sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    return (
+    verified = (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn(
@@ -143,6 +143,13 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # pin the (small) verified pair set and release the corpus-sized
+    # shingle cache before returning — a lazy return would keep with_sh
+    # persisted for the result's lifetime, leaking one corpus-scale cache
+    # entry per call into a long-lived session (semantic_dedup's lifecycle)
+    out = verified.localCheckpoint()
+    with_sh.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -172,9 +179,10 @@ def ngram_jaccard_pairs(
     # df cap and both self-join sides — uncached, one action's plan
     # re-evaluated the shingle transform+explode 6x over the full corpus
     # (same lifecycle tradeoff as minhash_lsh_pairs's persisted shingles)
-    sh = with_shingles(df, id_col, text_col, shingle_n).select(
+    idx = with_shingles(df, id_col, text_col, shingle_n).select(
         id_col, F.explode("shingles").alias("sh")
     ).persist()
+    sh = idx
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     if max_df is not None:
         dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
@@ -189,7 +197,7 @@ def ngram_jaccard_pairs(
     )
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
+    verified = (
         inter.join(sz_a, "id_a")
         .join(sz_b, "id_b")
         .withColumn(
@@ -198,6 +206,11 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # pin the pair set, release the corpus-sized inverted index (see
+    # minhash_lsh_pairs — identical cache lifecycle)
+    out = verified.localCheckpoint()
+    idx.unpersist()
+    return out
 
 
 def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

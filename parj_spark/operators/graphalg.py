@@ -48,6 +48,24 @@ def degree_stats(
     )
 
 
+def _persistent_rdd_ids(sc) -> set:
+    """Ids of the RDDs Spark currently holds persisted (cache + local
+    checkpoints). Deterministic observation point for explicit handle
+    cleanup — the Python-side DataFrame objects don't expose their
+    checkpoint RDDs, but the context's persistent-RDD registry does."""
+    return {int(k) for k in sc._jsc.getPersistentRDDs().keySet()}
+
+
+def _unpersist_rdd_ids(sc, ids: set) -> None:
+    """Release the given persisted RDDs by id, non-blocking; ids already
+    cleaned (e.g. by the ContextCleaner racing us) are skipped."""
+    reg = sc._jsc.getPersistentRDDs()
+    for rid in ids:
+        r = reg.get(rid)
+        if r is not None:
+            r.unpersist(False)
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 10,
@@ -97,9 +115,18 @@ def pagerank(
         .persist()
     )
     n_total = nodes.count()
+    # explicit checkpoint-handle discipline (canonicalize.py's lifecycle,
+    # adapted to localCheckpoint blocks): each eager checkpoint's RDD ids
+    # are captured from the persistent-RDD registry at creation, and the
+    # SUPERSEDED checkpoint is released deterministically the moment its
+    # successor is materialized — no reliance on Python GC reaching the
+    # py4j proxies to trigger the ContextCleaner
+    sc = edges.sparkSession.sparkContext
+    before = _persistent_rdd_ids(sc)
     ranks = nodes.select(
         "node", F.lit(1.0 / n_total).alias("rank")
     ).localCheckpoint()
+    ckpt_ids = _persistent_rdd_ids(sc) - before
     for it in range(1, n_iter + 1):
         contrib = (
             ew.join(ranks, ew.src == ranks.node)
@@ -131,16 +158,16 @@ def pagerank(
         )
         if it % checkpoint_every == 0 or it == n_iter:
             # eager lineage cut (see docstring: bounds the 3x-per-level
-            # plan growth and releases the shared-subtree recompute)
+            # plan growth and releases the shared-subtree recompute);
+            # the new checkpoint no longer reads the old one, so the old
+            # blocks are released here, explicitly
+            before = _persistent_rdd_ids(sc)
             ranks = ranks.localCheckpoint()
+            new_ids = _persistent_rdd_ids(sc) - before
+            _unpersist_rdd_ids(sc, ckpt_ids)
+            ckpt_ids = new_ids
     ew.unpersist()
     nodes.unpersist()
-    # intermediate iteration checkpoints are only reachable through the
-    # rebound `ranks` variable; dropping the Python references here lets
-    # Spark's ContextCleaner unpersist their blocks asynchronously (the
-    # same lifecycle GraphX relies on for its periodic checkpoints) —
-    # without the collect() the py4j proxies linger until an arbitrary GC
-    import gc
-
-    gc.collect()
+    # the final checkpoint (ckpt_ids) stays persisted — it backs the
+    # returned DataFrame; the caller releases it like any cached frame
     return ranks

@@ -190,9 +190,10 @@ def cosine_lsh_neardup_pairs(
     # 8 bands ~200 GB cluster-wide, MEMORY_AND_DISK territory — vs signing
     # the full embedding corpus 8x. Same lifecycle tradeoff as
     # dedup.minhash_lsh_pairs's persisted shingles.
-    stacked = emb.select(id_col, vec_col).mapInPandas(
+    assignment = emb.select(id_col, vec_col).mapInPandas(
         assign, f"{id_col} long, band int, bucket long"
     ).persist()
+    stacked = assignment
     if max_bucket is not None:
         sizes = stacked.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
         stacked = (
@@ -210,13 +211,18 @@ def cosine_lsh_neardup_pairs(
     )
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
+    verified = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("cosine", F.round(cosine_sim("va", "vb"), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    # pin the verified pair set, release the corpus-sized band assignment
+    # (semantic_dedup's lifecycle; see dedup.minhash_lsh_pairs)
+    out = verified.localCheckpoint()
+    assignment.unpersist()
+    return out
 
 
 def cosine_lsh_topk(

@@ -161,12 +161,30 @@ class BGPEngine:
         if bucketed_prefix == "auto":
             bucketed_prefix = getattr(store, "bucketed_prefix", lambda: None)()
         self.bucketed_prefix = bucketed_prefix
+        if bucketed_prefix:
+            # keep the bucketed read ON for scan-only shapes: Spark's
+            # DisableUnnecessaryBucketedScan (autoBucketedScan, default on)
+            # re-plans a bucketed table as a plain file scan when no join/
+            # aggregate needs the distribution — which also silently drops
+            # BUCKET PRUNING, so a point lookup on the bucket column reads
+            # all n_buckets files instead of one (verified empirically on
+            # 4.x: SelectedBucketsCount only appears with the rule off).
+            # Joins are unaffected (SMJ keeps the bucketed scan either
+            # way); the cost is bucket-grained task splits on full scans of
+            # the bucketed tables, which n_buckets is sized for anyway.
+            self.spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+            )
         self.broadcast_rows = broadcast_rows
         self._props = {r["uri"]: r["id"] for r in store.properties().collect()}
         self._stats = {r["p"]: r.asDict() for r in store.stats().collect()}
         self._dict = store.dict()
         self._dict_rows: int | None = None  # lazy: counted on first decode
         self._total_n: float | None = None  # lazy: total triple count
+        # lazy catalog-wide uniform-estimate sums for variable-predicate
+        # patterns (computed once, O(catalog); see _catalog_sums)
+        self._uniform_sums: tuple[float, float, float] | None = None
+        self._props_inv: dict[int, str] | None = None
         self._type_pid = self._props.get("rdf:type")
 
         # Planner statistics hydration is LAZY and per-query (VERDICT r3
@@ -295,6 +313,64 @@ class BGPEngine:
         return {r["uri"]: r["id"] for r in rows}
 
     # --- planning --------------------------------------------------------
+    def _catalog_sums(self) -> tuple[float, float, float]:
+        """Catalog-wide sums of the uniform per-predicate estimates —
+        (Σ n/ndv_o, Σ n/ndv_s, Σ n/(ndv_o·ndv_s)) — computed ONCE per
+        engine. These answer constant-bound variable-predicate estimates in
+        O(1) catalog work; only predicates with a better-than-uniform stat
+        (T2 class counts for rdf:type, hydrated histograms) need a per-pid
+        correction (VERDICT r4: the per-call Python loop over the catalog
+        was quadratic-ish inside the greedy planner on large catalogs)."""
+        if self._uniform_sums is None:
+            so = ss = sso = 0.0
+            for st in self._stats.values():
+                n = float(st["n"])
+                dvo = max(1.0, float(st["ndv_o"]))
+                dvs = max(1.0, float(st["ndv_s"]))
+                so += n / dvo
+                ss += n / dvs
+                sso += n / (dvo * dvs)
+            self._uniform_sums = (so, ss, sso)
+        return self._uniform_sums
+
+    def _uniform_est(self, pid: int, s_bound: bool, o_bound: bool) -> float:
+        """The histogram-free uniform estimate one predicate contributes to
+        the catalog sums — subtracted when a better stat replaces it."""
+        st = self._stats.get(pid)
+        if st is None:
+            return 0.0
+        n = float(st["n"])
+        if o_bound:
+            n /= max(1.0, float(st["ndv_o"]))
+        if s_bound:
+            n /= max(1.0, float(st["ndv_s"]))
+        return n
+
+    def _var_pred_estimate(
+        self, pat: Pattern, terms: dict[str, int] | None
+    ) -> float:
+        """Estimate for a variable-predicate pattern with >=1 bound term:
+        the precomputed uniform catalog sum, corrected per-pid only where a
+        better stat exists. Equivalent to summing _estimate over every
+        predicate (histograms exist only for hydrated pids; class stats
+        only apply to rdf:type) at O(query predicates) per call."""
+        s_bound, o_bound = not _is_var(pat.s), not _is_var(pat.o)
+        so, ss, sso = self._catalog_sums()
+        total = sso if (s_bound and o_bound) else (so if o_bound else ss)
+        special = set(self._hydrated_pids)
+        if o_bound and self._class_stats and self._type_pid is not None:
+            special.add(self._type_pid)
+        if special:
+            if self._props_inv is None:
+                self._props_inv = {pid: uri for uri, pid in self._props.items()}
+            for pid in special:
+                uri = self._props_inv.get(pid)
+                if uri is None or pid not in self._stats:
+                    continue
+                exact = self._estimate(Pattern(pat.s, uri, pat.o), terms)
+                total += exact - self._uniform_est(pid, s_bound, o_bound)
+        return max(total, 0.0)
+
     def _estimate(self, pat: Pattern, terms: dict[str, int] | None = None) -> float:
         if _is_var(pat.p):
             # variable predicate, nothing bound: the scan is the whole
@@ -305,12 +381,9 @@ class BGPEngine:
                 if self._total_n is None:
                     self._total_n = float(sum(st["n"] for st in self._stats.values()))
                 return self._total_n
-            # a constant bound: sum the per-predicate estimates (rare path;
-            # O(catalog) once per pattern, driven by histogram/T2 lookups)
-            return sum(
-                self._estimate(Pattern(pat.s, uri, pat.o), terms)
-                for uri in self._props
-            )
+            # a constant bound: answered from the once-per-engine catalog
+            # sums + per-pid corrections, O(query predicates) per call
+            return self._var_pred_estimate(pat, terms)
         if isinstance(pat.p, Path):
             if pat.p.op == "negset":
                 # everything-but-the-listed-predicates: total minus the
@@ -498,10 +571,26 @@ class BGPEngine:
         ):
             return None  # constant not in dictionary -> empty result
         if _is_var(pat.p):
-            # variable predicate (extension beyond the reference): OSP when
-            # the object is bound (global o-sort -> parquet range pruning),
-            # else the SPO table; scans every predicate partition
-            df = self.store.osp() if o_const is not None else self.store.spo()
+            # variable predicate (extension beyond the reference): on the
+            # bucketed layout, read the permutation table with NO partition
+            # filter — the table-wide bucket spec survives the missing p
+            # filter, so an o-bound scan keeps bucket+rowgroup pruning on
+            # POS_b and a var-predicate join rides the exchange-free SMJ
+            # path like any other pattern (VERDICT r4 missing #3; reference
+            # analog: the inverse permutation is a first-class index,
+            # parj.c:1713-1718). Orientation replayed by _scan_bucket_var.
+            # Fallback without the layout: OSP o-range parquet when the
+            # object is bound, else SPO.
+            if self.bucketed_prefix:
+                if o_const is not None and s_const is None:
+                    orientation = "pos"
+                elif s_const is not None:
+                    orientation = "spo"
+                else:
+                    orientation = orient_hint or "spo"
+                df = self._table(orientation)
+            else:
+                df = self.store.osp() if o_const is not None else self.store.spo()
         elif isinstance(pat.p, Path):
             # composite property path (extension): the scan is the path's
             # evaluated pair relation; constant/variable handling below
@@ -583,10 +672,16 @@ class BGPEngine:
         (variable predicates, path closures, non-bucketed engine) or the
         bucket column is constant-bound. Used by the join composer to spot
         bucket-aligned joins (reference: every PARJ join column is the
-        first sorted column of its chosen orientation, SURVEY.md §4.1)."""
+        first sorted column of its chosen orientation, SURVEY.md §4.1).
+        Variable-predicate patterns participate — they scan the bucketed
+        tables partition-unfiltered (see _scan), so their s/o joins are
+        bucket-aligned too; only path closures (derived relations with no
+        layout behind them) are excluded."""
         if not self.bucketed_prefix:
             return None
-        if _is_var(pat.p) or isinstance(pat.p, Path) or pat.p.endswith("+"):
+        if isinstance(pat.p, Path) or (
+            not _is_var(pat.p) and pat.p.endswith("+")
+        ):
             return None
         s_const = None if _is_var(pat.s) else terms.get(pat.s)
         o_const = None if _is_var(pat.o) else terms.get(pat.o)
@@ -1021,18 +1116,34 @@ class BGPEngine:
             o_const = None if o_var else terms.get(pat.o)
             # replay _scan's access-path choice, including the join hint
             hint = None
+            if i > 0 and not isinstance(pat.p, Path):
+                if s_var and s_var in bound_cols:
+                    hint = "spo"
+                elif o_var and o_var in bound_cols:
+                    hint = "pos"
             if _is_var(pat.p):
-                access = "OSP (var predicate)" if o_const is not None else "SPO (var predicate)"
+                if self.bucketed_prefix:
+                    if o_const is not None and s_const is None:
+                        orientation = "pos"
+                    elif s_const is not None:
+                        orientation = "spo"
+                    else:
+                        orientation = hint or "spo"
+                    access = (
+                        f"{orientation.upper()} bucketed, all p-partitions "
+                        "(var predicate)"
+                    )
+                else:
+                    access = (
+                        "OSP (var predicate)"
+                        if o_const is not None
+                        else "SPO (var predicate)"
+                    )
             elif isinstance(pat.p, Path) or (
                 isinstance(pat.p, str) and pat.p.endswith("+") and pat.p[:-1] in self._props
             ):
                 access = "path closure (semi-naive fixpoint relation)"
             else:
-                if i > 0:
-                    if s_var and s_var in bound_cols:
-                        hint = "spo"
-                    elif o_var and o_var in bound_cols:
-                        hint = "pos"
                 if o_const is not None and s_const is None:
                     orientation = "pos"
                 elif s_const is not None:
@@ -1047,7 +1158,7 @@ class BGPEngine:
                 )
             est = self._estimate(pat, terms)
             shared = sorted({v for v in (s_var, o_var) if v} & bound_cols)
-            # _scan_bucket_var itself returns None for var-pred/path/closure
+            # _scan_bucket_var itself returns None for path closures
             bucket_var = self._scan_bucket_var(pat, terms, hint)
             aligned = (
                 i > 0
@@ -1097,6 +1208,117 @@ class BGPEngine:
             result = result.join(d, v, "left").drop(v).withColumnRenamed(f"{v}_uri", v)
         return result
 
+    # --- FILTER lowering onto encoded ids ------------------------------
+    def _filter_id_plan(self, e, cols: set[str], literal: set[str], pvars: set[str]):
+        """If FILTER expression ``e`` can evaluate on ENCODED ids, return
+        (entity_consts, pred_consts) — the constant terms it needs resolved
+        — else None. Lowerable: =/!= between vars and/or literal terms,
+        [NOT] IN over literal terms, BOUND, and NOT/&&/|| compositions of
+        those: for these shapes term comparison IS dictionary-id comparison
+        (the dictionary is a bijection), so the filter prunes on longs
+        BEFORE any decode join (the reference's decode-outputs-last rule,
+        QueryTester.java:189-223, extended to FILTER). Numeric comparisons,
+        regex and string functions need the decoded term — not lowerable.
+        Mixed predicate/entity-var comparisons are refused (the two id
+        spaces are separate catalogs)."""
+        from parj_spark.query import sparql as S
+
+        if isinstance(e, S.Comparison):
+            if e.op not in ("=", "!="):
+                return None
+            vs = [t for t in (e.lhs, e.rhs) if t[0] == "var"]
+            if not vs:
+                return None
+            for t in vs:
+                if t[1] in literal or t[1] not in cols:
+                    return None
+            kinds = {t[1] in pvars for t in vs}
+            if len(kinds) > 1:
+                return None
+            is_pred = kinds.pop()
+            ent, pred = set(), set()
+            for t in (e.lhs, e.rhs):
+                if t[0] == "lit":
+                    (pred if is_pred else ent).add(t[1])
+                elif t[0] != "var":
+                    return None
+            return ent, pred
+        if isinstance(e, S.Bound):
+            if e.var in cols and e.var not in literal:
+                return set(), set()
+            return None
+        if isinstance(e, S.InList):
+            if e.arg[0] != "var" or e.arg[1] in literal or e.arg[1] not in cols:
+                return None
+            if any(v[0] != "lit" for v in e.values):
+                return None
+            vals = {v[1] for v in e.values}
+            if e.arg[1] in pvars:
+                return set(), vals
+            return vals, set()
+        if isinstance(e, S.Not):
+            return self._filter_id_plan(e.expr, cols, literal, pvars)
+        if isinstance(e, (S.And, S.Or)):
+            ent, pred = set(), set()
+            for p in e.parts:
+                c = self._filter_id_plan(p, cols, literal, pvars)
+                if c is None:
+                    return None
+                ent |= c[0]
+                pred |= c[1]
+            return ent, pred
+        return None
+
+    def _filter_id_column(self, e, ent_ids: dict, pvars: set[str]):
+        """Compile an id-lowerable FILTER expression (see _filter_id_plan)
+        to a Column over the ENCODED solution columns. ``ent_ids`` maps
+        resolved entity terms to ids; terms absent from the dictionary can
+        match nothing, compiled null-exactly (when(bound, const)) so
+        OPTIONAL-null rows still drop under NOT per SPARQL's
+        evaluation-error-is-false rule."""
+        from parj_spark.query import sparql as S
+
+        def const_when_bound(var_col, value: bool):
+            return F.when(var_col.isNotNull(), F.lit(value))
+
+        if isinstance(e, S.Comparison):
+            vs = [t for t in (e.lhs, e.rhs) if t[0] == "var"]
+            is_pred = vs[0][1] in pvars
+
+            def resolve(t):
+                if t[0] == "var":
+                    return F.col(t[1])
+                tid = self._props.get(t[1]) if is_pred else ent_ids.get(t[1])
+                return None if tid is None else F.lit(tid)
+
+            l, r = resolve(e.lhs), resolve(e.rhs)
+            if l is None or r is None:
+                # absent term: '=' can never hold, '!=' holds for every
+                # BOUND value (null rows still error out to null)
+                return const_when_bound(F.col(vs[0][1]), e.op == "!=")
+            return (l == r) if e.op == "=" else (l != r)
+        if isinstance(e, S.Bound):
+            return F.col(e.var).isNotNull()
+        if isinstance(e, S.InList):
+            is_pred = e.arg[1] in pvars
+            ids = [
+                (self._props.get(v[1]) if is_pred else ent_ids.get(v[1]))
+                for v in e.values
+            ]
+            ids = [i for i in ids if i is not None]
+            c = F.col(e.arg[1])
+            if not ids:
+                return const_when_bound(c, e.negated)
+            m = c.isin(ids)
+            return ~m if e.negated else m
+        if isinstance(e, S.Not):
+            return ~self._filter_id_column(e.expr, ent_ids, pvars)
+        parts = [self._filter_id_column(p, ent_ids, pvars) for p in e.parts]
+        out = parts[0]
+        for p in parts[1:]:
+            out = (out & p) if isinstance(e, S.And) else (out | p)
+        return out
+
     def sparql(
         self,
         text: str,
@@ -1123,11 +1345,12 @@ class BGPEngine:
         BGPs run over the encoded permutation tables as usual; each UNION
         alternative is planned as its own BGP, column-aligned (the parser
         enforces equal variable sets) and unioned, then equi-joined with the
-        core BGP; FILTER predicates apply to the decoded values (they
-        reference term strings), then the solution modifiers. OPTIONAL
-        blocks attach to the core BGP. A query containing a ``{ SELECT }``
-        subquery runs its whole group decoded (subquery solutions surface
-        term strings), so prefer flat BGPs for the hot path at scale."""
+        core BGP; id-lowerable FILTERs (=/!=/IN/BOUND over constant terms)
+        prune on ENCODED ids before any decode join, other FILTERs decode
+        only the vars they reference, then the solution modifiers run.
+        OPTIONAL blocks attach to the core BGP. A ``{ SELECT }`` subquery
+        lowers recursively; its shared projected vars re-encode to ids at
+        the boundary, so the enclosing group still joins on longs."""
         q = self._parse_sparql_text(
             text, var_predicates, filters, unions, ask, minus, paths, offset,
             aggregates, values, construct, bind, subquery, describe,
@@ -1176,10 +1399,15 @@ class BGPEngine:
         recursive for nested ``{ SELECT }`` groups."""
         from parj_spark.query.sparql import filter_to_column
 
-        # subquery solutions are decoded term strings, so the enclosing
-        # group's sub-BGPs run decoded too (string joins) — only flat
-        # queries keep the encoded-join pipeline
-        sub_dec = bool(q.subqueries)
+        # `literal` tracks solution columns that hold FINAL values (decoded
+        # terms, BIND outputs, subquery aggregates) instead of dictionary
+        # ids. Everything else stays an encoded long until the last
+        # possible moment — joins, MINUS/EXISTS probes, id-lowerable
+        # FILTERs and hash aggregates all run on longs (the reference's
+        # decode-outputs-last rule, QueryTester.java:189-223; VERDICT r4
+        # top-next: this replaced the sub_dec string-join pipeline and the
+        # FILTER/BIND full-width pre-decode)
+        literal: set[str] = set()
         order_cols = [
             F.desc(v[1:]) if v.startswith("-") else F.asc(v) for v in q.order_by
         ] or None
@@ -1214,29 +1442,50 @@ class BGPEngine:
                 q.patterns,
                 select=None,
                 distinct=False,
-                decode=sub_dec,
+                decode=False,
                 optional=q.optional or None,
             )
             if q.patterns
             else None
         )
         for grp in q.unions:
-            u = self.query(grp[0], select=None, decode=sub_dec)
+            u = self.query(grp[0], select=None, decode=False)
             for alt in grp[1:]:
-                u = u.unionByName(self.query(alt, select=None, decode=sub_dec))
+                u = u.unionByName(self.query(alt, select=None, decode=False))
             if result is None:
                 result = u
             else:
                 shared = sorted(set(result.columns) & set(u.columns))
                 result = result.join(u, on=shared) if shared else result.crossJoin(u)
+        all_pats = (
+            list(q.patterns)
+            + [p for g in q.optional for p in g]
+            + [p for grp in q.unions for alt in grp for p in alt]
+        )
+        pvars = {v for p in all_pats for v in [p.pred_var()] if v}
         for sub in q.subqueries:
-            # nested SELECT: its own lowering (recursively), solutions
-            # joined with the enclosing group on the shared projected vars
+            # nested SELECT: its own lowering (recursively). The subquery
+            # surfaces decoded term strings (its own contract), but the
+            # enclosing group must keep joining on longs — so shared
+            # projected vars are resolved BACK to dictionary ids at the
+            # boundary (the DESCRIBE pattern) and only the subquery's
+            # non-shared outputs (typically aggregates) ride along as
+            # literal columns. Pre-r5 the whole enclosing group switched to
+            # decoded string joins instead (VERDICT r4 missing #2).
             sdf = self._sparql_query(sub, decode=True)
             if result is None:
                 result = sdf
+                literal.update(sdf.columns)
                 continue
             shared = sorted(set(result.columns) & set(sdf.columns))
+            for v in shared:
+                if v in literal:
+                    continue  # both sides literal -> join on values
+                d = self._decode_dict().select(
+                    F.col("uri").alias(v), F.col("id").alias(f"__{v}_id")
+                )
+                sdf = sdf.join(d, v).drop(v).withColumnRenamed(f"__{v}_id", v)
+            literal.update(set(sdf.columns) - set(shared))
             result = result.join(sdf, on=shared) if shared else result.crossJoin(sdf)
         for vars_, rows in q.values:
             # VALUES inline bindings, joined on ENCODED ids: each term of
@@ -1248,16 +1497,17 @@ class BGPEngine:
                 [tuple(r) for r in rows],
                 schema=", ".join(f"{v} string" for v in vars_),
             )
-            if not sub_dec:  # strings join directly on a decoded pipeline
-                for v in vars_:
-                    d = self._dict.select(
-                        F.col("uri").alias(v), F.col("id").alias(f"__{v}_id")
-                    )
-                    vdf = (
-                        vdf.join(d, v)
-                        .drop(v)
-                        .withColumnRenamed(f"__{v}_id", v)
-                    )
+            for v in vars_:
+                if v in literal:  # strings join directly on a literal column
+                    continue
+                d = self._dict.select(
+                    F.col("uri").alias(v), F.col("id").alias(f"__{v}_id")
+                )
+                vdf = (
+                    vdf.join(d, v)
+                    .drop(v)
+                    .withColumnRenamed(f"__{v}_id", v)
+                )
             shared = sorted(set(result.columns) & set(vdf.columns))
             result = (
                 result.join(F.broadcast(vdf), on=shared)
@@ -1270,58 +1520,124 @@ class BGPEngine:
             # and removed rows never pay the dictionary join. A block with
             # no shared variable removes nothing (SPARQL disjoint-domain
             # rule) — skipped, since anti-joining on no keys annihilates.
-            mdf = self.query(group, select=None, decode=sub_dec)
+            mdf = self.query(group, select=None, decode=False)
             shared = sorted(set(result.columns) & set(mdf.columns))
             if shared:
+                lit_shared = [v for v in shared if v in literal]
+                if lit_shared:  # probe side decodes to match literal cols
+                    gpv = {v for p in group for v in [p.pred_var()] if v}
+                    cols = list(mdf.columns)
+                    mdf = self._decode_frame(
+                        mdf, pvars | gpv, only=lit_shared
+                    ).select(*cols)
                 result = result.join(mdf, on=shared, how="left_anti")
         for positive, group in q.exists:
             # FILTER [NOT] EXISTS on encoded ids (same placement rationale
             # as MINUS); a no-shared-variable block gates globally via a
             # constant-true semi/anti join against the block's first row
-            gdf = self.query(group, select=None, decode=sub_dec)
+            gdf = self.query(group, select=None, decode=False)
             shared = sorted(set(result.columns) & set(gdf.columns))
             how = "left_semi" if positive else "left_anti"
             if shared:
+                lit_shared = [v for v in shared if v in literal]
+                if lit_shared:
+                    gpv = {v for p in group for v in [p.pred_var()] if v}
+                    cols = list(gdf.columns)
+                    gdf = self._decode_frame(
+                        gdf, pvars | gpv, only=lit_shared
+                    ).select(*cols)
                 result = result.join(gdf, on=shared, how=how)
             else:
                 result = result.join(gdf.limit(1), F.lit(True), how)
-        all_pats = (
-            list(q.patterns)
-            + [p for g in q.optional for p in g]
-            + [p for grp in q.unions for alt in grp for p in alt]
-        )
-        pvars = {v for p in all_pats for v in [p.pred_var()] if v}
-        # a pure-aggregate query decodes LATE (value vars before the
-        # aggregate, group keys after it — see the q.aggregates branch), so
-        # the hash aggregate shuffles long ids, not term strings; a value
-        # var doubling as a group key would need both forms at once, so
-        # that (rare) shape falls back to the early full decode
-        from parj_spark.query.sparql import agg_value_vars
+        from parj_spark.query.sparql import agg_value_vars, bind_vars, filter_vars
 
-        agg_late_decode = (
-            bool(q.aggregates) and not q.filters and not q.binds and not sub_dec
-            and not (agg_value_vars(q.aggregates) & set(q.group_by))
-        )
-        # an ASK without filters never needs term strings — count ids as-is;
-        # BIND/CONSTRUCT compute on term strings, so they force the decode;
-        # a subquery pipeline (sub_dec) is already decoded end to end
-        need_decode = not sub_dec and (
-            bool(q.filters) or bool(q.binds) or q.construct is not None
-            or (
-                decode and not q.ask and q.describe is None
-                and not agg_late_decode
+        def decode_cols(df: DataFrame, cols) -> DataFrame:
+            """Decode the named columns in place (order preserved), skip
+            ones already literal, and record them as literal."""
+            todo = [c for c in cols if c in df.columns and c not in literal]
+            if not todo:
+                return df
+            order = list(df.columns)
+            out = self._decode_frame(df, pvars, only=todo).select(*order)
+            literal.update(todo)
+            return out
+
+        # split FILTERs: id-lowerable ones (=/!=/IN/BOUND over vars and
+        # constant terms) prune the ENCODED solution set — constants
+        # resolve to dictionary ids driver-side in one pruned point-lookup
+        # job — and the rest evaluate on decoded strings after decoding
+        # ONLY the vars they reference. The pre-r5 pipeline decoded every
+        # column before any filter ran (VERDICT r4 missing #1).
+        str_filters = list(q.filters)
+        if q.filters and result is not None:
+            lowerable, rest, ent_consts = [], [], set()
+            rcols = set(result.columns)
+            for fexpr in q.filters:
+                plan = self._filter_id_plan(fexpr, rcols, literal, pvars)
+                if plan is None:
+                    rest.append(fexpr)
+                else:
+                    lowerable.append(fexpr)
+                    ent_consts |= plan[0]
+            ent_ids = (
+                {
+                    r["uri"]: r["id"]
+                    for r in self._dict.filter(
+                        F.col("uri").isin(sorted(ent_consts))
+                    ).collect()
+                }
+                if ent_consts
+                else {}
             )
-        )
-        if need_decode and result.columns:
-            cols = list(result.columns)
-            result = self._decode_frame(result, pvars).select(*cols)
+            for fexpr in lowerable:
+                result = result.filter(
+                    self._filter_id_column(fexpr, ent_ids, pvars)
+                )
+            str_filters = rest
+        pre_vars = {v for fe in str_filters for v in filter_vars(fe)}
+        if q.binds:
+            for expr, _ in q.binds:
+                pre_vars |= bind_vars(expr)
+        if result is not None and result.columns and pre_vars:
+            result = decode_cols(result, sorted(pre_vars))
         if q.binds:
             from parj_spark.query.sparql import bind_to_column
 
             for expr, v in q.binds:
                 result = result.withColumn(v, bind_to_column(expr, F.col))
-        for fexpr in q.filters:
+                literal.add(v)
+        for fexpr in str_filters:
             result = result.filter(filter_to_column(fexpr, F.col))
+        # the remaining OUTPUT columns decode AFTER the filters have pruned
+        # — and only the columns the query actually surfaces (projection +
+        # ORDER BY keys + CONSTRUCT template vars): a var that is joined on
+        # but never output never pays a dictionary join at all.
+        # ASK/DESCRIBE/aggregates handle their own (late or no) decode.
+        if (
+            result is not None
+            and result.columns
+            and (
+                q.construct is not None
+                or (
+                    decode and not q.ask and q.describe is None
+                    and not q.aggregates
+                )
+            )
+        ):
+            if q.construct is not None:
+                need = {
+                    t[1:]
+                    for tp in q.construct
+                    for t in (tp.s, tp.p, tp.o)
+                    if _is_var(t)
+                }
+            elif q.select:
+                need = set(q.select) | {
+                    v[1:] if v.startswith("-") else v for v in q.order_by
+                }
+            else:
+                need = {c for c in result.columns if not c.startswith("__bn")}
+            result = decode_cols(result, sorted(need))
         if q.ask:
             # ASK: one row, one boolean — any solution exists? limit(1)
             # before the aggregate makes it an existence probe (LocalLimit
@@ -1353,12 +1669,11 @@ class BGPEngine:
             # constants resolve through the uri-sorted dictionary (pruned
             # point lookups) — so the edge fetch is a semi-join of SPO on
             # long keys; the (usually small) result decodes at the end.
-            decoded_vals = need_decode or sub_dec
             ids = None
             for t in q.describe:
                 if t.startswith("?"):
                     c = result.select(F.col(t[1:]).alias("rid")).distinct()
-                    if decoded_vals:  # term strings -> resolve back to ids
+                    if t[1:] in literal:  # term strings -> resolve back to ids
                         c = c.join(
                             self._decode_dict().select(
                                 F.col("uri").alias("rid"),
@@ -1390,23 +1705,20 @@ class BGPEngine:
             # decode on the (small) aggregated output — the reference's
             # decode-outputs-last rule (QueryTester.java:189-223) applied
             # to the aggregate boundary. HAVING runs after the key decode,
-            # so its string comparisons see terms either way.
+            # so its string comparisons see terms either way. decode_cols
+            # skips vars a FILTER/BIND already decoded, so a value var
+            # doubling as a group key simply groups on its decoded form.
             from parj_spark.query.sparql import aggregate_columns
 
-            if agg_late_decode and decode and result.columns:
+            if decode and result.columns:
                 value_vars = sorted(agg_value_vars(q.aggregates))
                 if value_vars:
-                    cols = list(result.columns)
-                    result = self._decode_frame(
-                        result, pvars, only=value_vars
-                    ).select(*cols)
+                    result = decode_cols(result, value_vars)
             grouped = result.groupBy(*q.group_by) if q.group_by else result.groupBy()
             result = grouped.agg(*aggregate_columns(q.aggregates))
-            if agg_late_decode and decode and q.group_by:
-                cols = list(result.columns)
-                result = self._decode_frame(
-                    result, pvars, only=list(q.group_by)
-                ).select(*cols)
+            literal.update(a.alias for a in q.aggregates)
+            if decode and q.group_by:
+                result = decode_cols(result, list(q.group_by))
             for h in q.having:
                 result = result.filter(filter_to_column(h, F.col))
             result = result.select(*((q.select or []) + [a.alias for a in q.aggregates]))

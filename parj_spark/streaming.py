@@ -73,6 +73,27 @@ def next_epoch(stream_dir: str) -> int:
     return mx + 1
 
 
+def _epoch_paths(root: str, exclude_epoch: int | None) -> list[str] | None:
+    """``epoch=*`` subdirectory paths under ``root``, minus ``exclude_epoch``.
+
+    None when ``root`` does not exist; ``[]`` when it exists but every epoch
+    is excluded. Excluding at PATH level — instead of reading the parent dir
+    and filtering the partition column — means a foreachBatch retry never
+    races its own ``overwrite`` of the current epoch dir: correctness no
+    longer depends on Catalyst partition-pruning a
+    ``cast(epoch) != epoch_id`` filter before the scan (ADVICE r4)."""
+    if not os.path.isdir(root):
+        return None
+    out = []
+    for e in sorted(os.listdir(root)):
+        if not e.startswith("epoch="):
+            continue
+        if exclude_epoch is not None and int(e.split("=", 1)[1]) == exclude_epoch:
+            continue
+        out.append(os.path.join(root, e))
+    return out
+
+
 def _alive_triples(
     spark,
     base: DataFrame,
@@ -99,12 +120,13 @@ def _alive_triples(
     known predicate slice (the caller prunes ``base`` itself)."""
     rows = base.select("s", "p", "o").withColumn("__epoch", F.lit(-1).cast("long"))
     tri_path = os.path.join(stream_dir, "triples")
-    if os.path.exists(tri_path):
-        tail = spark.read.parquet(tri_path).select(
-            "s", "p", "o", F.col("epoch").cast("long").alias("__epoch")
+    epoch_dirs = _epoch_paths(tri_path, exclude_epoch)
+    if epoch_dirs:
+        tail = (
+            spark.read.option("basePath", tri_path)
+            .parquet(*epoch_dirs)
+            .select("s", "p", "o", F.col("epoch").cast("long").alias("__epoch"))
         )
-        if exclude_epoch is not None:
-            tail = tail.filter(F.col("__epoch") != exclude_epoch)
         if pids is not None:
             tail = tail.filter(F.col("p").isin(pids))
         rows = rows.unionByName(tail)
@@ -137,11 +159,12 @@ def _prior_delta(spark, stream_dir: str, name: str, epoch_id: int) -> DataFrame 
     current epoch's own dir is excluded so a re-delivered epoch rewrites its
     delta instead of anti-joining it away (idempotence under retries)."""
     path = os.path.join(stream_dir, name)
-    if not os.path.exists(path):
+    epoch_dirs = _epoch_paths(path, epoch_id)
+    if not epoch_dirs:
         return None
     return (
-        spark.read.parquet(path)
-        .filter(F.col("epoch") != epoch_id)
+        spark.read.option("basePath", path)
+        .parquet(*epoch_dirs)
         .select("id", "uri")
     )
 
@@ -224,6 +247,10 @@ def append_epoch(
         # idempotent (a redelivered epoch must not anti-join itself away),
         # and anti-joining ALIVE (not merely present) rows keeps a
         # tombstoned-then-reasserted triple alive.
+        # persist the encode join chain once: the pids collect and the
+        # write are both actions over it, and unpersisted each would
+        # recompute the full three-join encode (ADVICE r4)
+        enc = enc.persist()
         pids = [r.p for r in enc.select("p").distinct().collect()]
         alive = _alive_triples(
             spark,
@@ -232,10 +259,14 @@ def append_epoch(
             exclude_epoch=epoch_id,
             pids=pids,
         )
-        enc = enc.join(alive, ["s", "p", "o"], "left_anti")
-    enc.write.mode("overwrite").parquet(
+        out = enc.join(alive, ["s", "p", "o"], "left_anti")
+    else:
+        out = enc
+    out.write.mode("overwrite").parquet(
         os.path.join(stream_dir, "triples", f"epoch={epoch_id}")
     )
+    if base_spo is not None:
+        enc.unpersist()
 
 
 def entail_delta(triples_uri: DataFrame, tbox, schema_preds: list[str]) -> DataFrame:
@@ -322,6 +353,14 @@ def incremental_graph_append(
     subclass axiom would retroactively entail triples from the already-
     materialized base — that is a batch re-materialization with
     ``entail=True``, not a delta append).
+
+    PRECONDITION for ``entail=True``: the BASE graph must itself have been
+    materialized with ``entail=True``. The identity above closes only the
+    deltas — on a non-entailed base the combined graph is silently
+    under-closed (delta-derived triples present, base-derived absent).
+    Nothing can enforce this cheaply at the call site (detecting a
+    non-closed base costs a full closure pass), so it is a documented
+    contract: re-materialize the base with ``entail=True`` first.
     """
     from pyspark.sql import functions as F  # noqa: F811
 

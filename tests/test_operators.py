@@ -293,23 +293,61 @@ def test_neardup_clusters_transitive(spark):
     assert n_persisted_after <= n_persisted_before + 1
 
 
-def test_lsh_neardup_sign_stage_cached(spark):
-    """The (id, band, bucket) assignment is persisted: it feeds the bucket
-    guard and both self-join sides, and without the cache one action's plan
-    evaluated the Arrow sign stage up to 8x (12 scans of the embeddings).
-    The cached relation shows up as InMemoryTableScan at every reuse site."""
+def _persistent_ids(spark):
+    return {int(k) for k in spark.sparkContext._jsc.getPersistentRDDs().keySet()}
+
+
+def _release(spark, ids):
+    reg = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in ids:
+        r = reg.get(rid)
+        if r is not None:
+            r.unpersist(True)
+
+
+def _assert_pair_finder_lifecycle(spark, build):
+    """Shared contract for the pair finders (ADVICE r4): the corpus-sized
+    intermediate (shingle table / inverted index / band assignment) is
+    persisted DURING the run — it feeds multiple join sides — and released
+    before the operator returns; the result is an eager localCheckpoint of
+    the (small) verified pair set, so the only persistent blocks a call
+    leaves behind are the result's own checkpoint. A long-lived session
+    never accumulates corpus-sized cache entries."""
+    base = _persistent_ids(spark)
+    df = build()
+    assert df.count() > 0
+    leaked = _persistent_ids(spark) - base
+    # exactly the result's checkpoint — the corpus-sized cache is gone
+    # (before the fix this held the intermediate too: >= 2 entries)
+    assert len(leaked) <= 1
+    _release(spark, leaked)
+    assert _persistent_ids(spark) - base == set()
+
+
+def test_lsh_neardup_cache_lifecycle(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    df = similarity.cosine_lsh_neardup_pairs(
-        emb, threshold=0.9, n_planes=8, n_bands=8, max_bucket=10_000
+    _assert_pair_finder_lifecycle(
+        spark,
+        lambda: similarity.cosine_lsh_neardup_pairs(
+            emb, threshold=0.4, n_planes=4, n_bands=16, max_bucket=10_000
+        ),
     )
-    plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
+
+
+def test_minhash_pairs_cache_lifecycle(spark, planted_docs):
+    _assert_pair_finder_lifecycle(
+        spark,
+        lambda: dedup.minhash_lsh_pairs(
+            planted_docs, n_hashes=32, bands=8, jaccard_threshold=0.3
+        ),
     )
-    # every reuse site reads the cache (4 sites: size guard, guard join,
-    # self-join a/b), not a re-evaluated sign stage; formatted explain
-    # repeats the cached child plan per site, so node-string counts over-
-    # state the real scan count — presence of the cache is the contract
-    assert plan.count("InMemoryTableScan") >= 4
+
+
+def test_ngram_jaccard_cache_lifecycle(spark, planted_docs):
+    _assert_pair_finder_lifecycle(
+        spark,
+        lambda: dedup.ngram_jaccard_pairs(planted_docs, shingle_n=2, threshold=0.1),
+    )
 
 
 # --- corpus-curation tier (round 4) ---------------------------------------
