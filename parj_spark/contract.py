@@ -1461,58 +1461,104 @@ def kg_validate(spark, sf_dir):
     ).orderBy("chk", "a", "b")
 
 
-# Key order is load-bearing: the round-3 driver run measured exactly the
-# first 50 keys and silently skipped the rest (CORRECTNESS_r03 covered 50 of
-# 55, the missing five being the last five keys), so every DISTINCT
-# capability sits in the first 50 and the tail holds only same-capability
-# variants whose operator is already proven by an earlier sibling. The five
-# r3-unmeasured keys the judge flagged (VERDICT r3 "Next round" #2) that
-# carry oracle evidence — text_winnow, text_winnow_pairs, mm_binary_meta,
-# mm_frame_sample — are all inside the first 50 now; only mm_decode_stub
-# (rows-only plumbing by design) stays in the tail. The round-4 additions
-# (corpus-curation tier + kg_degree) each took a first-50 slot from a
-# same-capability variant; every displaced entry carries a per-entry
-# rationale comment below, and all tail entries keep committed oracle
-# evidence at driver scale via scripts/contract_check.py
-# (BENCH/CONTRACT_LOCAL_sf0.01.json). Other tail entries:
-# q16_pivot/q17_cube (A3: q15_rollup), q20_intersect (U3: q19_except),
-# q23_distinct_count (A3 distinct-agg family), q11_union_distinct (U1:
-# kg_sparql_union; P4: q08), q24_correlated_semi (J7: q05/q06),
-# kg_sparql_star (kg_sparql_chain + the bgp_large star bench),
-# kg_sparql_optional (J5: the group variant is strictly stronger),
-# kg_sparql_path_quant (seq/opt/star algebra: kg_sparql_path_ops/_star),
-# sim_neardup_pairs (exact O(n^2) oracle for sim_lsh_neardup; exact cosine
-# proven by sim_cosine_topk).
+# Key order is load-bearing: each round the driver measures exactly the
+# FIRST 50 keys against the DuckDB oracles and silently skips the rest
+# (observed since CORRECTNESS_r03). Round-5 ROTATION (VERDICT r4 "Next
+# round" #3): rounds 1-4 accumulated driver-oracle evidence for 79 of the
+# 93 queries, but 43 had no driver row at r4 HEAD and 14 of those were
+# never driver-measured in ANY round. The window now holds
+#   (a) a 7-query core over the code paths REWRITTEN this round — the
+#       encode-space lowering (kg_sparql_filter / _bind / _subquery), the
+#       bucketed variable-predicate path (kg_sparql_varpred), the join
+#       composer (kg_bgp_chain), the end-to-end import (kg_rdf_import) and
+#       the TPC-H lane sentinel (q01) — regression evidence exactly where
+#       this round's diff is, and
+#   (b) all 43 queries WITHOUT a green r4 driver row, including the 14
+#       never measured (kg_ifp_fold, kg_pagerank, dedup_substring_clean,
+#       text_curation_filter, kg_sparql_describe, sim_semantic_dedup,
+#       kg_sparql_filter_fns, kg_sparql_path_ops, kg_sparql_path_star,
+#       kg_sparql_path_quant, kg_sparql_not_exists, kg_sparql_from,
+#       kg_sparql_service, text_quality_filter).
+# The tail holds the 43 queries that ARE r4-driver-green (hash-green rows
+# in CORRECTNESS_r04.json at near-current code); every query — window and
+# tail — additionally carries oracle evidence at driver scale via the
+# committed local gate, scripts/contract_check.py re-run at r5 HEAD
+# (BENCH/CONTRACT_LOCAL_sf0.01.json). The rows-only-by-design entries
+# (kg_pagerank, sim_lsh_topk, sim_lsh_neardup, sim_ivf_topk,
+# sim_semantic_dedup, mm_decode_stub — approximate/float-order paths whose
+# correctness gate is a pytest recall/parity test, not a SQL oracle) sit
+# INSIDE the window this round so the driver records their rows-only
+# checks at least once; their oracle-backed exact twins (sim_cosine_topk,
+# sim_neardup_pairs, dedup family) keep full hash evidence.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- core: this round's changed code paths (see rotation note) --
     "q01_pricing_summary": q01_pricing_summary,
+    "kg_rdf_import": kg_rdf_import,
+    "kg_bgp_chain": kg_bgp_chain,
+    "kg_sparql_filter": kg_sparql_filter,
+    "kg_sparql_bind": kg_sparql_bind,
+    "kg_sparql_subquery": kg_sparql_subquery,
+    "kg_sparql_varpred": kg_sparql_varpred,
+    # -- rotated in: no r4 driver row (relational lane) --
+    "q04_region_customer_counts": q04_region_customer_counts,
+    "q06_antijoin": q06_antijoin,
+    "q07_left_join_agg": q07_left_join_agg,
+    "q08_distinct": q08_distinct,
+    "q09_topk_events": q09_topk_events,
+    "q11_union_distinct": q11_union_distinct,
+    "q12_groupby_having": q12_groupby_having,
+    "q14_json_extract": q14_json_extract,
+    "q16_pivot": q16_pivot,
+    "q17_cube": q17_cube,
+    "q18_scalar_subquery": q18_scalar_subquery,
+    "q19_except": q19_except,
+    "q20_intersect": q20_intersect,
+    "q21_date_parts": q21_date_parts,
+    "q23_distinct_count": q23_distinct_count,
+    "q24_correlated_semi": q24_correlated_semi,
+    # -- rotated in: no r4 driver row (graph/SPARQL lane) --
+    "kg_triples_derive": kg_triples_derive,
+    "kg_type_stats": kg_type_stats,
+    "kg_bgp_star": kg_bgp_star,
+    "kg_ifp_fold": kg_ifp_fold,
+    "kg_pagerank": kg_pagerank,
+    "kg_sparql_star": kg_sparql_star,
+    "kg_sparql_optional": kg_sparql_optional,
+    "kg_sparql_distinct_limit": kg_sparql_distinct_limit,
+    "kg_sparql_not_exists": kg_sparql_not_exists,
+    "kg_sparql_describe": kg_sparql_describe,
+    "kg_sparql_filter_fns": kg_sparql_filter_fns,
+    "kg_sparql_path_ops": kg_sparql_path_ops,
+    "kg_sparql_path_star": kg_sparql_path_star,
+    "kg_sparql_path_quant": kg_sparql_path_quant,
+    "kg_sparql_from": kg_sparql_from,
+    "kg_sparql_service": kg_sparql_service,
+    # -- rotated in: no r4 driver row (dedup/similarity/text/mm lane) --
+    "dedup_jaccard_bigram": dedup_jaccard_bigram,
+    "dedup_substring_clean": dedup_substring_clean,
+    "sim_neardup_pairs": sim_neardup_pairs,
+    "sim_lsh_topk": sim_lsh_topk,
+    "sim_lsh_neardup": sim_lsh_neardup,
+    "sim_ivf_topk": sim_ivf_topk,
+    "sim_semantic_dedup": sim_semantic_dedup,
+    "mm_decode_stub": mm_decode_stub,
+    "text_fingerprint": text_fingerprint,
+    "text_curation_filter": text_curation_filter,
+    "text_quality_filter": text_quality_filter,
+    # ------------- end of the 50-query measured window -------------
+    # -- tail: r4-driver-green (CORRECTNESS_r04.json hash-green rows)
+    #    + refreshed local oracle gate at r5 HEAD --
     "q02_filter_scan": q02_filter_scan,
     "q03_top_revenue_orders": q03_top_revenue_orders,
     "q05_semijoin": q05_semijoin,
     "q10_window_topk": q10_window_topk,
     "q13_sessionize": q13_sessionize,
     "q15_rollup": q15_rollup,
-    # RDFS entailment + materialized transitive closure (round-4
-    # continuation): distinct construct-time reasoning capabilities, each
-    # oracle-backed (recursive-CTE DuckDB twins); they took the first-50
-    # slots of q19_except (U3: q20_intersect is the measured sibling and
-    # both were green r1-r3) and kg_triples_derive (S7: the same derivation
-    # is embedded in EVERY kg_* oracle pair, so any divergence would
-    # break all of them — its standalone row is redundant evidence)
+    "q22_string_funcs": q22_string_funcs,
     "kg_rdfs_closure": kg_rdfs_closure,
     "kg_transitive_closure": kg_transitive_closure,
-    # round-4 continuation: entity canonicalization by owl:sameAs smushing
-    # (the north-star's union-find merge of coreferent entities, applied as
-    # a graph rewrite) and SHACL-lite constraint validation (the
-    # data-quality lane), each oracle-backed; they took the first-50 slots
-    # of q07_left_join_agg (J5: kg_sparql_optional_group measures the
-    # strictly-stronger grouped OPTIONAL semantics, q07 green r1-r3) and
-    # q14_json_extract (function family: q22_string_funcs stays measured,
-    # q14 green r1-r3)
     "kg_sameas_fold": kg_sameas_fold,
     "kg_validate": kg_validate,
-    "q22_string_funcs": q22_string_funcs,
-    "kg_rdf_import": kg_rdf_import,
-    "kg_bgp_chain": kg_bgp_chain,
     "kg_sparql_chain": kg_sparql_chain,
     "kg_sparql_optional_group": kg_sparql_optional_group,
     "kg_sparql_minus": kg_sparql_minus,
@@ -1522,174 +1568,29 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_sparql_agg": kg_sparql_agg,
     "kg_sparql_values": kg_sparql_values,
     "kg_sparql_construct": kg_sparql_construct,
-    "kg_sparql_bind": kg_sparql_bind,
-    "kg_sparql_subquery": kg_sparql_subquery,
-    "kg_sparql_filter": kg_sparql_filter,
     "kg_sparql_union": kg_sparql_union,
     "kg_sparql_graph": kg_sparql_graph,
-    "kg_sparql_varpred": kg_sparql_varpred,
     "kg_sparql_ask": kg_sparql_ask,
+    "kg_sparql_watdiv_c": kg_sparql_watdiv_c,
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_cluster": dedup_cluster,
     "dedup_simhash": dedup_simhash,
     "sim_cosine_topk": sim_cosine_topk,
+    "dedup_substring": dedup_substring,
     "text_stats": text_stats_q,
     "text_langid": text_langid,
     "text_winnow": text_winnow,
     "text_winnow_pairs": text_winnow_pairs,
-    "mm_binary_meta": mm_binary_meta,
-    "mm_frame_sample": mm_frame_sample,
-    "kg_sparql_watdiv_c": kg_sparql_watdiv_c,
-    # corpus-curation tier (round-4 additions, each a distinct capability):
-    # Gopher repetition signals, Lee-et-al. duplicated-substring spans,
-    # deterministic stratified sampling, regex PII redaction, TF-IDF terms
     "text_repetition": text_repetition,
-    "dedup_substring": dedup_substring,
-    "sample_stratified": sample_stratified,
     "text_pii_redact": text_pii_redact,
     "text_tfidf": text_tfidf,
-    # CCNet-style LM perplexity scoring (corpus-trained bigram LM): a
-    # distinct quality-scoring capability, oracle-backed; took the
-    # first-50 slot of text_fingerprint (normalize+md5 — the md5-key
-    # capability stays measured via dedup_exact; fingerprint green r1-r3)
     "text_lm_score": text_lm_score,
-    # link-graph degree profile: the full-outer-join shape, not otherwise
-    # measured (q07 covers left outer only)
-    "kg_degree": kg_degree,
-    # benchmark decontamination (cross-dataset window overlap)
     "text_decontaminate": text_decontaminate,
-    # IFP entity resolution (fold_entities — star edges from shared
-    # inverse-functional values + max_group junk guard, one CC with the
-    # explicit sameAs edges): the fold/rewrite capability is measured up
-    # front via kg_sameas_fold; the IFP edge-derivation delta is
-    # oracle-gated locally + pinned in tests/test_cc_property.py
-    "kg_ifp_fold": kg_ifp_fold,
-    # LEFT OUTER + agg (J5): kg_sparql_optional_group measures the
-    # strictly-stronger grouped OPTIONAL; q07 green r1-r3 — yielded its
-    # first-50 slot to the sameAs-smushing canonicalization stage
-    "q07_left_join_agg": q07_left_join_agg,
-    # JSON extraction functions: the builtin-function family keeps
-    # q22_string_funcs measured; q14 green r1-r3 — yielded its slot to
-    # SHACL-lite validation
-    "q14_json_extract": q14_json_extract,
-    # normalize+md5 fingerprint: md5-key capability measured via
-    # dedup_exact; green r1-r3 — yielded its slot to LM perplexity scoring
-    "text_fingerprint": text_fingerprint,
-    # -- same-capability variants (see ordering note above) --
-    # inverted-index n-gram Jaccard: the shingle-pair dedup family keeps
-    # dedup_minhash up front and the 3-gram variant is timed in the bench;
-    # yielded its first-50 slot to decontamination
-    # displaced by the reasoning tier (see comment at kg_rdfs_closure):
-    # U3 EXCEPT — q20_intersect measures the set-op family in r1-r3 greens
-    "q19_except": q19_except,
-    # S7 derivation — embedded verbatim in every kg_* oracle pair above
-    "kg_triples_derive": kg_triples_derive,
-    "dedup_jaccard_bigram": dedup_jaccard_bigram,
-    # relational GROUP BY + HAVING: the A2 family keeps q01 up front and
-    # HAVING is measured via kg_sparql_agg; yielded its first-50 slot to
-    # the link-graph degree profile
-    "q12_groupby_having": q12_groupby_having,
-    # iterative PageRank: rows-only by design (float aggregation order);
-    # numpy power-iteration reference in tests/test_graphalg.py
-    "kg_pagerank": kg_pagerank,
-    # removal half of the dedup_substring capability (measured up front):
-    # cut every cross-doc duplicated window and rebuild the text
-    "dedup_substring_clean": dedup_substring_clean,
-    # composed curation filter stack (length + repetition + perplexity):
-    # composition of measured signals (text_stats/text_repetition/
-    # text_lm_score all up front); oracle-gated locally
-    "text_curation_filter": text_curation_filter,
-    # join+groupBy counts: the A2/J1 family keeps q01/q07/q12 up front;
-    # yielded its first-50 slot to the corpus-curation tier
-    "q04_region_customer_counts": q04_region_customer_counts,
-    # ORDER BY/LIMIT top-k: measured up front via q03 and q10 (window);
-    # yielded its first-50 slot to the corpus-curation tier
-    "q09_topk_events": q09_topk_events,
-    # star-shaped programmatic BGP: J1/J2 star access paths are measured
-    # via the SPARQL twins and the bgp_large bench; chain stays up front
-    "kg_bgp_star": kg_bgp_star,
-    # DESCRIBE = encoded semi-join sugar over the CONSTRUCT machinery
-    # measured via kg_sparql_construct up front
-    "kg_sparql_describe": kg_sparql_describe,
-    # T1/T2 stats tables: the stats surface keeps kg_class_join_stats (T3
-    # restricted, strictly richer) up front; T1/T2 are also exercised by
-    # every planner ordering test
-    "kg_type_stats": kg_type_stats,
-    # SemDeDup semantic dedup: rows-only by design (centroid-cell
-    # approximation, no SQL oracle); cluster validity + recall in pytest
-    "sim_semantic_dedup": sim_semantic_dedup,
-    # left anti-join (J7): the capability keeps a measured oracle row via
-    # kg_sparql_minus (an encoded-id left anti-join) and q24's semi twin;
-    # yielded its first-50 slot to the WatDiv-C headline shape
-    "q06_antijoin": q06_antijoin,
-    # LSH/IVF ANN near-dup scale paths: rows-only driver evidence by
-    # design (approximate, no SQL oracle); correctness lives in the
-    # recall/subset pytest gates, and the capabilities' oracle-backed
-    # exact twins (sim_cosine_topk, sim_neardup_pairs) are measured — so
-    # the rows-only entries yield the first-50 slots to oracle-green
-    # queries
-    "sim_lsh_topk": sim_lsh_topk,
-    "sim_lsh_neardup": sim_lsh_neardup,
-    "sim_ivf_topk": sim_ivf_topk,
-    # rows-only by design (deterministic fake decode, no SQL oracle); the
-    # media_table span capability is driver-measured via mm_binary_meta +
-    # mm_frame_sample in the first 50
-    "mm_decode_stub": mm_decode_stub,
-    # FILTER builtin functions (STRLEN/SUBSTR/...): strict extension of the
-    # FILTER-to-Column compiler measured via kg_sparql_filter up front;
-    # oracle-gated locally like every tail entry
-    "kg_sparql_filter_fns": kg_sparql_filter_fns,
-    # composite path algebra (seq/alt/inverse): the path family keeps p+
-    # closure (kg_sparql_path) up front; algebra is oracle-gated locally
-    "kg_sparql_path_ops": kg_sparql_path_ops,
-    # relational scalar subquery: subquery capability measured up front via
-    # kg_sparql_subquery; r3 driver row green (CORRECTNESS_r03)
-    "q18_scalar_subquery": q18_scalar_subquery,
-    # zero-length path forms (p* / p?): the path family keeps p+ closure
-    # (kg_sparql_path) and the composite algebra (kg_sparql_path_ops) up
-    # front; yielded its first-50 slot to the new update capability
-    "kg_sparql_path_star": kg_sparql_path_star,
-    # path quantifiers p{n,m}: parse-time sugar over the seq/opt/star
-    # algebra already measured by kg_sparql_path_ops / kg_sparql_path_star
-    "kg_sparql_path_quant": kg_sparql_path_quant,
-    # UNION + DISTINCT in one plan: U1 stays measured via kg_sparql_union
-    # (bag union on encoded ids) and P4 via q08; yielded its first-50 slot
-    # to the new filter-builtin / DESCRIBE capabilities
-    "q11_union_distinct": q11_union_distinct,
-    # correlated semi: the J7 semi/anti family keeps q05/q06 up front
-    "q24_correlated_semi": q24_correlated_semi,
-    # plain SELECT DISTINCT (P4); oracle-gated locally like every tail entry
-    "q08_distinct": q08_distinct,
-    # date-part scalars: the §2.7 scalar-function family keeps q22 (string)
-    # and q14 (JSON) up front
-    "q21_date_parts": q21_date_parts,
-    "q16_pivot": q16_pivot,
-    "q17_cube": q17_cube,
-    "q20_intersect": q20_intersect,
-    "q23_distinct_count": q23_distinct_count,
-    "kg_sparql_star": kg_sparql_star,
-    # single-pattern OPTIONAL: kg_sparql_optional_group (in the first 50)
-    # proves the strictly stronger J5 group semantics
-    "kg_sparql_optional": kg_sparql_optional,
-    # SPARQL-side DISTINCT/ORDER BY/LIMIT modifiers: the operators are
-    # measured relationally by q08/q03/q09; the SPARQL plumbing is
-    # parser-tested and locally oracle-gated
-    "kg_sparql_distinct_limit": kg_sparql_distinct_limit,
-    # NOT EXISTS: the anti-join machinery is measured via kg_sparql_minus
-    # and q06/q24; this exercises the FILTER-form lowering
-    "kg_sparql_not_exists": kg_sparql_not_exists,
-    "sim_neardup_pairs": sim_neardup_pairs,
-    # FROM/FROM NAMED dataset selection: the quad machinery is measured via
-    # kg_sparql_graph (in the first 50); oracle-gated locally like every
-    # tail entry
-    "kg_sparql_from": kg_sparql_from,
-    # SERVICE federation seam: a cross-relation join of the same J1 family
-    # measured up front; oracle-gated locally like every tail entry
-    "kg_sparql_service": kg_sparql_service,
-    # keep/drop composition of the text_stats capability (scored in the
-    # first 50); oracle-gated locally like every tail entry
-    "text_quality_filter": text_quality_filter,
+    "sample_stratified": sample_stratified,
+    "mm_binary_meta": mm_binary_meta,
+    "mm_frame_sample": mm_frame_sample,
+    "kg_degree": kg_degree,
 }
 
 
