@@ -318,6 +318,23 @@ def main() -> None:
         analyze_graph(lstore, resume=False)
         t_lanalyze = time.time() - t0
 
+        # r5 plan shapes at scale: a constant-equality FILTER over a hot
+        # 2-hop join (id-lowered — the constant resolves to its dictionary
+        # id and prunes on longs before any decode join) and a { SELECT }
+        # aggregate subquery (shared var re-encoded to ids at the boundary,
+        # enclosing join on longs)
+        filter_q = (
+            "PREFIX ub:<ub:> SELECT ?x ?d WHERE "
+            "{ ?x ub:memberOf ?d . ?d ub:subOrganizationOf ?u . "
+            '  FILTER(?u = "ub:University_7") }'
+        )
+        subq_q = (
+            "PREFIX ub:<ub:> SELECT ?d ?n WHERE "
+            "{ ?d ub:subOrganizationOf ?u . "
+            "  { SELECT ?d (COUNT(*) AS ?n) WHERE { ?x ub:memberOf ?d } "
+            "    GROUP BY ?d } }"
+        )
+
         def _suite(eng):
             avgs, spreads = {}, {}
             for name, q in BGP_QUERIES.items():
@@ -331,6 +348,12 @@ def main() -> None:
                  lambda: eng.sparql(agg_q, aggregates=True).count()),
                 ("bgp_sparql_path_seq",
                  lambda: eng.sparql(seq_q, decode=False, paths=True).count()),
+                ("bgp_sparql_filter_const",
+                 lambda: eng.sparql(filter_q, filters=True).count()),
+                ("bgp_sparql_subquery_agg",
+                 lambda: eng.sparql(
+                     subq_q, subquery=True, aggregates=True
+                 ).count()),
                 *(
                     (wname, lambda wq=wq: eng.sparql(wq, decode=False).count())
                     for wname, wq in watdiv.items()
