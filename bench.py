@@ -380,22 +380,41 @@ def main() -> None:
         # counts from the formatted physical plan of the two queries whose
         # plans regressed in r3. No exchange on the big sides = the join
         # keys ride the bucket layout end to end.
-        def _plan_nodes(df):
+        def _plan_nodes(df, extra: dict | None = None):
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
-            return {
+            out = {
                 "sort_merge_join": plan.count("SortMergeJoin") // 2,
                 "broadcast_hash_join": plan.count("BroadcastHashJoin") // 2,
                 "exchange_hashpartitioning": plan.count(
                     "Exchange hashpartitioning"
                 ) // 2,
             }
+            for key, needle in (extra or {}).items():
+                out[key] = plan.count(needle)
+            return out
 
         plan_audit = {
             "lubm7": _plan_nodes(buck_eng.sparql(lubm7, decode=False)),
             "chain_member": _plan_nodes(
                 buck_eng.query(parse_bgp(BGP_QUERIES["bgp_chain_member"]), decode=False)
+            ),
+            # r5 lowering shapes AT THIS SCALE: the constant FILTER must
+            # reach the scan as a pushed long-equality (the dict-resolved
+            # id), counted via the pushed-filter marker; the subquery plan
+            # carries a CONSTANT number of dict scans (3: subquery output
+            # decode, boundary re-encode, final projection decode — one
+            # per referenced var, never one per solution column), and its
+            # enclosing join keys stay long (asserted per-key in
+            # tests/test_plans.py::test_subquery_boundary_joins_on_ids)
+            "filter_const": _plan_nodes(
+                buck_eng.sparql(filter_q, filters=True),
+                {"pushed_equalto": "EqualTo(o,"},
+            ),
+            "subquery_agg": _plan_nodes(
+                buck_eng.sparql(subq_q, subquery=True, aggregates=True),
+                {"dict_scans": "dict_stage"},
             ),
         }
         # the same two plans in the true-100TB regime, where no side fits a

@@ -766,7 +766,12 @@ def maybe_compact(store, stream_dir: str, max_ratio: float = 0.10):
     (VERDICT r3 missing #2), but each compaction rewrites the full layout —
     the ratio bounds read amplification at ~(1 + max_ratio) while keeping
     write amplification sublinear in the number of epochs, the same
-    trade lakehouse table services make. A crash-interrupted compaction
+    trade lakehouse table services make. The 0.10 default sits at the
+    measured knee of that curve (scripts/stream_bench.py at 8.35M base
+    triples, BENCH/ADDENDUM.md r5): the merge-on-read penalty is a flat
+    ~2.1x suite geomean up to 0.10, then selective queries blow up (4-12x
+    at 0.20, where the unpruned tail rivals a selective predicate's pruned
+    base slice), while one compaction costs ~50 queries' worth of penalty. A crash-interrupted compaction
     (the _COMPACT_READY marker exists) is always resumed regardless of the
     ratio. Returns (store, compacted: bool).
 
