@@ -1710,3 +1710,123 @@ def test_parser_roundtrip_property_graph_blocks():
         assert q.patterns == want
 
     check()
+
+
+# --- id-lowered FILTER semantics (r5): the engine path evaluates
+# =/!=/IN/BOUND on ENCODED ids before any decode join (bgp.py
+# _filter_id_plan/_filter_id_column); these tests pin the SPARQL edge
+# semantics that lowering must preserve --------------------------------
+
+
+def test_filter_equality_absent_term(engine):
+    """A constant term missing from the dictionary: '=' matches nothing,
+    '!=' matches every BOUND row — the lowered compile must express both
+    without the id lookup erroring (the id simply does not exist)."""
+    base = PREFIXES + "SELECT ?x WHERE { ?x rdf:type ub:Course . %s}"
+    n_all = engine.sparql(base % "").count()
+    assert n_all > 0
+    assert (
+        engine.sparql(base % 'FILTER(?x = "ub:NoSuchTerm") ', filters=True).count()
+        == 0
+    )
+    assert (
+        engine.sparql(base % 'FILTER(?x != "ub:NoSuchTerm") ', filters=True).count()
+        == n_all
+    )
+
+
+def test_filter_in_mixed_present_absent_members(engine):
+    """IN over one present + one absent term == equality with the present
+    one; NOT IN drops only the present one."""
+    base = PREFIXES + "SELECT ?d WHERE { ?d rdf:type ub:Department . %s}"
+    n_all = engine.sparql(base % "").count()
+    got_in = engine.sparql(
+        base % 'FILTER(?d IN ("ub:Department_0_0", "ub:Ghost")) ', filters=True
+    )
+    assert [r["d"] for r in got_in.collect()] == ["ub:Department_0_0"]
+    got_not = engine.sparql(
+        base % 'FILTER(?d NOT IN ("ub:Department_0_0", "ub:Ghost")) ',
+        filters=True,
+    )
+    assert got_not.count() == n_all - 1
+
+
+def test_filter_optional_null_under_lowered_equality(engine):
+    """OPTIONAL-null rows must drop under BOTH FILTER(?d = const) and its
+    negation — SPARQL evaluates comparisons on unbound vars to an error,
+    and error is false under FILTER even inside NOT. The lowered compile
+    handles this with null-exact Columns (when(bound, const)); parity
+    checked against manual filters over the decoded unfiltered result."""
+    base = (
+        PREFIXES
+        + "SELECT ?e ?d WHERE { ?e ub:name ?n . "
+        + "OPTIONAL { ?e ub:worksFor ?d } %s}"
+    )
+    plain = engine.sparql(base % "")
+    rows = plain.collect()
+    n_null = sum(1 for r in rows if r["d"] is None)
+    assert n_null > 0 and n_null < len(rows)  # genuinely mixed
+    dept = next(r["d"] for r in rows if r["d"] is not None)
+
+    got_eq = engine.sparql(base % f'FILTER(?d = "{dept}") ', filters=True)
+    want_eq = sorted(tuple(r) for r in rows if r["d"] == dept)
+    assert sorted(map(tuple, got_eq.collect())) == want_eq and want_eq
+
+    got_ne = engine.sparql(base % f'FILTER(!(?d = "{dept}")) ', filters=True)
+    want_ne = sorted(
+        tuple(r) for r in rows if r["d"] is not None and r["d"] != dept
+    )
+    assert sorted(map(tuple, got_ne.collect())) == want_ne and want_ne
+
+    # absent-term variants on the nullable column: '=' empty; '!=' keeps
+    # exactly the bound rows (null rows error out either way)
+    assert engine.sparql(base % 'FILTER(?d = "ub:Ghost") ', filters=True).count() == 0
+    assert (
+        engine.sparql(base % 'FILTER(?d != "ub:Ghost") ', filters=True).count()
+        == len(rows) - n_null
+    )
+
+
+def test_filter_bound_lowered_with_optional(engine):
+    """BOUND(?d)/!BOUND(?d) over an OPTIONAL var, engine path: lowered to
+    isNotNull on the ENCODED column (no decode below the filter)."""
+    base = (
+        PREFIXES
+        + "SELECT ?e WHERE { ?e ub:name ?n . OPTIONAL { ?e ub:worksFor ?d } %s}"
+    )
+    n_all = engine.sparql(base % "").count()
+    n_bound = engine.sparql(base % "FILTER(bound(?d)) ", filters=True).count()
+    n_unbound = engine.sparql(base % "FILTER(!bound(?d)) ", filters=True).count()
+    assert n_bound > 0 and n_unbound > 0
+    assert n_bound + n_unbound == n_all
+
+
+def test_filter_predicate_var_equality_lowered(engine):
+    """Equality on a PREDICATE var resolves through the predicate catalog
+    (its own id space, disjoint from the entity dictionary)."""
+    q = (
+        PREFIXES
+        + "SELECT ?p WHERE { <ub:Department_0_0> ?p ?o . "
+        + 'FILTER(?p = "ub:subOrganizationOf") }'
+    )
+    got = engine.sparql(q, var_predicates=True, filters=True).collect()
+    assert got and all(r["p"] == "ub:subOrganizationOf" for r in got)
+    q_ne = (
+        PREFIXES
+        + "SELECT ?p WHERE { <ub:Department_0_0> ?p ?o . "
+        + 'FILTER(?p != "ub:subOrganizationOf") }'
+    )
+    ne = [r["p"] for r in engine.sparql(q_ne, var_predicates=True, filters=True).collect()]
+    assert ne and "ub:subOrganizationOf" not in ne
+
+
+def test_filter_mixed_id_space_comparison_stays_on_strings(engine):
+    """?p = ?x across the predicate/entity id spaces must NOT lower (the
+    two catalogs assign unrelated ids) — the string path answers it; here
+    its result must equal the explicit STR() comparison."""
+    q = PREFIXES + "SELECT ?x ?p WHERE { ?x ?p ?o . %s}"
+    got = engine.sparql(q % "FILTER(?p = ?x) ", var_predicates=True, filters=True)
+    want = engine.sparql(
+        q % "FILTER(STR(?p) = STR(?x)) ", var_predicates=True, filters=True
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
