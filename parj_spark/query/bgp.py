@@ -1392,7 +1392,49 @@ class BGPEngine:
         pats = getattr(q, "patterns", None)
         if not pats:
             return "(no core BGP — nothing to plan driver-side)"
-        return self.explain(list(pats))
+        report = self.explain(list(pats))
+        if getattr(q, "filters", None):
+            # replay the FILTER decode-placement decision (r5 lowering):
+            # id-lowerable filters prune the encoded solution set before any
+            # dictionary join; the rest decode only the vars they reference
+            from parj_spark.query.sparql import filter_vars
+
+            all_pats = (
+                list(q.patterns)
+                + [p for g in q.optional for p in g]
+                + [p for grp in q.unions for alt in grp for p in alt]
+            )
+            pvars = {v for p in all_pats for v in [p.pred_var()] if v}
+            cols = pvars | {
+                t[1:]
+                for p in all_pats
+                for t in (p.s, p.o)
+                if _is_var(t)
+            }
+            lines = []
+            for fexpr in q.filters:
+                plan = self._filter_id_plan(fexpr, cols, set(), pvars)
+                fv = ",".join(sorted(filter_vars(fexpr))) or "-"
+                if plan is not None:
+                    ent, pred = plan
+                    consts = len(ent) + len(pred)
+                    lines.append(
+                        f"  FILTER on ({fv}): id-lowered — prunes on "
+                        f"encoded longs before any decode"
+                        + (
+                            f"; {consts} constant term(s) resolved via "
+                            "pruned dictionary point lookup"
+                            if consts
+                            else ""
+                        )
+                    )
+                else:
+                    lines.append(
+                        f"  FILTER on ({fv}): string path — decodes only "
+                        "these vars pre-filter (output vars decode after)"
+                    )
+            report += "\nfilter lowering:\n" + "\n".join(lines)
+        return report
 
     def _sparql_query(self, q, decode: bool) -> DataFrame:
         """Lower one parsed (sub)query over the permutation tables —

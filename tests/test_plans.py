@@ -390,3 +390,20 @@ def test_subquery_boundary_joins_on_ids(spark, tiny_graph):
     # at most the two sides of the single boundary re-encode join on strings
     assert suffixes.count("") <= 2, plan
     assert df.count() > 0
+
+
+def test_explain_sparql_reports_filter_lowering(spark, tiny_graph):
+    """The plan report replays the FILTER decode-placement decision: an
+    equality over a constant term reports id-lowered, a regex reports the
+    string path with its referenced vars."""
+    eng = BGPEngine(tiny_graph)
+    txt = eng.explain_sparql(
+        'PREFIX ub:<ub:> SELECT ?x WHERE { ?x ub:name ?y . '
+        '?x ub:memberOf ?d . '
+        'FILTER(?d = "ub:Department_0_0") FILTER(regex(?y, "_0$")) }',
+        filters=True,
+    )
+    assert "filter lowering:" in txt
+    assert "FILTER on (d): id-lowered" in txt
+    assert "1 constant term(s) resolved" in txt
+    assert "FILTER on (y): string path" in txt
