@@ -1319,6 +1319,126 @@ class BGPEngine:
             out = (out & p) if isinstance(e, S.And) else (out | p)
         return out
 
+    def _propagate_const_filters(self, q):
+        """Sideways information passing for constant equality: a top-level
+        ``FILTER(?v = "term")`` (or single-member ``IN``) conjunct whose var
+        appears ONLY in the core BGP's s/o slots binds ?v BEFORE planning —
+        the pattern slot becomes a constant term, so the planner sees the
+        true point-lookup selectivity (orientation choice, bucket/row-group
+        pruning, join order seeded from the selective pattern) instead of
+        discovering the constant only as a Catalyst pushdown after the join
+        tree is fixed. The reference gets this for free because constants
+        can only arrive inside the query string (DagCreator.java builds
+        access paths from the triple's bound slots); the rewrite puts
+        FILTER constants on equal footing. ?v re-surfaces as a constant
+        literal column after the core compose, so projection/ORDER
+        BY/other filters see it unchanged. A term absent from the
+        dictionary yields the empty result through the ordinary
+        constant-resolution path — identical to '=' error semantics.
+
+        Vars referenced anywhere else (OPTIONAL/UNION/MINUS/EXISTS/VALUES/
+        BIND/CONSTRUCT/DESCRIBE/GRAPH slots/subquery projections/predicate
+        position) are left to the post-compose id-lowered filter — the
+        rewrite must not change group semantics, only access paths.
+        Returns (q', [(var, term), ...]); ``q`` itself is not mutated."""
+        import dataclasses
+
+        from parj_spark.query import sparql as S
+
+        if not q.filters or not q.patterns:
+            return q, []
+
+        blocked: set[str] = set()
+
+        def block_pats(pats):
+            for p in pats:
+                for t in (p.s, p.o):
+                    if _is_var(t):
+                        blocked.add(t[1:])
+                pv = p.pred_var()
+                if pv:
+                    blocked.add(pv)
+                if p.g is not None and _is_var(p.g):
+                    blocked.add(p.g[1:])
+
+        for grp in q.optional:
+            block_pats(grp)
+        for grp in q.unions:
+            for alt in grp:
+                block_pats(alt)
+        for grp in q.minus:
+            block_pats(grp)
+        for _, grp in q.exists:
+            block_pats(grp)
+        for _, _, grp in q.services:
+            block_pats(grp)
+        for vars_, _ in q.values:
+            blocked.update(vars_)
+        for expr, alias in q.binds:
+            blocked.add(alias)
+            blocked.update(S.bind_vars(expr))
+        if q.construct is not None:
+            block_pats(q.construct)
+        if q.describe is not None:
+            blocked.update(t[1:] for t in q.describe if t.startswith("?"))
+        for sub in q.subqueries:
+            if sub.select is None:
+                return q, []  # SELECT * projection: can't bound its vars
+            blocked.update(sub.select)
+            blocked.update(a.alias for a in sub.aggregates)
+        for p in q.patterns:  # predicate/GRAPH position in the core itself
+            pv = p.pred_var()
+            if pv:
+                blocked.add(pv)
+            if p.g is not None and _is_var(p.g):
+                blocked.add(p.g[1:])
+        core_vars = {
+            t[1:] for p in q.patterns for t in (p.s, p.o) if _is_var(t)
+        }
+
+        def eq_const(f):
+            if isinstance(f, S.Comparison) and f.op == "=":
+                vs = [t for t in (f.lhs, f.rhs) if t[0] == "var"]
+                ls = [t for t in (f.lhs, f.rhs) if t[0] == "lit"]
+                if len(vs) == 1 and len(ls) == 1:
+                    return vs[0][1], ls[0][1]
+            if (
+                isinstance(f, S.InList)
+                and not f.negated
+                and f.arg[0] == "var"
+                and len(f.values) == 1
+                and f.values[0][0] == "lit"
+            ):
+                return f.arg[1], f.values[0][1]
+            return None
+
+        sub: dict[str, str] = {}
+        kept = []
+        for f in q.filters:
+            hit = eq_const(f)
+            if (
+                hit is not None
+                and hit[0] in core_vars
+                and hit[0] not in blocked
+                and hit[0] not in sub
+            ):
+                sub[hit[0]] = hit[1]
+            else:
+                kept.append(f)
+        if not sub:
+            return q, []
+
+        def slot(t):
+            return sub[t[1:]] if _is_var(t) and t[1:] in sub else t
+
+        pats = [
+            dataclasses.replace(p, s=slot(p.s), o=slot(p.o))
+            for p in q.patterns
+        ]
+        return dataclasses.replace(q, patterns=pats, filters=kept), sorted(
+            sub.items()
+        )
+
     def sparql(
         self,
         text: str,
@@ -1392,7 +1512,17 @@ class BGPEngine:
         pats = getattr(q, "patterns", None)
         if not pats:
             return "(no core BGP — nothing to plan driver-side)"
+        const_binds = []
+        if getattr(q, "filters", None):
+            q, const_binds = self._propagate_const_filters(q)
+            pats = q.patterns
         report = self.explain(list(pats))
+        if const_binds:
+            report += "\nfilter constants propagated into the BGP:" + "".join(
+                f"\n  ?{v} = {term} (pattern slot bound pre-planning — "
+                "point-lookup access path)"
+                for v, term in const_binds
+            )
         if getattr(q, "filters", None):
             # replay the FILTER decode-placement decision (r5 lowering):
             # id-lowerable filters prune the encoded solution set before any
@@ -1475,6 +1605,11 @@ class BGPEngine:
             )
         if not q.patterns and q.optional:
             raise ValueError("OPTIONAL without a core BGP is not supported")
+        # sideways information passing: constant-equality FILTERs over
+        # core-BGP-only vars bind the pattern slot BEFORE planning (point
+        # lookup + true selectivity); the vars re-surface as constant
+        # literal columns right after the compose
+        q, const_binds = self._propagate_const_filters(q)
         # run the core BGP and every UNION alternative ENCODED (decode=False)
         # so all joins happen on dictionary ids — decoding each sub-BGP
         # separately would both repeat the dictionary join per alternative
@@ -1490,6 +1625,9 @@ class BGPEngine:
             if q.patterns
             else None
         )
+        for v, term in const_binds:
+            result = result.withColumn(v, F.lit(term))
+            literal.add(v)
         for grp in q.unions:
             u = self.query(grp[0], select=None, decode=False)
             for alt in grp[1:]:

@@ -393,17 +393,48 @@ def test_subquery_boundary_joins_on_ids(spark, tiny_graph):
 
 
 def test_explain_sparql_reports_filter_lowering(spark, tiny_graph):
-    """The plan report replays the FILTER decode-placement decision: an
-    equality over a constant term reports id-lowered, a regex reports the
-    string path with its referenced vars."""
+    """The plan report replays the FILTER decode-placement decision, all
+    three tiers: constant equality over a core-BGP-only var PROPAGATES into
+    the pattern slot (point-lookup access path, pre-planning), a lowerable
+    shape that can't propagate (!=) prunes on encoded ids post-compose, a
+    regex runs the string path decoding only its vars."""
     eng = BGPEngine(tiny_graph)
     txt = eng.explain_sparql(
         'PREFIX ub:<ub:> SELECT ?x WHERE { ?x ub:name ?y . '
         '?x ub:memberOf ?d . '
-        'FILTER(?d = "ub:Department_0_0") FILTER(regex(?y, "_0$")) }',
+        'FILTER(?d = "ub:Department_0_0") FILTER(?x != "ub:Nobody") '
+        'FILTER(regex(?y, "_0$")) }',
         filters=True,
     )
-    assert "filter lowering:" in txt
-    assert "FILTER on (d): id-lowered" in txt
+    assert "filter constants propagated into the BGP:" in txt
+    assert "?d = ub:Department_0_0" in txt
+    # the propagated constant is a bound pattern slot in the plan body
+    assert "ub:Department_0_0" in txt.splitlines()[2] + txt.splitlines()[3]
+    assert "FILTER on (x): id-lowered" in txt
     assert "1 constant term(s) resolved" in txt
     assert "FILTER on (y): string path" in txt
+
+
+def test_const_filter_propagation_shared_var(spark, tiny_graph):
+    """Constant propagation with ?d shared by TWO core patterns: both slots
+    bind to the constant (the join on ?d collapses to two constant-
+    restricted scans — sideways information passing), ?d re-surfaces as a
+    constant column, and results match the STR() string route exactly."""
+    eng = BGPEngine(tiny_graph)
+    base = (
+        'PREFIX ub:<ub:> SELECT ?x ?g ?d WHERE { ?x ub:worksFor ?d . '
+        '?g ub:subOrganizationOf ?d . %s}'
+    )
+    got = eng.sparql(
+        base % 'FILTER(?d = "ub:Department_0_0") ', filters=True
+    )
+    want = eng.sparql(
+        base % 'FILTER(STR(?d) = "ub:Department_0_0") ', filters=True
+    )
+    g, w = sorted(map(tuple, got.collect())), sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0
+    assert all(r[2] == "ub:Department_0_0" for r in g)
+    # plan: no dict join at all (both output vars... x and g still decode),
+    # but the ?d column is a literal constant — exactly 2 dict scans
+    plan = _plan(got)
+    assert plan.count("dict_stage") == 2, plan
