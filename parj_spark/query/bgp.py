@@ -946,6 +946,50 @@ class BGPEngine:
             order_by=order_by, limit=limit,
         )
 
+    def _apply_optional_groups(
+        self, result: DataFrame, opt_groups: list[list[Pattern]], terms: dict
+    ) -> DataFrame:
+        """Left-join each OPTIONAL block onto the accumulated solution set:
+        the block's patterns join each other first, then the assembled block
+        left-joins ``result``, so it matches as a whole or leaves all its
+        vars unbound (SPARQL group semantics).
+
+        Placement contract: in the SPARQL path this runs AFTER every
+        binding join (core BGP ⋈ UNION ⋈ subquery ⋈ VALUES) — the same
+        group-element normal form execute_on_triples uses — so no
+        equi-join downstream ever sees a possibly-unbound (null) key. The
+        differential fuzzer found the old order (OPTIONAL inside the core
+        query(), UNION joined after) null-dropping solutions whose
+        OPTIONAL var a UNION group shares: SPARQL's compatibility join
+        treats unbound as joining-with-anything, which a plain equi-join
+        on a null key silently violates."""
+        for group in opt_groups:
+            gdf = self._compose_joins(
+                self._order(group, terms) if len(group) > 1 else list(group),
+                terms,
+            )
+            # None = a group pattern with an unknown constant matches nothing
+            dead = gdf is None
+            group_vars = sorted({v for p in group for v in p.vars()})
+            if dead:
+                for v in group_vars:
+                    if v not in result.columns:
+                        result = result.withColumn(v, F.lit(None).cast("long"))
+                continue
+            if "__exists" in gdf.columns:
+                gdf = gdf.drop("__exists")
+            if not gdf.columns:
+                continue  # fully-bound block binds nothing
+            shared = sorted(set(result.columns) & set(gdf.columns))
+            # no shared vars: constant-true left join preserves core rows
+            # even when the optional side is empty (crossJoin annihilates)
+            result = (
+                result.join(gdf, on=shared, how="left")
+                if shared
+                else result.join(gdf, F.lit(True), "left")
+            )
+        return result
+
     def _compose_joins(
         self, ordered: list[Pattern], terms: dict[str, int]
     ) -> DataFrame | None:
@@ -1030,30 +1074,7 @@ class BGPEngine:
         if "__exists" in result.columns:
             result = result.drop("__exists")
 
-        for group in opt_groups:  # OPTIONAL blocks: left outer, after the core
-            gdf = self._compose_joins(
-                self._order(group, terms) if len(group) > 1 else list(group), terms
-            )
-            # None = a group pattern with an unknown constant matches nothing
-            dead = gdf is None
-            group_vars = sorted({v for p in group for v in p.vars()})
-            if dead:
-                for v in group_vars:
-                    if v not in result.columns:
-                        result = result.withColumn(v, F.lit(None).cast("long"))
-                continue
-            if "__exists" in gdf.columns:
-                gdf = gdf.drop("__exists")
-            if not gdf.columns:
-                continue  # fully-bound block binds nothing
-            shared = sorted(set(result.columns) & set(gdf.columns))
-            # no shared vars: constant-true left join preserves core rows
-            # even when the optional side is empty (crossJoin annihilates)
-            result = (
-                result.join(gdf, on=shared, how="left")
-                if shared
-                else result.join(gdf, F.lit(True), "left")
-            )
+        result = self._apply_optional_groups(result, opt_groups, terms)
 
         all_pats = list(patterns) + opt_patterns
         out_vars = select or sorted(
@@ -1468,7 +1489,10 @@ class BGPEngine:
         core BGP; id-lowerable FILTERs (=/!=/IN/BOUND over constant terms)
         prune on ENCODED ids before any decode join, other FILTERs decode
         only the vars they reference, then the solution modifiers run.
-        OPTIONAL blocks attach to the core BGP. A ``{ SELECT }`` subquery
+        OPTIONAL blocks left-join AFTER the UNION/subquery/VALUES binding
+        joins (the group-element normal form documented on SparqlQuery —
+        both evaluators share it, so a UNION var that only an OPTIONAL
+        binds is never a null equi-join key). A ``{ SELECT }`` subquery
         lowers recursively; its shared projected vars re-encode to ids at
         the boundary, so the enclosing group still joins on longs."""
         q = self._parse_sparql_text(
@@ -1613,14 +1637,29 @@ class BGPEngine:
         # run the core BGP and every UNION alternative ENCODED (decode=False)
         # so all joins happen on dictionary ids — decoding each sub-BGP
         # separately would both repeat the dictionary join per alternative
-        # and shuffle term strings instead of longs; decode once at the end
+        # and shuffle term strings instead of longs; decode once at the end.
+        # OPTIONAL groups do NOT join here: they left-join AFTER the
+        # UNION/subquery/VALUES binding joins (see _apply_optional_groups's
+        # placement contract), so a var those elements share with an
+        # OPTIONAL block is never a possibly-null equi-join key.
+        opt_pats = [p for g in q.optional for p in g]
+        if opt_pats:
+            all_chk = list(q.patterns) + opt_pats
+            pv_chk = {v for p in all_chk for v in [p.pred_var()] if v}
+            ev_chk = {v for p in all_chk for v in p.entity_vars()}
+            if pv_chk & ev_chk:
+                # same invariant query(optional=...) enforced when the
+                # OPTIONAL blocks still joined inside the core call
+                raise ValueError(
+                    f"variable(s) used in both predicate and subject/object "
+                    f"position: {sorted(pv_chk & ev_chk)}"
+                )
         result = (
             self.query(
                 q.patterns,
                 select=None,
                 distinct=False,
                 decode=False,
-                optional=q.optional or None,
             )
             if q.patterns
             else None
@@ -1693,6 +1732,17 @@ class BGPEngine:
                 result.join(F.broadcast(vdf), on=shared)
                 if shared
                 else result.crossJoin(F.broadcast(vdf))
+            )
+        if q.optional:
+            # OPTIONAL left-joins the fully-composed binding set (core ⋈
+            # UNION ⋈ subquery ⋈ VALUES) — matching execute_on_triples'
+            # normal form and typical document order. The core query() call
+            # neither resolved this block's constants nor hydrated its
+            # predicates' stats, so do both here.
+            opt_groups = [list(g) for g in q.optional]
+            self._hydrate(opt_pats)
+            result = self._apply_optional_groups(
+                result, opt_groups, self._resolve_terms(opt_pats)
             )
         for group in q.minus:
             # MINUS on encoded ids BEFORE decode: the anti-join probes long

@@ -134,8 +134,20 @@ class SparqlQuery:
     # UNION groups (opt-in extension; empty at parity): each entry is one
     # `{ A } UNION { B } (UNION { C })*` group — a list of >=2 alternative
     # BGPs that must bind the SAME variable set (enforced at parse time so
-    # the union is column-aligned and joins with the core BGP stay exact;
-    # SPARQL's unbound-is-compatible join edge case is out of scope)
+    # the union is column-aligned).
+    #
+    # Group-element NORMAL FORM (both evaluators, differentially fuzzed):
+    # the element lists below lose document order, so a group evaluates as
+    #   core BGP ⋈ UNIONs ⋈ subqueries ⋈ VALUES   (always-bound joins)
+    #   ⟕ OPTIONALs                               (left joins, hoisted last)
+    #   ▷ MINUS / EXISTS, then FILTER/BIND, then modifiers
+    # — i.e. as if every OPTIONAL block were written at the end of its
+    # group. This equals strict document-order semantics whenever OPTIONALs
+    # come last (the conventional style) AND avoids SPARQL's
+    # unbound-is-compatible join on a possibly-null key: no equi-join ever
+    # sees a var that only an OPTIONAL binds. A query that writes OPTIONAL
+    # *before* a UNION/subquery/VALUES that rebinds its vars gets the
+    # hoisted reading, not the interleaved one.
     unions: list[list[list[Pattern]]] = field(default_factory=list)
     # MINUS blocks (opt-in extension; empty at parity): one inner list per
     # `MINUS { ... }` — core solutions are removed when the block matches
