@@ -390,6 +390,14 @@ _SPARQL_OPTIONAL = """
     }
 """
 
+_SPARQL_OPTIONAL_FILTER = """
+    PREFIX urn: <urn:>
+    SELECT ?e ?nm ?r WHERE {
+        ?e urn:name ?nm .
+        OPTIONAL { ?e urn:partOf ?r FILTER(?r != <urn:region:0>) }
+    }
+"""
+
 _SPARQL_DISTINCT_LIMIT = """
     PREFIX urn: <urn:>
     SELECT DISTINCT ?nm WHERE { ?x urn:name ?nm } ORDER BY ?nm LIMIT 7
@@ -510,6 +518,21 @@ def kg_sparql_optional(spark, sf_dir):
     from parj_spark.query.sparql import execute_on_triples
 
     return execute_on_triples(_derived_triples(spark, sf_dir), _SPARQL_OPTIONAL)
+
+
+def kg_sparql_optional_filter(spark, sf_dir):
+    """FILTER scoped inside an OPTIONAL block — SPARQL LeftJoin(G, P, E):
+    a block match failing E leaves ?r unbound instead of dropping the core
+    solution, i.e. the SQL analog is the predicate ON the left join, not a
+    WHERE (extension beyond parity; the reference rejects all FILTERs,
+    DagCreator.java:269-271)."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    return execute_on_triples(
+        _derived_triples(spark, sf_dir),
+        _SPARQL_OPTIONAL_FILTER,
+        allow_filter=True,
+    )
 
 
 def kg_sparql_optional_group(spark, sf_dir):
@@ -1591,6 +1614,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_binary_meta": mm_binary_meta,
     "mm_frame_sample": mm_frame_sample,
     "kg_degree": kg_degree,
+    # -- added r5 (after the window rotation; tail keeps the measured
+    #    first-50 stable): OPTIONAL-scoped FILTER, LeftJoin(G, P, E) --
+    "kg_sparql_optional_filter": kg_sparql_optional_filter,
 }
 
 
@@ -2867,4 +2893,15 @@ ORACLES["text_curation_filter"] = f"""
         CASE WHEN perplexity > 33.0 THEN 'high_perplexity' END
       ], x -> x IS NOT NULL), ','), '') AS reasons
     FROM j
+"""
+
+# OPTIONAL-scoped FILTER = the predicate rides the LEFT JOIN's ON clause
+# (SPARQL LeftJoin(G, P, E)): a failing match nulls out, a WHERE would drop
+ORACLES["kg_sparql_optional_filter"] = f"""
+    WITH triples AS ({_TRIPLES_SQL})
+    SELECT nm.s AS e, nm.o AS nm, pt.o AS r
+    FROM triples nm
+    LEFT JOIN triples pt
+           ON pt.p = 'urn:partOf' AND pt.s = nm.s AND pt.o <> 'urn:region:0'
+    WHERE nm.p = 'urn:name'
 """

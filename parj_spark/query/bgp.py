@@ -947,7 +947,13 @@ class BGPEngine:
         )
 
     def _apply_optional_groups(
-        self, result: DataFrame, opt_groups: list[list[Pattern]], terms: dict
+        self,
+        result: DataFrame,
+        opt_groups: list[list[Pattern]],
+        terms: dict,
+        literal: "frozenset[str] | set[str]" = frozenset(),
+        pvars: "frozenset[str] | set[str]" = frozenset(),
+        opt_filters: list | None = None,
     ) -> DataFrame:
         """Left-join each OPTIONAL block onto the accumulated solution set:
         the block's patterns join each other first, then the assembled block
@@ -962,8 +968,19 @@ class BGPEngine:
         query(), UNION joined after) null-dropping solutions whose
         OPTIONAL var a UNION group shares: SPARQL's compatibility join
         treats unbound as joining-with-anything, which a plain equi-join
-        on a null key silently violates."""
-        for group in opt_groups:
+        on a null key silently violates.
+
+        ``literal`` names result columns already holding decoded term
+        strings (constant-FILTER rebinds, subquery ride-alongs): a block
+        var shared with one decodes ON THE BLOCK SIDE before the join —
+        the same probe-side decode the MINUS/EXISTS paths apply — so the
+        join compares strings to strings instead of casting a term string
+        to a long key (which threw at runtime before r5).
+        ``opt_filters`` holds each block's scoped FILTER expressions
+        (SPARQL LeftJoin(G, P, E), E over P's vars), applied to the
+        block's ENCODED frame before the left join via
+        _filter_group_frame."""
+        for gi, group in enumerate(opt_groups):
             gdf = self._compose_joins(
                 self._order(group, terms) if len(group) > 1 else list(group),
                 terms,
@@ -978,9 +995,20 @@ class BGPEngine:
                 continue
             if "__exists" in gdf.columns:
                 gdf = gdf.drop("__exists")
+            if opt_filters and gi < len(opt_filters) and opt_filters[gi]:
+                gdf = self._filter_group_frame(
+                    gdf, opt_filters[gi], group, pvars
+                )
             if not gdf.columns:
                 continue  # fully-bound block binds nothing
             shared = sorted(set(result.columns) & set(gdf.columns))
+            lit_shared = [v for v in shared if v in literal]
+            if lit_shared:
+                gpv = {v for p in group for v in [p.pred_var()] if v}
+                cols = list(gdf.columns)
+                gdf = self._decode_frame(
+                    gdf, set(pvars) | gpv, only=lit_shared
+                ).select(*cols)
             # no shared vars: constant-true left join preserves core rows
             # even when the optional side is empty (crossJoin annihilates)
             result = (
@@ -989,6 +1017,64 @@ class BGPEngine:
                 else result.join(gdf, F.lit(True), "left")
             )
         return result
+
+    def _filter_group_frame(
+        self,
+        gdf: DataFrame,
+        gfs: list,
+        group: list[Pattern],
+        pvars: "frozenset[str] | set[str]",
+    ) -> DataFrame:
+        """Apply block-scoped FILTERs to an OPTIONAL group's ENCODED frame.
+
+        Same two-tier lowering as the top-level FILTER path: id-lowerable
+        forms (=/!=/IN/BOUND over vars and constant terms) prune on longs
+        after a pruned driver-side constant lookup; the rest decode ONLY
+        the referenced vars into throwaway ``__lit_*`` columns so the
+        block's join keys stay encoded for the left join that follows."""
+        from parj_spark.query.sparql import filter_to_column, filter_vars
+
+        gpv = {v for p in group for v in [p.pred_var()] if v} | set(pvars)
+        cols = set(gdf.columns)
+        lowerable, rest, ent_consts = [], [], set()
+        for fexpr in gfs:
+            plan = self._filter_id_plan(fexpr, cols, set(), gpv)
+            if plan is None:
+                rest.append(fexpr)
+            else:
+                lowerable.append(fexpr)
+                ent_consts |= plan[0]
+        if lowerable:
+            ent_ids = (
+                {
+                    r["uri"]: r["id"]
+                    for r in self._dict.filter(
+                        F.col("uri").isin(sorted(ent_consts))
+                    ).collect()
+                }
+                if ent_consts
+                else {}
+            )
+            for fexpr in lowerable:
+                gdf = gdf.filter(self._filter_id_column(fexpr, ent_ids, gpv))
+        if rest:
+            refs = sorted({v for fexpr in rest for v in filter_vars(fexpr)} & cols)
+            for v in refs:
+                src = (
+                    F.broadcast(self.store.properties())
+                    if v in gpv
+                    else self._decode_dict()
+                )
+                d = src.select(
+                    F.col("id").alias(v), F.col("uri").alias(f"__lit_{v}")
+                )
+                gdf = gdf.join(d, v, "left")
+            for fexpr in rest:
+                gdf = gdf.filter(
+                    filter_to_column(fexpr, lambda n: F.col(f"__lit_{n}"))
+                )
+            gdf = gdf.drop(*[f"__lit_{v}" for v in refs])
+        return gdf
 
     def _compose_joins(
         self, ordered: list[Pattern], terms: dict[str, int]
@@ -1608,7 +1694,8 @@ class BGPEngine:
             F.desc(v[1:]) if v.startswith("-") else F.asc(v) for v in q.order_by
         ] or None
         if (
-            not q.filters and not q.unions and not q.ask and not q.minus
+            not q.filters and not any(q.optional_filters) and not q.unions
+            and not q.ask and not q.minus
             and not q.exists and q.offset is None and not q.aggregates
             and not q.values and q.construct is None and not q.binds
             and not q.subqueries and q.describe is None
@@ -1742,7 +1829,12 @@ class BGPEngine:
             opt_groups = [list(g) for g in q.optional]
             self._hydrate(opt_pats)
             result = self._apply_optional_groups(
-                result, opt_groups, self._resolve_terms(opt_pats)
+                result,
+                opt_groups,
+                self._resolve_terms(opt_pats),
+                literal=literal,
+                pvars=pvars,
+                opt_filters=q.optional_filters,
             )
         for group in q.minus:
             # MINUS on encoded ids BEFORE decode: the anti-join probes long

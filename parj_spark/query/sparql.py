@@ -131,6 +131,16 @@ class SparqlQuery:
     prefixes: dict[str, str] = field(default_factory=dict)
     # conjunctive FILTER expressions (opt-in extension; empty at parity)
     filters: list["FilterExpr"] = field(default_factory=list)
+    # FILTERs written INSIDE an OPTIONAL block (opt-in with the other FILTER
+    # forms): index-aligned with ``optional`` — entry i holds block i's
+    # filter expressions, applied to the block's solutions BEFORE the left
+    # join. SPARQL algebra reads OPTIONAL { P FILTER(E) } as
+    # LeftJoin(G, P, E); when E references only variables bound inside the
+    # block (the well-designed case, enforced at parse time), the join
+    # expression factors into a pre-filter of the block exactly — for any
+    # merged solution, E sees the block side's bindings. Cross-side
+    # expressions (E over enclosing-group-only vars) are rejected.
+    optional_filters: list[list["FilterExpr"]] = field(default_factory=list)
     # UNION groups (opt-in extension; empty at parity): each entry is one
     # `{ A } UNION { B } (UNION { C })*` group — a list of >=2 alternative
     # BGPs that must bind the SAME variable set (enforced at parse time so
@@ -1104,6 +1114,7 @@ class _Parser:
         """Parse the contents of a WHERE group; consumes the closing '}'."""
         patterns: list[Pattern] = []
         optional: list[list[Pattern]] = []
+        optional_filters: list[list[FilterExpr]] = []
         filters: list[FilterExpr] = []
         unions: list[list[list[Pattern]]] = []
         minus: list[list[Pattern]] = []
@@ -1126,9 +1137,44 @@ class _Parser:
                 self.next()
                 self.expect("{")
                 group: list[Pattern] = []
-                self._triples_block(group, stop="}")
+                gfilters: list[FilterExpr] = []
+                # an OPTIONAL block body is triples plus (optionally) FILTER
+                # value expressions — SPARQL's LeftJoin(G, P, E) form. Other
+                # group constructs (nested OPTIONAL, UNION, EXISTS, ...)
+                # inside the block stay out of scope and fall through to
+                # _triples_same_subject's error.
+                while True:
+                    bt = self.peek()
+                    if bt is None:
+                        raise ValueError("SPARQL parser: missing closing '}'")
+                    if bt == "}":
+                        break
+                    if bt == ".":
+                        self.next()
+                        continue
+                    if self._kw(bt, "FILTER"):
+                        if not self.allow_filter:
+                            raise ValueError(
+                                "FILTER is not supported at reference parity "
+                                "(pass allow_filter=True to opt in)"
+                            )
+                        self.next()
+                        if self._kw(self.peek(), "EXISTS") or self._kw(
+                            self.peek(), "NOT"
+                        ):
+                            raise ValueError(
+                                "FILTER [NOT] EXISTS inside an OPTIONAL "
+                                "block is not supported (write it at group "
+                                "level)"
+                            )
+                        self.expect("(")
+                        gfilters.append(self._filter_or())
+                        self.expect(")")
+                        continue
+                    self._triples_same_subject(group)
                 self.expect("}")
                 optional.append(group)
+                optional_filters.append(gfilters)
                 continue
             if self._kw(t, "SERVICE"):
                 if not self.allow_service:
@@ -1326,6 +1372,7 @@ class _Parser:
         return {
             "patterns": patterns,
             "optional": optional,
+            "optional_filters": optional_filters,
             "filters": filters,
             "unions": unions,
             "minus": minus,
@@ -1703,6 +1750,11 @@ class _Parser:
         if t.startswith('"'):
             body = re.match(r'"((?:[^"\\]|\\.)*)"', t).group(1)
             return ("lit", body.replace('\\"', '"').replace("\\\\", "\\"))
+        if t.startswith("<") and t.endswith(">"):
+            # <iri> operand: same term constant the pattern positions
+            # accept — prefix-compacted so it compares against the
+            # dictionary's stored form (terms are stored bracket-free)
+            return ("lit", self._compact_iri(t[1:-1]))
         try:
             return ("num", float(t))
         except ValueError:
@@ -1981,6 +2033,21 @@ class _Parser:
                     f"FILTER vars not bound by any pattern: {unknown} "
                     f"(bound: {sorted(bound)})"
                 )
+        for grp, gfs in zip(q.optional, q.optional_filters):
+            gvars = {v for p in grp for v in p.vars()}
+            for f in gfs:
+                outside = [
+                    v for v in sorted(filter_vars(f)) if v not in gvars
+                ]
+                if outside:
+                    # the pre-filter factoring of LeftJoin(G, P, E) needs
+                    # E's vars bound inside the block; a cross-side E is a
+                    # genuine join condition, out of this subset
+                    raise ValueError(
+                        "FILTER inside an OPTIONAL block may only reference "
+                        f"variables bound in that block: {outside} "
+                        f"(block binds: {sorted(gvars)})"
+                    )
         if q.group_by and not q.aggregates:
             raise ValueError("GROUP BY requires at least one aggregate SELECT item")
         if q.having and not q.aggregates:
@@ -2454,7 +2521,7 @@ def execute_on_triples(
                 if shared
                 else result.crossJoin(F.broadcast(vdf))
             )
-        for group in q.optional:
+        for gi, group in enumerate(q.optional):
             # SPARQL group semantics: the patterns of one OPTIONAL block join
             # each other first; the assembled group left-joins the core, so the
             # block matches as a whole or leaves all its vars unbound
@@ -2468,6 +2535,12 @@ def execute_on_triples(
                     gdf = gdf.join(sc, on=shared) if shared else gdf.crossJoin(sc)
             if "__exists" in gdf.columns:
                 gdf = gdf.drop("__exists")
+            # block-scoped FILTERs pre-filter the block (LeftJoin(G, P, E)
+            # with E over P's vars — parse-enforced), so a row whose E
+            # fails leaves the block vars unbound rather than dropping
+            if gi < len(q.optional_filters):
+                for fexpr in q.optional_filters[gi]:
+                    gdf = gdf.filter(filter_to_column(fexpr, F.col))
             if not gdf.columns:
                 continue  # fully-bound block binds nothing
             shared = sorted(set(result.columns) & set(gdf.columns))

@@ -1830,3 +1830,106 @@ def test_filter_mixed_id_space_comparison_stays_on_strings(engine):
         q % "FILTER(STR(?p) = STR(?x)) ", var_predicates=True, filters=True
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_optional_scoped_filter_preserves_core_rows(engine):
+    """FILTER inside an OPTIONAL block is LeftJoin(G, P, E): a solution
+    whose block match fails E keeps its core bindings with the block vars
+    unbound — it is NOT dropped (that is the semantic difference from the
+    same FILTER written at group level, pinned here side by side)."""
+    plain = engine.sparql(
+        PREFIXES
+        + "SELECT ?e ?d WHERE { ?e ub:name ?n . OPTIONAL { ?e ub:worksFor ?d } }"
+    ).collect()
+    dept = next(r["d"] for r in plain if r["d"] is not None)
+    scoped = engine.sparql(
+        PREFIXES
+        + "SELECT ?e ?d WHERE { ?e ub:name ?n . "
+        + f'OPTIONAL {{ ?e ub:worksFor ?d FILTER(?d != "{dept}") }} }}',
+        filters=True,
+    ).collect()
+    # same cardinality as the unfiltered query: failing rows null out, not drop
+    assert len(scoped) == len(plain)
+    want = sorted((r["e"], r["d"] if r["d"] != dept else None) for r in plain)
+    assert sorted(map(tuple, scoped)) == want
+    # the group-level FILTER on the same expression DROPS those rows (and
+    # the never-matched nulls, per error-is-false)
+    top = engine.sparql(
+        PREFIXES
+        + "SELECT ?e ?d WHERE { ?e ub:name ?n . "
+        + f'OPTIONAL {{ ?e ub:worksFor ?d }} FILTER(?d != "{dept}") }}',
+        filters=True,
+    ).collect()
+    assert len(top) == sum(1 for r in plain if r["d"] is not None and r["d"] != dept)
+
+
+def test_optional_scoped_filter_absent_term_nulls_block(engine):
+    """A scoped filter no row can pass empties the BLOCK, not the query:
+    every core row survives with the block var unbound."""
+    got = engine.sparql(
+        PREFIXES
+        + "SELECT ?e ?d WHERE { ?e ub:name ?n . "
+        + 'OPTIONAL { ?e ub:worksFor ?d FILTER(?d IN ("ub:Ghost")) } }',
+        filters=True,
+    ).collect()
+    n_core = engine.sparql(
+        PREFIXES + "SELECT ?e WHERE { ?e ub:name ?n }"
+    ).count()
+    assert len(got) == n_core and all(r["d"] is None for r in got)
+
+
+def test_optional_scoped_filter_nonlowerable_keeps_encoded_keys(engine):
+    """A string-function scoped filter (not id-lowerable) must still join
+    the block on ENCODED ids: the temp decode column may not leak into the
+    result, and the rows match the manually post-filtered plain result."""
+    q = (
+        PREFIXES
+        + "SELECT ?e ?m WHERE { ?e ub:worksFor ?d . "
+        + "OPTIONAL { ?e ub:emailAddress ?m %s} }"
+    )
+    plain = engine.sparql(q % "").collect()
+    got = engine.sparql(q % "FILTER(STRLEN(?m) > 10) ", filters=True)
+    assert sorted(got.columns) == ["e", "m"]  # no __lit_* leakage
+    want = sorted(
+        (r["e"], r["m"] if r["m"] is not None and len(r["m"]) > 10 else None)
+        for r in plain
+    )
+    assert sorted(map(tuple, got.collect())) == want
+
+
+def test_optional_scoped_filter_rejects_outside_vars(engine):
+    """E over enclosing-group-only vars is a genuine join condition, out of
+    the pre-filter subset — rejected at parse time with a named var."""
+    with pytest.raises(ValueError, match="bound in that block"):
+        parse_sparql(
+            "SELECT ?a ?b WHERE { ?a <ub:name> ?b . "
+            "OPTIONAL { ?a <ub:worksFor> ?x FILTER(?b = ?x) } }",
+            allow_filter=True,
+        )
+
+
+def test_optional_scoped_filter_requires_filter_optin(engine):
+    """The scoped form sits behind the same allow_filter gate as group-level
+    FILTER (parity: the reference rejects all FILTERs)."""
+    with pytest.raises(ValueError, match="allow_filter"):
+        parse_sparql(
+            "SELECT ?a ?x WHERE { ?a <ub:name> ?n . "
+            'OPTIONAL { ?a <ub:worksFor> ?x FILTER(?x != "z") } }'
+        )
+
+
+def test_filter_angle_iri_operand_matches_quoted_form(engine):
+    """<iri> FILTER operands are the same term constants as the quoted
+    form (terms are stored bracket-free; <...> is surface syntax)."""
+    quoted = engine.sparql(
+        PREFIXES
+        + 'SELECT ?x WHERE { ?x ub:worksFor ?d . FILTER(?d = "ub:Department_0_0") }',
+        filters=True,
+    )
+    angled = engine.sparql(
+        PREFIXES
+        + "SELECT ?x WHERE { ?x ub:worksFor ?d . FILTER(?d = <ub:Department_0_0>) }",
+        filters=True,
+    )
+    got_q, got_a = sorted(quoted.collect()), sorted(angled.collect())
+    assert got_q and got_q == got_a
