@@ -1794,32 +1794,67 @@ class BGPEngine:
             literal.update(set(sdf.columns) - set(shared))
             result = result.join(sdf, on=shared) if shared else result.crossJoin(sdf)
         for vars_, rows in q.values:
-            # VALUES inline bindings, joined on ENCODED ids: each term of
-            # the tiny literal relation is resolved through the dictionary
-            # first (terms absent from the graph bind nothing, per inner-
-            # join semantics), so the constraint prunes the core join on
-            # longs instead of waiting for the decoded strings
-            vdf = self.spark.createDataFrame(
-                [tuple(r) for r in rows],
-                schema=", ".join(f"{v} string" for v in vars_),
-            )
-            for v in vars_:
-                if v in literal:  # strings join directly on a literal column
-                    continue
-                d = self._dict.select(
-                    F.col("uri").alias(v), F.col("id").alias(f"__{v}_id")
+            # VALUES inline bindings, joined on ENCODED ids: join-key terms
+            # of the tiny literal relation resolve through the dictionary
+            # first (terms absent from the graph bind nothing there, per
+            # inner-join semantics), so the constraint prunes the core join
+            # on longs instead of waiting for the decoded strings. Vars the
+            # solution set does NOT already bind ride along as literal
+            # string columns (they key nothing — and a term outside the
+            # graph still binds, per SPARQL, which an id could not carry).
+            # UNDEF rows group by their bound-variable mask: each mask
+            # joins on its own shared vars and the branches union — every
+            # row lives in exactly one mask, so the union IS SPARQL's
+            # compatibility (multiset) join.
+            rcols = set(result.columns)
+            ride = [v for v in vars_ if v not in rcols]
+            by_mask: dict = {}
+            for r in rows:
+                mask = tuple(v for v, t in zip(vars_, r) if t is not None)
+                by_mask.setdefault(mask, []).append(
+                    tuple(t for t in r if t is not None)
                 )
-                vdf = (
-                    vdf.join(d, v)
-                    .drop(v)
-                    .withColumnRenamed(f"__{v}_id", v)
+            branches = []
+            for mask, mrows in sorted(by_mask.items()):
+                if mask:
+                    vdf = self.spark.createDataFrame(
+                        mrows, schema=", ".join(f"{v} string" for v in mask)
+                    )
+                    for v in mask:
+                        if v in literal or v not in rcols:
+                            continue  # literal/ride-along: stays a string
+                        d = self._dict.select(
+                            F.col("uri").alias(v),
+                            F.col("id").alias(f"__{v}_id"),
+                        )
+                        vdf = (
+                            vdf.join(d, v)
+                            .drop(v)
+                            .withColumnRenamed(f"__{v}_id", v)
+                        )
+                else:
+                    # all-UNDEF rows constrain nothing: k of them multiply
+                    # every solution k times (bag semantics)
+                    vdf = self.spark.range(len(mrows)).select(
+                        F.lit(1).alias("__dup")
+                    )
+                shared = sorted(rcols & set(vdf.columns))
+                br = (
+                    result.join(F.broadcast(vdf), on=shared)
+                    if shared
+                    else result.crossJoin(F.broadcast(vdf))
                 )
-            shared = sorted(set(result.columns) & set(vdf.columns))
-            result = (
-                result.join(F.broadcast(vdf), on=shared)
-                if shared
-                else result.crossJoin(F.broadcast(vdf))
-            )
+                if "__dup" in br.columns:
+                    br = br.drop("__dup")
+                for v in ride:
+                    if v not in br.columns:
+                        br = br.withColumn(v, F.lit(None).cast("string"))
+                branches.append(br)
+            new = branches[0]
+            for b in branches[1:]:
+                new = new.unionByName(b)
+            result = new
+            literal.update(ride)
         if q.optional:
             # OPTIONAL left-joins the fully-composed binding set (core ⋈
             # UNION ⋈ subquery ⋈ VALUES) — matching execute_on_triples'

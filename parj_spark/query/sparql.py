@@ -39,8 +39,9 @@ domain), ``!p`` / ``!(p1|p2)`` (negated property sets), ``p{n}`` /
 star) with ``( )`` grouping; ``allow_aggregates=True`` enables aggregate
 SELECT items ``(COUNT(*) AS ?n)`` (COUNT/SUM/AVG/MIN/MAX/SAMPLE/
 GROUP_CONCAT, COUNT DISTINCT) with GROUP BY and HAVING;
-``allow_values=True`` enables VALUES inline bindings (UNDEF
-unsupported); ``allow_construct=True`` enables the CONSTRUCT form
+``allow_values=True`` enables VALUES inline bindings (UNDEF leaves the
+variable unbound in its row: rows group by bound-variable mask and the
+per-mask joins union — the SPARQL compatibility join); ``allow_construct=True`` enables the CONSTRUCT form
 (template instantiation into a distinct result graph);
 ``allow_describe=True`` enables the DESCRIBE form (the distinct outgoing
 edges of the described resources — ?vars bound by WHERE and/or constant
@@ -180,9 +181,13 @@ class SparqlQuery:
     group_by: list[str] = field(default_factory=list)
     having: list["FilterExpr"] = field(default_factory=list)
     # VALUES blocks (opt-in extension): (vars, rows) inline bindings,
-    # inner-joined with the solution set on the shared variables (UNDEF is
-    # not supported — every row binds every listed variable)
-    values: list[tuple[list[str], list[list[str]]]] = field(default_factory=list)
+    # joined with the solution set on the shared variables; an UNDEF entry
+    # is None in its row — rows group by their bound-variable mask and the
+    # per-mask joins union (SPARQL compatibility join, exact because every
+    # row lives in exactly one mask)
+    values: list[tuple[list[str], list[list["str | None"]]]] = field(
+        default_factory=list
+    )
     # CONSTRUCT form (opt-in extension): template triples instantiated once
     # per solution, returned as a distinct (s, p, o) graph
     construct: list[Pattern] | None = None
@@ -1575,9 +1580,10 @@ class _Parser:
         self.expect(")")
         return AggSelect(func, var, distinct, alias[1:], separator, expr)
 
-    def _values_block(self) -> tuple[list[str], list[list[str]]]:
-        """``VALUES ?v { t1 t2 }`` or ``VALUES (?a ?b) { (t1 t2) ... }``
-        (UNDEF unsupported: every row binds every variable)."""
+    def _values_block(self) -> "tuple[list[str], list[list[str | None]]]":
+        """``VALUES ?v { t1 t2 }`` or ``VALUES (?a ?b) { (t1 t2) ... }``.
+        ``UNDEF`` leaves that variable unbound in its row (None in the row
+        list) — the row then constrains only the variables it binds."""
         vars_: list[str] = []
         if self.peek() == "(":
             self.next()
@@ -1595,16 +1601,23 @@ class _Parser:
         if not vars_:
             raise ValueError("VALUES: empty variable list")
         self.expect("{")
-        rows: list[list[str]] = []
+        rows: list[list[str | None]] = []
+
+        def _values_term() -> "str | None":
+            if self._kw(self.peek(), "UNDEF"):
+                self.next()
+                return None
+            return self.term()
+
         while self.peek() != "}":
             if self.peek() == "(":
                 self.next()
                 row = []
                 while self.peek() != ")":
-                    row.append(self.term())
+                    row.append(_values_term())
                 self.next()
             else:
-                row = [self.term()]
+                row = [_values_term()]
             if len(row) != len(vars_):
                 raise ValueError(
                     f"VALUES: row arity {len(row)} != variable count {len(vars_)}"
@@ -2505,22 +2518,55 @@ def execute_on_triples(
             shared = sorted(set(result.columns) & set(sdf.columns))
             result = result.join(sdf, on=shared) if shared else result.crossJoin(sdf)
         for vars_, rows in q.values:
-            # VALUES inline bindings: a tiny literal relation, broadcast and
-            # inner-joined on the shared variables (this path compares term
-            # strings directly; the engine path resolves terms to ids first)
-            vdf = triples.sparkSession.createDataFrame(
-                [tuple(r) for r in rows],
-                schema=", ".join(f"{v} string" for v in vars_),
-            )
-            if result is None:
-                result = vdf
-                continue
-            shared = sorted(set(result.columns) & set(vdf.columns))
-            result = (
-                result.join(F.broadcast(vdf), on=shared)
-                if shared
-                else result.crossJoin(F.broadcast(vdf))
-            )
+            # VALUES inline bindings: rows group by their bound-variable
+            # mask (UNDEF binds nothing in its row); each mask group joins
+            # on its own shared vars and the branches union — every row
+            # lives in exactly one mask, so the union IS SPARQL's
+            # compatibility (multiset) join. This path compares term
+            # strings directly; the engine path resolves join keys to ids.
+            by_mask: dict = {}
+            for r in rows:
+                mask = tuple(v for v, t in zip(vars_, r) if t is not None)
+                by_mask.setdefault(mask, []).append(
+                    tuple(t for t in r if t is not None)
+                )
+            sess = triples.sparkSession
+            branches = []
+            for mask, mrows in sorted(by_mask.items()):
+                if mask:
+                    vdf = sess.createDataFrame(
+                        mrows, schema=", ".join(f"{v} string" for v in mask)
+                    )
+                elif result is not None:
+                    # all-UNDEF rows constrain nothing: k of them multiply
+                    # every solution k times (bag semantics)
+                    vdf = sess.range(len(mrows)).select(
+                        F.lit(1).alias("__dup")
+                    )
+                else:
+                    vdf = sess.createDataFrame(
+                        [(None,) * len(vars_)] * len(mrows),
+                        schema=", ".join(f"{v} string" for v in vars_),
+                    )
+                if result is None:
+                    br = vdf
+                else:
+                    shared = sorted(set(result.columns) & set(vdf.columns))
+                    br = (
+                        result.join(F.broadcast(vdf), on=shared)
+                        if shared
+                        else result.crossJoin(F.broadcast(vdf))
+                    )
+                if "__dup" in br.columns:
+                    br = br.drop("__dup")
+                for v in vars_:
+                    if v not in br.columns:
+                        br = br.withColumn(v, F.lit(None).cast("string"))
+                branches.append(br)
+            new = branches[0]
+            for b in branches[1:]:
+                new = new.unionByName(b)
+            result = new
         for gi, group in enumerate(q.optional):
             # SPARQL group semantics: the patterns of one OPTIONAL block join
             # each other first; the assembled group left-joins the core, so the

@@ -1933,3 +1933,58 @@ def test_filter_angle_iri_operand_matches_quoted_form(engine):
     )
     got_q, got_a = sorted(quoted.collect()), sorted(angled.collect())
     assert got_q and got_q == got_a
+
+
+def test_values_undef_row_keeps_all_solutions(engine):
+    """An UNDEF entry binds nothing in its row: the row is compatible with
+    every solution, so `VALUES ?d { <dept> UNDEF }` yields the constrained
+    multiset PLUS one copy of everything (bag semantics)."""
+    all_rows = engine.sparql(
+        PREFIXES + "SELECT ?x ?d WHERE { ?x ub:worksFor ?d }"
+    ).collect()
+    dept = all_rows[0]["d"]
+    got = engine.sparql(
+        PREFIXES
+        + "SELECT ?x ?d WHERE { ?x ub:worksFor ?d . "
+        + f"VALUES ?d {{ <{dept}> UNDEF }} }}",
+        values=True,
+    ).collect()
+    want = sorted(
+        [tuple(r) for r in all_rows]
+        + [tuple(r) for r in all_rows if r["d"] == dept]
+    )
+    assert sorted(map(tuple, got)) == want
+
+
+def test_values_undef_ride_along_keeps_foreign_term(engine):
+    """A VALUES var the query binds nowhere else rides along as a literal
+    column — including terms absent from the graph's dictionary (SPARQL
+    binds them regardless; an encoded id could not carry them) — and its
+    UNDEF rows surface as nulls."""
+    n_core = engine.sparql(
+        PREFIXES + "SELECT ?x WHERE { ?x ub:worksFor ?d }"
+    ).count()
+    got = engine.sparql(
+        PREFIXES
+        + "SELECT ?x ?tag WHERE { ?x ub:worksFor ?d . "
+        + 'VALUES ?tag { "not:in:graph" UNDEF } }',
+        values=True,
+    ).collect()
+    assert len(got) == 2 * n_core
+    tags = sorted({r["tag"] for r in got}, key=str)
+    assert tags == [None, "not:in:graph"]
+
+
+def test_values_all_undef_rows_multiply_solutions(engine):
+    """k all-UNDEF rows constrain nothing and multiply the solution
+    multiset k times."""
+    n_core = engine.sparql(
+        PREFIXES + "SELECT ?x ?d WHERE { ?x ub:worksFor ?d }"
+    ).count()
+    got = engine.sparql(
+        PREFIXES
+        + "SELECT ?x ?d WHERE { ?x ub:worksFor ?d . "
+        + "VALUES (?x ?d) { (UNDEF UNDEF) (UNDEF UNDEF) } }",
+        values=True,
+    )
+    assert got.count() == 2 * n_core
