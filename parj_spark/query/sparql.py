@@ -1176,6 +1176,12 @@ class _Parser:
                         gfilters.append(self._filter_or())
                         self.expect(")")
                         continue
+                    if bt == "{" or self._kw(bt, "OPTIONAL"):
+                        raise ValueError(
+                            "nested group constructs inside an OPTIONAL "
+                            "block are not supported (one flat "
+                            "triples-plus-FILTER block per OPTIONAL)"
+                        )
                     self._triples_same_subject(group)
                 self.expect("}")
                 optional.append(group)

@@ -438,3 +438,46 @@ def test_const_filter_propagation_shared_var(spark, tiny_graph):
     # but the ?d column is a literal constant — exactly 2 dict scans
     plan = _plan(got)
     assert plan.count("dict_stage") == 2, plan
+
+
+def test_optional_scoped_filter_stays_encoded(spark, tiny_graph):
+    """An id-lowerable FILTER inside an OPTIONAL block prunes the block's
+    ENCODED frame: the constant resolves to its dictionary id driver-side,
+    so the only dict scan in the whole plan is the projected var's output
+    decode — the block side adds ZERO dictionary joins and its left-join
+    key stays a long."""
+    from parj_spark.query import BGPEngine, Pattern
+
+    eng = BGPEngine(tiny_graph)
+    dept = (
+        eng.query([Pattern("?x", "ub:worksFor", "?d")])
+        .limit(1)
+        .collect()[0]["d"]
+    )
+    df = eng.sparql(
+        "PREFIX ub:<ub:> SELECT ?x ?d WHERE { ?x ub:name ?n . "
+        f'OPTIONAL {{ ?x ub:worksFor ?d FILTER(?d != "{dept}") }} }}',
+        filters=True,
+    )
+    plan = _plan(df)
+    # output decode of ?x and ?d only — the scoped filter itself ran on ids
+    assert plan.count("dict_stage") == 2, plan
+    assert df.count() > 0
+
+
+def test_optional_scoped_filter_nonlowerable_decodes_temp_only(spark, tiny_graph):
+    """A string-function scoped filter decodes ONLY its referenced block
+    var into a throwaway column (one extra dict scan), keeping the block's
+    join key encoded: 1 (temp ?m) + 2 (output ?x ?m) dict scans, and the
+    solution-side var ?n never touches the dictionary."""
+    from parj_spark.query import BGPEngine
+
+    eng = BGPEngine(tiny_graph)
+    df = eng.sparql(
+        "PREFIX ub:<ub:> SELECT ?x ?m WHERE { ?x ub:name ?n . "
+        "OPTIONAL { ?x ub:emailAddress ?m FILTER(STRLEN(?m) > 10) } }",
+        filters=True,
+    )
+    plan = _plan(df)
+    assert plan.count("dict_stage") == 3, plan
+    assert df.count() > 0
