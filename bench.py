@@ -334,6 +334,11 @@ def main() -> None:
             "  { SELECT ?d (COUNT(*) AS ?n) WHERE { ?x ub:memberOf ?d } "
             "    GROUP BY ?d } }"
         )
+        optfilter_q = (
+            "PREFIX ub:<ub:> SELECT ?x ?m WHERE "
+            "{ ?x ub:memberOf ?d . "
+            '  OPTIONAL { ?x ub:emailAddress ?m FILTER(?m != "x@y.z") } }'
+        )
 
         def _suite(eng):
             avgs, spreads = {}, {}
@@ -354,6 +359,8 @@ def main() -> None:
                  lambda: eng.sparql(
                      subq_q, subquery=True, aggregates=True
                  ).count()),
+                ("bgp_sparql_optfilter",
+                 lambda: eng.sparql(optfilter_q, filters=True).count()),
                 *(
                     (wname, lambda wq=wq: eng.sparql(wq, decode=False).count())
                     for wname, wq in watdiv.items()
@@ -414,6 +421,15 @@ def main() -> None:
             ),
             "subquery_agg": _plan_nodes(
                 buck_eng.sparql(subq_q, subquery=True, aggregates=True),
+                {"dict_scans": "dict_stage"},
+            ),
+            # OPTIONAL-scoped FILTER (r5): the id-lowerable block filter
+            # prunes the block frame on longs, so the only dict scans are
+            # the projection's output decode — never one below the left
+            # join (asserted structurally in tests/test_plans.py::
+            # test_optional_scoped_filter_stays_encoded)
+            "optional_filter": _plan_nodes(
+                buck_eng.sparql(optfilter_q, filters=True),
                 {"dict_scans": "dict_stage"},
             ),
         }
