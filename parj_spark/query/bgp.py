@@ -1871,13 +1871,19 @@ class BGPEngine:
                 pvars=pvars,
                 opt_filters=q.optional_filters,
             )
-        for group in q.minus:
+        for gi, group in enumerate(q.minus):
             # MINUS on encoded ids BEFORE decode: the anti-join probes long
             # keys (same plan shape as the reference-parity semi/anti ops),
             # and removed rows never pay the dictionary join. A block with
             # no shared variable removes nothing (SPARQL disjoint-domain
             # rule) — skipped, since anti-joining on no keys annihilates.
+            # Block-scoped FILTERs pre-filter the ENCODED block frame
+            # (exact per spec: a MINUS block never sees outer bindings).
             mdf = self.query(group, select=None, decode=False)
+            if gi < len(q.minus_filters) and q.minus_filters[gi]:
+                mdf = self._filter_group_frame(
+                    mdf, q.minus_filters[gi], group, pvars
+                )
             shared = sorted(set(result.columns) & set(mdf.columns))
             if shared:
                 lit_shared = [v for v in shared if v in literal]
@@ -1888,11 +1894,17 @@ class BGPEngine:
                         mdf, pvars | gpv, only=lit_shared
                     ).select(*cols)
                 result = result.join(mdf, on=shared, how="left_anti")
-        for positive, group in q.exists:
+        for gi, (positive, group) in enumerate(q.exists):
             # FILTER [NOT] EXISTS on encoded ids (same placement rationale
             # as MINUS); a no-shared-variable block gates globally via a
-            # constant-true semi/anti join against the block's first row
+            # constant-true semi/anti join against the block's first row.
+            # Block-scoped FILTERs pre-filter the ENCODED block frame
+            # (exact for block-bound vars: the join equates shared vars).
             gdf = self.query(group, select=None, decode=False)
+            if gi < len(q.exists_filters) and q.exists_filters[gi]:
+                gdf = self._filter_group_frame(
+                    gdf, q.exists_filters[gi], group, pvars
+                )
             shared = sorted(set(result.columns) & set(gdf.columns))
             how = "left_semi" if positive else "left_anti"
             if shared:

@@ -166,12 +166,24 @@ class SparqlQuery:
     # a block sharing NO variable with the core removes nothing, per the
     # SPARQL spec's disjoint-domain rule
     minus: list[list[Pattern]] = field(default_factory=list)
+    # FILTERs written INSIDE a MINUS block, index-aligned with ``minus``:
+    # pre-filter the block before the anti-join. Exact per the spec with no
+    # scoping caveat — a MINUS block never sees outer bindings, so its
+    # filters range over the block's own solutions only (vars outside the
+    # block are rejected at parse time, same rule as OPTIONAL).
+    minus_filters: list[list["FilterExpr"]] = field(default_factory=list)
     # FILTER [NOT] EXISTS { ... } blocks (opt-in with the other FILTER
     # forms): (positive, patterns) — a correlated existence test on the
     # shared variables (left semi-join; anti for NOT). Differs from MINUS
     # on the no-shared-variable edge: EXISTS {} with any solution keeps/
     # drops ALL rows, while MINUS removes nothing.
     exists: list[tuple[bool, list[Pattern]]] = field(default_factory=list)
+    # FILTERs written INSIDE a FILTER [NOT] EXISTS block, index-aligned
+    # with ``exists``: pre-filter the block before the semi/anti join.
+    # Exact for block-bound vars (shared vars are equated by the join, the
+    # substitution reading and the pre-filter coincide); expressions over
+    # enclosing-group-only vars are rejected at parse time.
+    exists_filters: list[list["FilterExpr"]] = field(default_factory=list)
     # ASK form (opt-in extension): result is one row, one boolean column
     ask: bool = False
     # aggregate SELECT items (opt-in extension): `(COUNT(*) AS ?n)` etc.;
@@ -1123,7 +1135,9 @@ class _Parser:
         filters: list[FilterExpr] = []
         unions: list[list[list[Pattern]]] = []
         minus: list[list[Pattern]] = []
+        minus_filters: list[list[FilterExpr]] = []
         exists: list[tuple[bool, list[Pattern]]] = []
+        exists_filters: list[list[FilterExpr]] = []
         values: list[tuple[list[str], list[list[str]]]] = []
         binds: list[tuple] = []
         subqueries: list[SparqlQuery] = []
@@ -1140,50 +1154,7 @@ class _Parser:
                 continue
             if self._kw(t, "OPTIONAL"):
                 self.next()
-                self.expect("{")
-                group: list[Pattern] = []
-                gfilters: list[FilterExpr] = []
-                # an OPTIONAL block body is triples plus (optionally) FILTER
-                # value expressions — SPARQL's LeftJoin(G, P, E) form. Other
-                # group constructs (nested OPTIONAL, UNION, EXISTS, ...)
-                # inside the block stay out of scope and fall through to
-                # _triples_same_subject's error.
-                while True:
-                    bt = self.peek()
-                    if bt is None:
-                        raise ValueError("SPARQL parser: missing closing '}'")
-                    if bt == "}":
-                        break
-                    if bt == ".":
-                        self.next()
-                        continue
-                    if self._kw(bt, "FILTER"):
-                        if not self.allow_filter:
-                            raise ValueError(
-                                "FILTER is not supported at reference parity "
-                                "(pass allow_filter=True to opt in)"
-                            )
-                        self.next()
-                        if self._kw(self.peek(), "EXISTS") or self._kw(
-                            self.peek(), "NOT"
-                        ):
-                            raise ValueError(
-                                "FILTER [NOT] EXISTS inside an OPTIONAL "
-                                "block is not supported (write it at group "
-                                "level)"
-                            )
-                        self.expect("(")
-                        gfilters.append(self._filter_or())
-                        self.expect(")")
-                        continue
-                    if bt == "{" or self._kw(bt, "OPTIONAL"):
-                        raise ValueError(
-                            "nested group constructs inside an OPTIONAL "
-                            "block are not supported (one flat "
-                            "triples-plus-FILTER block per OPTIONAL)"
-                        )
-                    self._triples_same_subject(group)
-                self.expect("}")
+                group, gfilters = self._filtered_block("OPTIONAL")
                 optional.append(group)
                 optional_filters.append(gfilters)
                 continue
@@ -1265,13 +1236,11 @@ class _Parser:
                         "(pass allow_minus=True to opt in)"
                     )
                 self.next()
-                self.expect("{")
-                mgroup: list[Pattern] = []
-                self._triples_block(mgroup, stop="}")
-                self.expect("}")
+                mgroup, mfilters = self._filtered_block("MINUS")
                 if not mgroup:
                     raise ValueError("MINUS: empty group block")
                 minus.append(mgroup)
+                minus_filters.append(mfilters)
                 continue
             if t == "{":
                 nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
@@ -1362,13 +1331,11 @@ class _Parser:
                     neg = True
                 if self._kw(self.peek(), "EXISTS"):
                     self.next()
-                    self.expect("{")
-                    egrp: list[Pattern] = []
-                    self._triples_block(egrp, stop="}")
-                    self.expect("}")
+                    egrp, efilters = self._filtered_block("FILTER EXISTS")
                     if not egrp:
                         raise ValueError("EXISTS: empty group block")
                     exists.append((not neg, egrp))
+                    exists_filters.append(efilters)
                     continue
                 self.expect("(")
                 filters.append(self._filter_or())
@@ -1387,7 +1354,9 @@ class _Parser:
             "filters": filters,
             "unions": unions,
             "minus": minus,
+            "minus_filters": minus_filters,
             "exists": exists,
+            "exists_filters": exists_filters,
             "values": values,
             "binds": binds,
             "subqueries": subqueries,
@@ -1789,6 +1758,54 @@ class _Parser:
             raise ValueError("UNION: empty group block")
         return out
 
+    def _filtered_block(
+        self, kind: str
+    ) -> "tuple[list[Pattern], list[FilterExpr]]":
+        """Parse ``{ triples... FILTER(e)... }`` for a block construct
+        (OPTIONAL / MINUS / FILTER EXISTS): triples plus value-expression
+        FILTERs scoped to the block. Other group constructs inside the
+        block are out of scope and rejected with a named error. Consumes
+        the opening and closing braces."""
+        self.expect("{")
+        group: list[Pattern] = []
+        gfilters: list[FilterExpr] = []
+        while True:
+            bt = self.peek()
+            if bt is None:
+                raise ValueError("SPARQL parser: missing closing '}'")
+            if bt == "}":
+                break
+            if bt == ".":
+                self.next()
+                continue
+            if self._kw(bt, "FILTER"):
+                if not self.allow_filter:
+                    raise ValueError(
+                        "FILTER is not supported at reference parity "
+                        "(pass allow_filter=True to opt in)"
+                    )
+                self.next()
+                if self._kw(self.peek(), "EXISTS") or self._kw(
+                    self.peek(), "NOT"
+                ):
+                    raise ValueError(
+                        f"FILTER [NOT] EXISTS inside a {kind} block is not "
+                        "supported (write it at group level)"
+                    )
+                self.expect("(")
+                gfilters.append(self._filter_or())
+                self.expect(")")
+                continue
+            if bt == "{" or self._kw(bt, "OPTIONAL"):
+                raise ValueError(
+                    f"nested group constructs inside a {kind} block are "
+                    "not supported (one flat triples-plus-FILTER block "
+                    f"per {kind})"
+                )
+            self._triples_same_subject(group)
+        self.expect("}")
+        return group, gfilters
+
     def _triples_block(self, out: list[Pattern], stop: str) -> None:
         while self.peek() is not None and self.peek() != stop:
             if self.peek() == ".":
@@ -2052,21 +2069,26 @@ class _Parser:
                     f"FILTER vars not bound by any pattern: {unknown} "
                     f"(bound: {sorted(bound)})"
                 )
-        for grp, gfs in zip(q.optional, q.optional_filters):
-            gvars = {v for p in grp for v in p.vars()}
-            for f in gfs:
-                outside = [
-                    v for v in sorted(filter_vars(f)) if v not in gvars
-                ]
-                if outside:
-                    # the pre-filter factoring of LeftJoin(G, P, E) needs
-                    # E's vars bound inside the block; a cross-side E is a
-                    # genuine join condition, out of this subset
-                    raise ValueError(
-                        "FILTER inside an OPTIONAL block may only reference "
-                        f"variables bound in that block: {outside} "
-                        f"(block binds: {sorted(gvars)})"
-                    )
+        for kind, groups, gfilters in (
+            ("OPTIONAL", q.optional, q.optional_filters),
+            ("MINUS", q.minus, q.minus_filters),
+            ("FILTER EXISTS", [g for _, g in q.exists], q.exists_filters),
+        ):
+            for grp, gfs in zip(groups, gfilters):
+                gvars = {v for p in grp for v in p.vars()}
+                for f in gfs:
+                    outside = [
+                        v for v in sorted(filter_vars(f)) if v not in gvars
+                    ]
+                    if outside:
+                        # pre-filter factoring needs the expression's vars
+                        # bound inside the block; a cross-side expression
+                        # is a genuine join condition, out of this subset
+                        raise ValueError(
+                            f"FILTER inside a {kind} block may only "
+                            "reference variables bound in that block: "
+                            f"{outside} (block binds: {sorted(gvars)})"
+                        )
         if q.group_by and not q.aggregates:
             raise ValueError("GROUP BY requires at least one aggregate SELECT item")
         if q.having and not q.aggregates:
@@ -2604,29 +2626,39 @@ def execute_on_triples(
                 else result.join(gdf, F.lit(True), "left")
             )
 
-        for group in q.minus:
+        for gi, group in enumerate(q.minus):
             # SPARQL MINUS: drop core solutions whose shared-variable bindings
             # have a match in the block — a left anti-join, the same plan shape
             # as the reference-parity q06/q24 anti-joins. A block sharing no
             # variable with the core removes nothing (SPARQL disjoint-domain
             # rule), so it is skipped outright rather than anti-joining on
-            # nothing (which would annihilate the result).
+            # nothing (which would annihilate the result). Block-scoped
+            # FILTERs pre-filter the block — exact per spec: a MINUS block
+            # never sees outer bindings.
             mdf = join_bgp(group)
             if "__exists" in mdf.columns:
                 mdf = mdf.drop("__exists")
+            if gi < len(q.minus_filters):
+                for fexpr in q.minus_filters[gi]:
+                    mdf = mdf.filter(filter_to_column(fexpr, F.col))
             shared = sorted(set(result.columns) & set(mdf.columns))
             if shared:
                 result = result.join(mdf, on=shared, how="left_anti")
 
-        for positive, group in q.exists:
+        for gi, (positive, group) in enumerate(q.exists):
             # FILTER [NOT] EXISTS: correlated existence on the shared vars —
             # semi-join (anti for NOT). Unlike MINUS, a no-shared-variable
             # block is a GLOBAL gate: any solution keeps (EXISTS) or drops
             # (NOT EXISTS) every core row, expressed as a constant-true
-            # semi/anti join against the block's first row.
+            # semi/anti join against the block's first row. Block-scoped
+            # FILTERs pre-filter the block (exact for block-bound vars: the
+            # join equates shared vars, so substitution = pre-filter).
             gdf = join_bgp(group)
             if "__exists" in gdf.columns:
                 gdf = gdf.drop("__exists")
+            if gi < len(q.exists_filters):
+                for fexpr in q.exists_filters[gi]:
+                    gdf = gdf.filter(filter_to_column(fexpr, F.col))
             shared = sorted(set(result.columns) & set(gdf.columns))
             how = "left_semi" if positive else "left_anti"
             if shared:

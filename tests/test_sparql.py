@@ -1988,3 +1988,58 @@ def test_values_all_undef_rows_multiply_solutions(engine):
         values=True,
     )
     assert got.count() == 2 * n_core
+
+
+def test_minus_scoped_filter_prefilters_block(engine):
+    """FILTER inside MINUS pre-filters the block before the anti-join —
+    exact per spec (a MINUS block never sees outer bindings): only rows
+    whose block match passes E are removed."""
+    base = engine.sparql(
+        PREFIXES + "SELECT ?x ?d WHERE { ?x ub:worksFor ?d }"
+    ).collect()
+    dept = base[0]["d"]
+    got = engine.sparql(
+        PREFIXES
+        + "SELECT ?x ?d WHERE { ?x ub:worksFor ?d . "
+        + f"MINUS {{ ?x ub:worksFor ?d FILTER(?d = <{dept}>) }} }}",
+        minus=True,
+        filters=True,
+    ).collect()
+    want = sorted(tuple(r) for r in base if r["d"] != dept)
+    assert sorted(map(tuple, got)) == want and want
+
+
+def test_exists_scoped_filter_constrains_probe(engine):
+    """FILTER inside FILTER [NOT] EXISTS constrains the existence probe:
+    EXISTS{P FILTER(E)} keeps exactly the rows some E-passing match
+    supports, and the NOT variant keeps the complement."""
+    mails = engine.sparql(
+        PREFIXES + "SELECT ?x ?m WHERE { ?x ub:emailAddress ?m }"
+    ).collect()
+    probe = mails[0]["m"]
+    pos = engine.sparql(
+        PREFIXES
+        + "SELECT ?x WHERE { ?x ub:emailAddress ?m2 . "
+        + f'FILTER EXISTS {{ ?x ub:emailAddress ?m FILTER(?m = "{probe}") }} }}',
+        filters=True,
+    ).collect()
+    neg = engine.sparql(
+        PREFIXES
+        + "SELECT ?x WHERE { ?x ub:emailAddress ?m2 . "
+        + f'FILTER NOT EXISTS {{ ?x ub:emailAddress ?m FILTER(?m = "{probe}") }} }}',
+        filters=True,
+    ).collect()
+    holders = {r["x"] for r in mails if r["m"] == probe}
+    assert {r["x"] for r in pos} == holders and holders
+    assert {r["x"] for r in neg} == {r["x"] for r in mails} - holders
+    assert len(pos) + len(neg) == len(mails)
+
+
+def test_minus_scoped_filter_rejects_outside_vars(engine):
+    with pytest.raises(ValueError, match="MINUS block may only reference"):
+        parse_sparql(
+            "SELECT ?a ?b WHERE { ?a <ub:name> ?b . "
+            "MINUS { ?a <ub:worksFor> ?x FILTER(?b = ?x) } }",
+            allow_minus=True,
+            allow_filter=True,
+        )
