@@ -18,10 +18,15 @@ parity: ``allow_var_predicates=True`` enables the engine's OSP-backed
 variable predicates; ``allow_filter=True`` enables FILTER expressions
 (comparisons =, !=, <, <=, >, >=; && / || / !; regex(?v, "re" [, "i"]);
 bound(?v); STRSTARTS/STRENDS/CONTAINS string tests; STRLEN/UCASE/LCASE/STR
-term functions usable as operands; ``[NOT] IN (...)`` membership) compiled
+term functions usable as operands; ``[NOT] IN (...)`` membership; constant
+operands in quoted or ``<iri>`` form) compiled
 to native Spark Column predicates — SPARQL's error-is-false semantics map
 onto SQL null propagation (a failed numeric cast yields null, and a null
-predicate drops the row); ``allow_union=True``
+predicate drops the row). FILTERs may also be written INSIDE an
+OPTIONAL / MINUS / FILTER EXISTS block, scoped to it: the expression
+pre-filters the block's solutions (exact when its vars are block-bound,
+which the parser enforces), so e.g. a failing OPTIONAL match nulls the
+block vars instead of dropping the row; ``allow_union=True``
 enables ``{ A } UNION { B }`` groups whose alternatives bind the same
 variable set (parse-enforced), each planned as its own BGP and
 column-aligned unioned before joining the core BGP; ``allow_ask=True``
