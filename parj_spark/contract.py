@@ -861,6 +861,32 @@ def kg_sparql_filter_fns(spark, sf_dir):
     )
 
 
+def kg_sparql_numeric_fns(spark, sf_dir):
+    """Numeric FILTER/BIND builtins (beyond reference parity, opt-in):
+    ABS/CEIL/ROUND compiled to native numeric Column ops over try_cast
+    doubles — ROUND is spec-exact fn:round (half toward positive
+    infinity), expressed as floor(x + 0.5) on both sides of the oracle
+    comparison. The triples derive account balances so the functions see
+    genuinely numeric terms."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    c = _t(spark, sf_dir, "customer")
+    triples = c.select(
+        F.concat(F.lit("urn:cust:"), F.col("c_custkey")).alias("s"),
+        F.lit("urn:acctbal").alias("p"),
+        F.col("c_acctbal").cast("string").alias("o"),
+    )
+    return execute_on_triples(
+        triples,
+        """SELECT ?c ?mag ?rounded WHERE {
+             ?c <urn:acctbal> ?b .
+             FILTER(ABS(?b) >= 9000)
+             BIND(CEIL(?b) AS ?mag)
+             BIND(ROUND(?b) AS ?rounded) }""",
+        allow_filter=True, allow_bind=True,
+    )
+
+
 def kg_sparql_describe(spark, sf_dir):
     """DESCRIBE query form (beyond reference parity, opt-in): the distinct
     outgoing edges of every resource matched by the WHERE clause — a
@@ -1617,6 +1643,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- added r5 (after the window rotation; tail keeps the measured
     #    first-50 stable): OPTIONAL-scoped FILTER, LeftJoin(G, P, E) --
     "kg_sparql_optional_filter": kg_sparql_optional_filter,
+    "kg_sparql_numeric_fns": kg_sparql_numeric_fns,
 }
 
 
@@ -2589,6 +2616,15 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id, n_frames, unnest(range(0, n_frames, 10))::BIGINT AS frame_idx
         FROM f
+    """,
+    # ROUND is spec fn:round (half toward +inf) on the Spark side, so the
+    # oracle says floor(x + 0.5) — NOT DuckDB's round(), which is
+    # half-away-from-zero. CASTs to BIGINT match Spark's ceil/floor types.
+    "kg_sparql_numeric_fns": """
+        SELECT 'urn:cust:' || c_custkey AS c,
+               CAST(ceil(c_acctbal) AS BIGINT) AS mag,
+               CAST(floor(c_acctbal + 0.5) AS BIGINT) AS rounded
+        FROM customer WHERE abs(c_acctbal) >= 9000
     """,
 }
 

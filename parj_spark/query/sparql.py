@@ -18,7 +18,9 @@ parity: ``allow_var_predicates=True`` enables the engine's OSP-backed
 variable predicates; ``allow_filter=True`` enables FILTER expressions
 (comparisons =, !=, <, <=, >, >=; && / || / !; regex(?v, "re" [, "i"]);
 bound(?v); STRSTARTS/STRENDS/CONTAINS string tests; STRLEN/UCASE/LCASE/STR
-term functions usable as operands; ``[NOT] IN (...)`` membership; constant
+and ABS/CEIL/FLOOR/ROUND term functions usable as operands (ROUND is
+spec-exact fn:round — half rounds toward positive infinity);
+``[NOT] IN (...)`` membership; constant
 operands in quoted or ``<iri>`` form) compiled
 to native Spark Column predicates — SPARQL's error-is-false semantics map
 onto SQL null propagation (a failed numeric cast yields null, and a null
@@ -52,7 +54,8 @@ per-mask joins union — the SPARQL compatibility join); ``allow_construct=True`
 edges of the described resources — ?vars bound by WHERE and/or constant
 terms, which may omit the WHERE clause entirely);
 ``allow_bind=True`` enables BIND(expr AS ?v) computed columns (arithmetic
-on try_cast doubles, CONCAT/STR, STRLEN/UCASE/LCASE operands,
+on try_cast doubles, CONCAT/STR, STRLEN/UCASE/LCASE and
+ABS/CEIL/FLOOR/ROUND operands,
 IF(cond, then, else) via when/otherwise and COALESCE) and the
 SPARQL 1.1 ``(expr AS ?v)`` SELECT-expression form (lowered onto the same
 BIND machinery, evaluated after WHERE binds); ``allow_subquery=True``
@@ -313,11 +316,7 @@ def bind_to_column(e, colref):
         if e[0] == "var":
             return colref(e[1])
         if e[0] == "func":
-            inner = bind_to_column(e[2], colref)
-            return {
-                "strlen": F.length, "ucase": F.upper,
-                "lcase": F.lower, "str": lambda c: c,
-            }[e[1]](inner)
+            return _unary_fn_column(e[1], bind_to_column(e[2], colref))
         if e[0] == "strfn":
             return _strfn_column(e[1], e[2], lambda a: bind_to_column(a, colref))
         return F.lit(e[1])
@@ -521,6 +520,36 @@ def _strfn_column(name: str, args: tuple, comp):
     ).otherwise(F.lit(""))
 
 
+#: unary term functions yielding NUMERIC columns (drives the numeric-
+#: comparison cast rule the same way a bare number literal does)
+_NUMERIC_FNS = frozenset({"strlen", "abs", "ceil", "floor", "round"})
+
+
+def _unary_fn_column(name: str, inner):
+    """Compile one unary term function over an already-compiled operand
+    column. Shared by the FILTER and BIND compilers so the two surfaces
+    can never drift. String functions wrap the term string; the numeric
+    ones try_cast to double first (a non-numeric term yields null — the
+    SPARQL evaluation-error rule, same as the arithmetic path). ROUND is
+    spec-exact fn:round — round half toward POSITIVE INFINITY
+    (ROUND(-2.5) = -2), which is floor(x + 0.5), not Spark's
+    HALF_UP-away-from-zero F.round."""
+    from pyspark.sql import functions as F
+
+    if name in ("abs", "ceil", "floor", "round"):
+        n = inner.try_cast("double")
+        return {
+            "abs": lambda c: F.abs(c),
+            "ceil": lambda c: F.ceil(c),
+            "floor": lambda c: F.floor(c),
+            "round": lambda c: F.floor(c + F.lit(0.5)),
+        }[name](n)
+    return {
+        "strlen": F.length, "ucase": F.upper,
+        "lcase": F.lower, "str": lambda c: c,
+    }[name](inner)
+
+
 def filter_vars(e: FilterExpr) -> set[str]:
     """Variable names referenced by a FILTER expression."""
     if isinstance(e, Comparison):
@@ -553,20 +582,16 @@ def filter_to_column(e: FilterExpr, colref):
             c = colref(t[1])
             return c.try_cast("double") if numeric else c
         if t[0] == "func":
-            # unary term functions: STRLEN yields a numeric column (no cast
-            # needed — F.length is int-typed); UCASE/LCASE rewrap the
-            # string; STR is the identity on our plain-string term model
-            inner = operand(t[2])
-            return {
-                "strlen": F.length, "ucase": F.upper,
-                "lcase": F.lower, "str": lambda c: c,
-            }[t[1]](inner)
+            # unary term functions: STRLEN/ABS/CEIL/FLOOR/ROUND yield
+            # numeric columns; UCASE/LCASE rewrap the string; STR is the
+            # identity on our plain-string term model
+            return _unary_fn_column(t[1], operand(t[2]))
         if t[0] == "strfn":
             return _strfn_column(t[1], t[2], operand)
         return F.lit(t[1])
 
     def is_numeric(t) -> bool:
-        return t[0] == "num" or (t[0] == "func" and t[1] == "strlen")
+        return t[0] == "num" or (t[0] == "func" and t[1] in _NUMERIC_FNS)
 
     if isinstance(e, Comparison):
         # try_cast only the STRING operands of a numeric comparison
@@ -1716,7 +1741,10 @@ class _Parser:
 
     def _filter_operand(self) -> tuple:
         t = self.next()
-        if t.upper() in ("STRLEN", "UCASE", "LCASE", "STR") and self.peek() == "(":
+        if t.upper() in (
+            "STRLEN", "UCASE", "LCASE", "STR",
+            "ABS", "CEIL", "FLOOR", "ROUND",
+        ) and self.peek() == "(":
             # unary term-function operand, usable anywhere a var/constant is
             self.next()
             inner = self._filter_operand()

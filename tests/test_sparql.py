@@ -1051,6 +1051,53 @@ def test_filter_builtin_str_functions(spark):
     assert run('STRSTARTS(UCASE(?v), "B")') == ["b"]
 
 
+def test_filter_numeric_functions(spark):
+    """ABS/CEIL/FLOOR/ROUND compile to native numeric Column ops over
+    try_cast doubles; ROUND is spec-exact fn:round (half rounds toward
+    POSITIVE infinity: ROUND(-2.5) = -2, not HALF_UP's -3); a non-numeric
+    term errors -> null -> the FILTER drops the row."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("a", "u:v", "-2.5"), ("b", "u:v", "2.5"), ("c", "u:v", "3.2"),
+         ("d", "u:v", "-3.2"), ("e", "u:v", "urn:notnum")],
+        ["s", "p", "o"],
+    )
+    base = "SELECT ?s WHERE { ?s <u:v> ?v . FILTER (%s) }"
+
+    def run(cond):
+        got = execute_on_triples(t, base % cond, allow_filter=True)
+        return sorted(r["s"] for r in got.collect())
+
+    assert run("ABS(?v) > 3") == ["c", "d"]          # e drops: error-is-false
+    assert run("CEIL(?v) = 3") == ["b"]              # ceil(2.5)=3, ceil(3.2)=4
+    assert run("FLOOR(?v) = -3") == ["a"]            # floor(-2.5)=-3
+    assert run("ROUND(?v) = -2") == ["a"]            # spec: half toward +inf
+    assert run("ROUND(?v) = 3") == ["b", "c"]        # round(2.5)=3, round(3.2)=3
+    assert run("ROUND(?v) = -3") == ["d"]            # round(-3.2)=-3
+    assert run("ABS(FLOOR(?v)) = 3") == ["a", "c"]   # compose: |floor(±x)|
+    assert run("CEIL(STRLEN(?v)) >= 10") == ["e"]    # numeric over STRLEN
+
+
+def test_bind_numeric_functions(spark):
+    """The same numeric builtins work as BIND operands (shared compiler),
+    composing with arithmetic; a non-numeric term binds null (unbound)."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("a", "u:v", "-2.5"), ("b", "u:v", "9.9"), ("e", "u:v", "x")],
+        ["s", "p", "o"],
+    )
+    got = execute_on_triples(
+        t,
+        "SELECT ?s ?r WHERE { ?s <u:v> ?v . BIND(ROUND(?v) + 1 AS ?r) }",
+        allow_filter=True, allow_bind=True,
+    )
+    assert sorted((r["s"], r["r"]) for r in got.collect()) == [
+        ("a", -1.0), ("b", 11.0), ("e", None),
+    ]
+
+
 def test_filter_in_not_in(spark):
     from parj_spark.query.sparql import execute_on_triples
 
