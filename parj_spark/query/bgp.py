@@ -1333,6 +1333,10 @@ class BGPEngine:
         if isinstance(e, S.Comparison):
             if e.op not in ("=", "!="):
                 return None
+            if not (isinstance(e.lhs, tuple) and isinstance(e.rhs, tuple)):
+                # BIND-grammar operand (arithmetic/CONCAT/IF/COALESCE):
+                # needs the decoded term value, not lowerable onto ids
+                return None
             vs = [t for t in (e.lhs, e.rhs) if t[0] == "var"]
             if not vs:
                 return None
@@ -1504,7 +1508,12 @@ class BGPEngine:
         }
 
         def eq_const(f):
-            if isinstance(f, S.Comparison) and f.op == "=":
+            if (
+                isinstance(f, S.Comparison)
+                and f.op == "="
+                and isinstance(f.lhs, tuple)
+                and isinstance(f.rhs, tuple)
+            ):
                 vs = [t for t in (f.lhs, f.rhs) if t[0] == "var"]
                 ls = [t for t in (f.lhs, f.rhs) if t[0] == "lit"]
                 if len(vs) == 1 and len(ls) == 1:

@@ -19,7 +19,9 @@ variable predicates; ``allow_filter=True`` enables FILTER expressions
 (comparisons =, !=, <, <=, >, >=; && / || / !; regex(?v, "re" [, "i"]);
 bound(?v); STRSTARTS/STRENDS/CONTAINS string tests; STRLEN/UCASE/LCASE/STR
 and ABS/CEIL/FLOOR/ROUND term functions usable as operands (ROUND is
-spec-exact fn:round — half rounds toward positive infinity);
+spec-exact fn:round — half rounds toward positive infinity); comparison
+operands reuse the BIND grammar, so arithmetic and CONCAT/IF/COALESCE
+compose on either side (``FILTER(?a * 2 + 1 > ?b)``);
 ``[NOT] IN (...)`` membership; constant
 operands in quoted or ``<iri>`` form) compiled
 to native Spark Column predicates — SPARQL's error-is-false semantics map
@@ -553,7 +555,13 @@ def _unary_fn_column(name: str, inner):
 def filter_vars(e: FilterExpr) -> set[str]:
     """Variable names referenced by a FILTER expression."""
     if isinstance(e, Comparison):
-        return _operand_vars(e.lhs) | _operand_vars(e.rhs)
+        # operands may be BIND-grammar expressions (Arith/Concat/If/
+        # Coalesce), not just term tuples
+        return {
+            v
+            for t in (e.lhs, e.rhs)
+            for v in (_operand_vars(t) if isinstance(t, tuple) else bind_vars(t))
+        }
     if isinstance(e, (Regex, Bound)):
         return {e.var}
     if isinstance(e, StrTest):
@@ -578,6 +586,12 @@ def filter_to_column(e: FilterExpr, colref):
     from pyspark.sql import functions as F
 
     def operand(t, numeric: bool = False):
+        if not isinstance(t, tuple):
+            # BIND-grammar operand (Arith/Concat/If/Coalesce): compile
+            # through the shared BIND compiler; Arith already yields
+            # doubles, the others cast when the comparison is numeric
+            c = bind_to_column(t, colref)
+            return c.try_cast("double") if numeric else c
         if t[0] == "var":
             c = colref(t[1])
             return c.try_cast("double") if numeric else c
@@ -591,7 +605,11 @@ def filter_to_column(e: FilterExpr, colref):
         return F.lit(t[1])
 
     def is_numeric(t) -> bool:
-        return t[0] == "num" or (t[0] == "func" and t[1] in _NUMERIC_FNS)
+        if isinstance(t, Arith):
+            return True
+        return isinstance(t, tuple) and (
+            t[0] == "num" or (t[0] == "func" and t[1] in _NUMERIC_FNS)
+        )
 
     if isinstance(e, Comparison):
         # try_cast only the STRING operands of a numeric comparison
@@ -1704,9 +1722,16 @@ class _Parser:
             probe = self._filter_operand()
             self.expect(")")
             return StrTest(func, arg, probe)
-        lhs = self._filter_operand()
+        # comparison operands reuse the BIND expression grammar, so
+        # arithmetic (FILTER(?a * 2 + 1 > ?b)) and CONCAT/IF/COALESCE
+        # compose on either side; a LEADING '(' still opens a boolean
+        # group (the one place the two grammars collide), so parenthesize
+        # arithmetic only after an operator: ?a + (?b * 2)
+        lhs = self._bind_expr()
         nxt = self.peek()
         if nxt is not None and nxt.upper() in ("IN", "NOT"):
+            if not isinstance(lhs, tuple):
+                raise ValueError("FILTER: IN needs a plain term operand")
             negated = nxt.upper() == "NOT"
             self.next()
             if negated:
@@ -1731,7 +1756,7 @@ class _Parser:
                 f"FILTER: expected comparison operator after operand, got {op!r}"
             )
         self.next()
-        rhs = self._filter_operand()
+        rhs = self._bind_expr()
         return Comparison(op, lhs, rhs)
 
     _STRFN_ARITY = {

@@ -1079,6 +1079,54 @@ def test_filter_numeric_functions(spark):
     assert run("CEIL(STRLEN(?v)) >= 10") == ["e"]    # numeric over STRLEN
 
 
+def test_filter_arithmetic_operands(spark):
+    """Comparison operands reuse the BIND grammar: arithmetic (and
+    function compositions over it) on either side, try_cast-double
+    semantics, error-is-false on non-numeric terms. IN still requires a
+    plain term operand (parse-rejected otherwise)."""
+    import pytest
+
+    from parj_spark.query.sparql import execute_on_triples, parse_sparql
+
+    t = spark.createDataFrame(
+        [("a", "u:v", "2"), ("b", "u:v", "5"), ("c", "u:v", "7"),
+         ("e", "u:v", "x")],
+        ["s", "p", "o"],
+    )
+    base = "SELECT ?s WHERE { ?s <u:v> ?v . FILTER (%s) }"
+
+    def run(cond):
+        got = execute_on_triples(t, base % cond, allow_filter=True)
+        return sorted(r["s"] for r in got.collect())
+
+    assert run("?v * 2 + 1 > 10") == ["b", "c"]
+    assert run("?v - 1 = 4") == ["b"]
+    assert run("10 / ?v < 2") == ["c"]
+    assert run("ABS(?v) + 1 >= 8") == ["c"]
+    assert run("?v + 0 > 0") == ["a", "b", "c"]  # e: error-is-false
+    with pytest.raises(ValueError, match="plain term"):
+        parse_sparql(base % '?v + 1 IN ("2")', allow_filter=True)
+
+
+def test_filter_arithmetic_two_vars(spark):
+    """Arithmetic over two join-bound vars evaluates after the BGP join —
+    both execution paths (naive relation and permutation engine) agree via
+    the shared compiler; here the naive path pins the values."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("a", "u:x", "2"), ("a", "u:y", "3"),
+         ("b", "u:x", "5"), ("b", "u:y", "4")],
+        ["s", "p", "o"],
+    )
+    got = execute_on_triples(
+        t,
+        "SELECT ?s WHERE { ?s <u:x> ?x . ?s <u:y> ?y . FILTER(?x + ?y = 9) }",
+        allow_filter=True,
+    )
+    assert sorted(r["s"] for r in got.collect()) == ["b"]
+
+
 def test_bind_numeric_functions(spark):
     """The same numeric builtins work as BIND operands (shared compiler),
     composing with arithmetic; a non-numeric term binds null (unbound)."""
