@@ -19,7 +19,8 @@ variable predicates; ``allow_filter=True`` enables FILTER expressions
 (comparisons =, !=, <, <=, >, >=; && / || / !; regex(?v, "re" [, "i"]);
 bound(?v); STRSTARTS/STRENDS/CONTAINS string tests; STRLEN/UCASE/LCASE/STR
 and ABS/CEIL/FLOOR/ROUND term functions usable as operands (ROUND is
-spec-exact fn:round — half rounds toward positive infinity); comparison
+spec-exact fn:round — half rounds toward positive infinity); MD5/SHA256
+hash builtins (lowercase hex); comparison
 operands reuse the BIND grammar, so arithmetic and CONCAT/IF/COALESCE
 compose on either side (``FILTER(?a * 2 + 1 > ?b)``);
 ``[NOT] IN (...)`` membership; constant
@@ -549,6 +550,10 @@ def _unary_fn_column(name: str, inner):
     return {
         "strlen": F.length, "ucase": F.upper,
         "lcase": F.lower, "str": lambda c: c,
+        # SPARQL 1.1 hash functions: lowercase hex over the UTF-8 bytes,
+        # JVM-side — the same digests DuckDB's md5()/sha256() produce
+        "md5": lambda c: F.md5(c.cast("binary")),
+        "sha256": lambda c: F.sha2(c.cast("binary"), 256),
     }[name](inner)
 
 
@@ -1769,6 +1774,7 @@ class _Parser:
         if t.upper() in (
             "STRLEN", "UCASE", "LCASE", "STR",
             "ABS", "CEIL", "FLOOR", "ROUND",
+            "MD5", "SHA256",
         ) and self.peek() == "(":
             # unary term-function operand, usable anywhere a var/constant is
             self.next()

@@ -1079,6 +1079,31 @@ def test_filter_numeric_functions(spark):
     assert run("CEIL(STRLEN(?v)) >= 10") == ["e"]    # numeric over STRLEN
 
 
+def test_filter_hash_functions(spark):
+    """SPARQL 1.1 MD5/SHA256 builtins: lowercase hex digests over the
+    UTF-8 term bytes (F.md5/F.sha2 — the same values DuckDB's
+    md5()/sha256() yield), composable like any unary operand."""
+    import hashlib
+
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("a", "u:n", "abc"), ("b", "u:n", "xyz")], ["s", "p", "o"]
+    )
+    md5_abc = hashlib.md5(b"abc").hexdigest()
+    sha_xyz = hashlib.sha256(b"xyz").hexdigest()
+    base = "SELECT ?s WHERE { ?s <u:n> ?v . FILTER (%s) }"
+
+    def run(cond):
+        got = execute_on_triples(t, base % cond, allow_filter=True)
+        return sorted(r["s"] for r in got.collect())
+
+    assert run(f'MD5(?v) = "{md5_abc}"') == ["a"]
+    assert run(f'SHA256(?v) = "{sha_xyz}"') == ["b"]
+    assert run(f'UCASE(MD5(?v)) = "{md5_abc.upper()}"') == ["a"]
+    assert run("STRLEN(SHA256(?v)) = 64") == ["a", "b"]
+
+
 def test_filter_arithmetic_operands(spark):
     """Comparison operands reuse the BIND grammar: arithmetic (and
     function compositions over it) on either side, try_cast-double
