@@ -887,6 +887,31 @@ def kg_sparql_numeric_fns(spark, sf_dir):
     )
 
 
+def kg_sparql_datetime_fns(spark, sf_dir):
+    """SPARQL 1.1 dateTime accessors (beyond reference parity, opt-in):
+    YEAR/MONTH/DAY/HOURS/MINUTES over try_cast-timestamp terms — the
+    triples derive event timestamps as strings, the accessors parse them
+    back JVM-side (a non-timestamp term errors -> null -> error-is-false).
+    Session TZ is pinned UTC on both engines, so the naive-string parse
+    agrees with DuckDB's."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    e = _t(spark, sf_dir, "events")
+    triples = e.select(
+        F.concat(F.lit("urn:event:"), F.col("event_id")).alias("s"),
+        F.lit("urn:at").alias("p"),
+        F.col("ts").cast("string").alias("o"),
+    )
+    return execute_on_triples(
+        triples,
+        """SELECT ?e ?m WHERE {
+             ?e <urn:at> ?t .
+             FILTER(DAY(?t) <= 2 && HOURS(?t) >= 22)
+             BIND(MINUTES(?t) AS ?m) }""",
+        allow_filter=True, allow_bind=True,
+    )
+
+
 def kg_sparql_describe(spark, sf_dir):
     """DESCRIBE query form (beyond reference parity, opt-in): the distinct
     outgoing edges of every resource matched by the WHERE clause — a
@@ -1644,6 +1669,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    first-50 stable): OPTIONAL-scoped FILTER, LeftJoin(G, P, E) --
     "kg_sparql_optional_filter": kg_sparql_optional_filter,
     "kg_sparql_numeric_fns": kg_sparql_numeric_fns,
+    "kg_sparql_datetime_fns": kg_sparql_datetime_fns,
 }
 
 
@@ -2625,6 +2651,11 @@ ORACLES: dict[str, str] = {
                CAST(ceil(c_acctbal) AS BIGINT) AS mag,
                CAST(floor(c_acctbal + 0.5) AS BIGINT) AS rounded
         FROM customer WHERE abs(c_acctbal) >= 9000
+    """,
+    "kg_sparql_datetime_fns": """
+        SELECT 'urn:event:' || event_id AS e,
+               CAST(minute(ts) AS BIGINT) AS m
+        FROM events WHERE day(ts) <= 2 AND hour(ts) >= 22
     """,
 }
 

@@ -20,7 +20,8 @@ variable predicates; ``allow_filter=True`` enables FILTER expressions
 bound(?v); STRSTARTS/STRENDS/CONTAINS string tests; STRLEN/UCASE/LCASE/STR
 and ABS/CEIL/FLOOR/ROUND term functions usable as operands (ROUND is
 spec-exact fn:round — half rounds toward positive infinity); MD5/SHA256
-hash builtins (lowercase hex); comparison
+hash builtins (lowercase hex); YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS
+dateTime accessors over try_cast-timestamp terms; comparison
 operands reuse the BIND grammar, so arithmetic and CONCAT/IF/COALESCE
 compose on either side (``FILTER(?a * 2 + 1 > ?b)``);
 ``[NOT] IN (...)`` membership; constant
@@ -525,7 +526,10 @@ def _strfn_column(name: str, args: tuple, comp):
 
 #: unary term functions yielding NUMERIC columns (drives the numeric-
 #: comparison cast rule the same way a bare number literal does)
-_NUMERIC_FNS = frozenset({"strlen", "abs", "ceil", "floor", "round"})
+_NUMERIC_FNS = frozenset({
+    "strlen", "abs", "ceil", "floor", "round",
+    "year", "month", "day", "hours", "minutes", "seconds",
+})
 
 
 def _unary_fn_column(name: str, inner):
@@ -539,6 +543,16 @@ def _unary_fn_column(name: str, inner):
     HALF_UP-away-from-zero F.round."""
     from pyspark.sql import functions as F
 
+    if name in ("year", "month", "day", "hours", "minutes", "seconds"):
+        # SPARQL 1.1 dateTime accessors over the term's timestamp parse
+        # (ISO or Spark "yyyy-MM-dd HH:mm:ss[.f]" forms; a non-timestamp
+        # term errors -> null). Deviation, documented: SECONDS returns the
+        # INTEGER second (F.second), not the spec's fractional xs:decimal.
+        t = inner.try_cast("timestamp")
+        return {
+            "year": F.year, "month": F.month, "day": F.dayofmonth,
+            "hours": F.hour, "minutes": F.minute, "seconds": F.second,
+        }[name](t)
     if name in ("abs", "ceil", "floor", "round"):
         n = inner.try_cast("double")
         return {
@@ -1775,6 +1789,7 @@ class _Parser:
             "STRLEN", "UCASE", "LCASE", "STR",
             "ABS", "CEIL", "FLOOR", "ROUND",
             "MD5", "SHA256",
+            "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
         ) and self.peek() == "(":
             # unary term-function operand, usable anywhere a var/constant is
             self.next()

@@ -1104,6 +1104,35 @@ def test_filter_hash_functions(spark):
     assert run("STRLEN(SHA256(?v)) = 64") == ["a", "b"]
 
 
+def test_filter_datetime_accessors(spark):
+    """YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS parse the term as a timestamp
+    (try_cast — non-timestamp terms error -> null -> row dropped) and
+    yield numeric columns; SECONDS is the integer second (documented
+    deviation from the spec's fractional xs:decimal)."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("a", "u:at", "2024-03-05 07:40:09.5"),
+         ("b", "u:at", "2023-12-31T23:59:58"),
+         ("e", "u:at", "not-a-time")],
+        ["s", "p", "o"],
+    )
+    base = "SELECT ?s WHERE { ?s <u:at> ?v . FILTER (%s) }"
+
+    def run(cond):
+        got = execute_on_triples(t, base % cond, allow_filter=True)
+        return sorted(r["s"] for r in got.collect())
+
+    assert run("YEAR(?v) = 2024") == ["a"]
+    assert run("MONTH(?v) = 12") == ["b"]
+    assert run("DAY(?v) >= 5") == ["a", "b"]
+    assert run("HOURS(?v) = 23") == ["b"]
+    assert run("MINUTES(?v) = 40") == ["a"]
+    assert run("SECONDS(?v) = 9") == ["a"]      # integer second of 09.5
+    assert run("YEAR(?v) > 0") == ["a", "b"]    # e: error-is-false
+    assert run("YEAR(?v) - MONTH(?v) = 2021") == ["a"]  # arithmetic composes
+
+
 def test_filter_arithmetic_operands(spark):
     """Comparison operands reuse the BIND grammar: arithmetic (and
     function compositions over it) on either side, try_cast-double
