@@ -255,6 +255,18 @@ def test_filter_engine_matches_manual(engine):
     assert got.count() > 0
 
 
+def test_filter_arith_engine_matches_manual(engine):
+    """Arithmetic comparison operands run on the permutation-table engine
+    path too (decode referenced var -> shared compiler): engine.sparql ==
+    the unfiltered query + the hand-built Column expression."""
+    base = PREFIXES + "SELECT ?x ?y WHERE { ?x rdf:type ub:Course . ?x ub:name ?y . %s}"
+    got = engine.sparql(base % "FILTER (STRLEN(?y) * 2 + 1 >= 33) ", filters=True)
+    want = engine.sparql(base % "").filter(F.length(F.col("y")) * 2 + 1 >= 33)
+    rows = sorted(map(tuple, got.collect()))
+    assert rows == sorted(map(tuple, want.collect()))
+    assert rows  # the fixture has names long enough to survive the cut
+
+
 def test_filter_numeric_try_cast(spark):
     """Numeric comparison uses try_cast: non-numeric values error -> false
     (dropped), matching SPARQL's error-is-false FILTER semantics."""
