@@ -482,7 +482,11 @@ FilterExpr = (
 )
 
 
-def _operand_vars(t: tuple) -> set[str]:
+def _operand_vars(t) -> set[str]:
+    if not isinstance(t, tuple):
+        # function arguments may be BIND-grammar expressions
+        # (ABS(?x - 5), SUBSTR(?v, ?i + 1))
+        return bind_vars(t)
     if t[0] == "var":
         return {t[1]}
     if t[0] == "func":
@@ -507,13 +511,16 @@ def _strfn_column(name: str, args: tuple, comp):
             comp(args[2]).try_cast("int") if len(args) > 2 else F.length(c)
         )
         return c.substr(start, length)
+    def _lit(a):
+        return isinstance(a, tuple) and a[0] == "lit"
+
     if name == "replace":
-        if args[1][0] != "lit" or args[2][0] != "lit":
+        if not (_lit(args[1]) and _lit(args[2])):
             raise ValueError(
                 "REPLACE: pattern and replacement must be string literals"
             )
         return F.regexp_replace(c, args[1][1], args[2][1])
-    if args[1][0] != "lit":
+    if not _lit(args[1]):
         raise ValueError(f"{name.upper()}: probe must be a string literal")
     probe = args[1][1]
     pos = F.locate(probe, c)  # 1-based; 0 = absent
@@ -1791,18 +1798,21 @@ class _Parser:
             "MD5", "SHA256",
             "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
         ) and self.peek() == "(":
-            # unary term-function operand, usable anywhere a var/constant is
+            # unary term-function operand, usable anywhere a var/constant
+            # is; the argument is a full BIND-grammar expression, so
+            # arithmetic composes inside (ABS(?x - 5))
             self.next()
-            inner = self._filter_operand()
+            inner = self._bind_expr()
             self.expect(")")
             return ("func", t.lower(), inner)
         if t.lower() in self._STRFN_ARITY and self.peek() == "(":
-            # multi-arg string functions, composable like the unary ones
+            # multi-arg string functions, composable like the unary ones;
+            # arguments are BIND-grammar expressions (SUBSTR(?v, ?i + 1))
             self.next()
-            args = [self._filter_operand()]
+            args = [self._bind_expr()]
             while self.peek() == ",":
                 self.next()
-                args.append(self._filter_operand())
+                args.append(self._bind_expr())
             self.expect(")")
             lo, hi = self._STRFN_ARITY[t.lower()]
             if not lo <= len(args) <= hi:
