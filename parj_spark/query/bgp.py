@@ -1699,9 +1699,9 @@ class BGPEngine:
         # top-next: this replaced the sub_dec string-join pipeline and the
         # FILTER/BIND full-width pre-decode)
         literal: set[str] = set()
-        order_cols = [
-            F.desc(v[1:]) if v.startswith("-") else F.asc(v) for v in q.order_by
-        ] or None
+        from parj_spark.query.sparql import order_columns, order_vars
+
+        order_cols = order_columns(q.order_by) or None
         if (
             not q.filters and not any(q.optional_filters) and not q.unions
             and not q.ask and not q.minus
@@ -2010,9 +2010,7 @@ class BGPEngine:
                     if _is_var(t)
                 }
             elif q.select:
-                need = set(q.select) | {
-                    v[1:] if v.startswith("-") else v for v in q.order_by
-                }
+                need = set(q.select) | order_vars(q.order_by)
             else:
                 need = {c for c in result.columns if not c.startswith("__bn")}
             result = decode_cols(result, sorted(need))

@@ -8,7 +8,8 @@ recursive-descent parser for exactly the SPARQL subset the reference executes â€
   PREFIX declarations, SELECT [DISTINCT] ?vars | *, WHERE { triple patterns }
   with '.' separators, ';' predicate-object lists, ',' object lists, the 'a'
   keyword, OPTIONAL { ... } blocks (SPARQL OPTIONAL -> left outer join, J5),
-  ORDER BY / LIMIT modifiers.
+  ORDER BY / LIMIT modifiers (ORDER BY conditions may be bare vars,
+  ASC()/DESC() wrappers, or BIND-grammar expressions: DESC(STRLEN(?n))).
 
 Anything beyond a BGP (FILTER, UNION, GRAPH, subqueries, property paths) is
 rejected with a clear error â€” the same contract as the reference, which
@@ -296,6 +297,17 @@ class Coalesce:
     parts: tuple
 
 
+@dataclass(frozen=True)
+class OrderExpr:
+    """One ``ORDER BY ASC(expr)/DESC(expr)`` condition whose operand is a
+    full BIND-grammar expression (``DESC(STRLEN(?n))``, ``ASC(?a * ?b)``)
+    rather than a bare variable; bare variables keep the legacy
+    ``"v"``/``"-v"`` string representation."""
+
+    expr: "BindExpr"
+    asc: bool = True
+
+
 BindExpr = "Arith | Concat | If | Coalesce | tuple"
 
 
@@ -576,6 +588,36 @@ def _unary_fn_column(name: str, inner):
         "md5": lambda c: F.md5(c.cast("binary")),
         "sha256": lambda c: F.sha2(c.cast("binary"), 256),
     }[name](inner)
+
+
+def order_columns(order_by, colref=None):
+    """Compile a parsed ``order_by`` list (legacy ``"v"``/``"-v"`` strings
+    + :class:`OrderExpr` conditions) to Spark sort Columns. Shared by every
+    execution path so the two representations cannot drift."""
+    from pyspark.sql import functions as F
+
+    colref = colref or F.col
+    cols = []
+    for v in order_by:
+        if isinstance(v, OrderExpr):
+            c = bind_to_column(v.expr, colref)
+            cols.append(c.asc() if v.asc else c.desc())
+        elif v.startswith("-"):
+            cols.append(colref(v[1:]).desc())
+        else:
+            cols.append(colref(v).asc())
+    return cols
+
+
+def order_vars(order_by) -> set[str]:
+    """Variable names an ``order_by`` list reads (for decode planning)."""
+    out: set[str] = set()
+    for v in order_by:
+        if isinstance(v, OrderExpr):
+            out |= bind_vars(v.expr)
+        else:
+            out.add(v[1:] if v.startswith("-") else v)
+    return out
 
 
 def filter_vars(e: FilterExpr) -> set[str]:
@@ -1486,10 +1528,16 @@ class _Parser:
                 ):
                     tok = self.next()
                     if tok.upper() in ("ASC", "DESC"):
+                        asc = tok.upper() == "ASC"
                         self.expect("(")
-                        v = self.next()[1:]
+                        e = self._bind_expr()
                         self.expect(")")
-                        order_by.append(v if tok.upper() == "ASC" else f"-{v}")
+                        if isinstance(e, tuple) and e[0] == "var":
+                            v = e[1]
+                            order_by.append(v if asc else f"-{v}")
+                        else:
+                            # expression condition: DESC(STRLEN(?n)), ...
+                            order_by.append(OrderExpr(e, asc))
                     else:
                         order_by.append(tok[1:])
                 continue
@@ -2834,9 +2882,7 @@ def execute_on_triples(
         if q.distinct:
             result = result.distinct()
         if q.order_by:
-            result = result.orderBy(
-                *[F.desc(v[1:]) if v.startswith("-") else F.asc(v) for v in q.order_by]
-            )
+            result = result.orderBy(*order_columns(q.order_by))
         if q.offset is not None:
             result = result.offset(q.offset)
         if q.limit is not None:

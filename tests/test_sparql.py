@@ -267,6 +267,41 @@ def test_filter_arith_engine_matches_manual(engine):
     assert rows  # the fixture has names long enough to survive the cut
 
 
+def test_order_by_expression(spark):
+    """ORDER BY ASC(expr)/DESC(expr) accepts full BIND-grammar operands
+    (DESC(STRLEN(?n))); bare-var ASC/DESC keeps its legacy lowering."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("a", "u:n", "ccc"), ("b", "u:n", "z"),
+         ("c", "u:n", "bb"), ("d", "u:n", "aaaa")],
+        ["s", "p", "o"],
+    )
+    got = execute_on_triples(
+        t,
+        "SELECT ?s ?n WHERE { ?s <u:n> ?n } "
+        "ORDER BY DESC(STRLEN(?n)) ?s LIMIT 2",
+    )
+    assert [tuple(r) for r in got.collect()] == [("d", "aaaa"), ("a", "ccc")]
+    got = execute_on_triples(
+        t, "SELECT ?s WHERE { ?s <u:n> ?n } ORDER BY ASC(STRLEN(?n)) DESC(?s)"
+    )
+    assert [r["s"] for r in got.collect()] == ["b", "c", "a", "d"]
+
+
+def test_order_by_expression_engine(engine):
+    """The permutation-table engine path sorts by the same compiled
+    expression Columns: engine result == unordered engine result +
+    a hand-built orderBy."""
+    base = PREFIXES + "SELECT ?x ?y WHERE { ?x rdf:type ub:Course . ?x ub:name ?y }"
+    got = engine.sparql(base + " ORDER BY DESC(STRLEN(?y)) ?y ?x")
+    want = engine.sparql(base).orderBy(
+        F.length(F.col("y")).desc(), F.asc("y"), F.asc("x")
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    assert got.count() > 0
+
+
 def test_filter_numeric_try_cast(spark):
     """Numeric comparison uses try_cast: non-numeric values error -> false
     (dropped), matching SPARQL's error-is-false FILTER semantics."""
