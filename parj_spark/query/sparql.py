@@ -9,7 +9,8 @@ recursive-descent parser for exactly the SPARQL subset the reference executes â€
   with '.' separators, ';' predicate-object lists, ',' object lists, the 'a'
   keyword, OPTIONAL { ... } blocks (SPARQL OPTIONAL -> left outer join, J5),
   ORDER BY / LIMIT modifiers (ORDER BY conditions may be bare vars,
-  ASC()/DESC() wrappers, or BIND-grammar expressions: DESC(STRLEN(?n))).
+  ASC()/DESC() wrappers, bare function calls (ORDER BY STRLEN(?n),
+  ascending), or BIND-grammar expressions: DESC(STRLEN(?n))).
 
 Anything beyond a BGP (FILTER, UNION, GRAPH, subqueries, property paths) is
 rejected with a clear error â€” the same contract as the reference, which
@@ -1522,10 +1523,24 @@ class _Parser:
             if self._kw(t, "ORDER"):
                 self.next()
                 self.expect("BY")
+                fn_starts = (
+                    "STRLEN", "UCASE", "LCASE", "STR", "ABS", "CEIL",
+                    "FLOOR", "ROUND", "MD5", "SHA256", "YEAR", "MONTH",
+                    "DAY", "HOURS", "MINUTES", "SECONDS", "SUBSTR",
+                    "REPLACE", "STRBEFORE", "STRAFTER", "CONCAT",
+                    "COALESCE", "IF",
+                )
                 while self.peek() is not None and (
                     self.peek().startswith(("?", "$"))
                     or self.peek().upper() in ("ASC", "DESC")
+                    or self.peek().upper() in fn_starts
                 ):
+                    tok = self.peek()
+                    if tok.upper() in fn_starts:
+                        # bare function-call condition (spec brackettedless
+                        # OrderCondition): ascending by that expression
+                        order_by.append(OrderExpr(self._bind_expr(), True))
+                        continue
                     tok = self.next()
                     if tok.upper() in ("ASC", "DESC"):
                         asc = tok.upper() == "ASC"

@@ -289,6 +289,22 @@ def test_order_by_expression(spark):
     assert [r["s"] for r in got.collect()] == ["b", "c", "a", "d"]
 
 
+def test_order_by_bare_function_condition(spark):
+    """A bare function call is a valid OrderCondition (ascending), mixable
+    with legacy var/ASC/DESC conditions."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("a", "u:n", "ccc"), ("b", "u:n", "z"),
+         ("c", "u:n", "bb"), ("d", "u:n", "aaaa")],
+        ["s", "p", "o"],
+    )
+    got = execute_on_triples(
+        t, "SELECT ?s WHERE { ?s <u:n> ?n } ORDER BY STRLEN(?n) ?s"
+    )
+    assert [r["s"] for r in got.collect()] == ["b", "c", "a", "d"]
+
+
 def test_order_by_expression_engine(engine):
     """The permutation-table engine path sorts by the same compiled
     expression Columns: engine result == unordered engine result +
