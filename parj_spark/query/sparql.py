@@ -454,7 +454,8 @@ class StrTest:
 
 @dataclass
 class TermTest:
-    """isIRI / isURI / isLiteral / isBlank(arg) — term-kind tests on the
+    """isIRI / isURI / isLiteral / isBlank / isNumeric(arg) — term-kind
+    tests on the
     plain-string term model: a term counts as an IRI exactly when it
     matches the exporter's URI shape (rdf_io._IRI_SHAPE_RE, the rule
     write_ntriples uses to serialize objects), so FILTER and export agree
@@ -713,9 +714,16 @@ def filter_to_column(e: FilterExpr, colref):
 
         c = operand(e.arg)
         if e.func == "isblank":
-            # no term is a blank node in this store; null arg stays null so
-            # !isBlank(?unbound) is an error (drops), not true
-            return c.isNotNull() & F.lit(False)
+            # no term is a blank node in this store; the when-guard keeps a
+            # null arg NULL (false & null would collapse to false in SQL
+            # 3-valued logic) so !isBlank(?unbound) is an error (drops),
+            # not true
+            return F.when(c.isNotNull(), F.lit(False))
+        if e.func == "isnumeric":
+            # a term counts as numeric exactly when the numeric paths can
+            # use it (try_cast succeeds) — consistent with the arithmetic
+            # and ABS/ROUND error rule; when-guard as isBlank
+            return F.when(c.isNotNull(), c.try_cast("double").isNotNull())
         iri = c.rlike(_IRI_SHAPE_RE)
         return iri if e.func == "isiri" else ~iri
     if isinstance(e, Not):
@@ -1795,7 +1803,9 @@ class _Parser:
                 raise ValueError("bound(): argument must be a variable")
             self.expect(")")
             return Bound(var[1])
-        if t is not None and t.upper() in ("ISIRI", "ISURI", "ISLITERAL", "ISBLANK"):
+        if t is not None and t.upper() in (
+            "ISIRI", "ISURI", "ISLITERAL", "ISBLANK", "ISNUMERIC",
+        ):
             func = self.next().lower()
             if func == "isuri":
                 func = "isiri"  # spec synonym

@@ -1114,6 +1114,33 @@ def test_filter_builtin_str_functions(spark):
     assert run('STRSTARTS(UCASE(?v), "B")') == ["b"]
 
 
+def test_filter_isnumeric(spark):
+    """isNumeric(?x) is true exactly when the numeric paths can use the
+    term (try_cast double succeeds) — spec §17.4.2.4 on the string-term
+    model; unbound arg errors -> false."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("a", "u:v", "3"), ("b", "u:v", "-2.5"), ("c", "u:v", "urn:x"),
+         ("d", "u:v", "4e2")],
+        ["s", "p", "o"],
+    )
+    base = "SELECT ?s WHERE { ?s <u:v> ?v . %s }"
+
+    def run(body):
+        got = execute_on_triples(t, base % body, allow_filter=True)
+        return sorted(r["s"] for r in got.collect())
+
+    assert run("FILTER(isNumeric(?v))") == ["a", "b", "d"]
+    assert run("FILTER(!isNumeric(?v))") == ["c"]
+    assert run(
+        "OPTIONAL { ?s <u:none> ?m . } FILTER(!isNumeric(?m))"
+    ) == []  # unbound -> error -> false even under negation
+    assert run(
+        "OPTIONAL { ?s <u:none> ?m . } FILTER(!isBlank(?m))"
+    ) == []  # same error rule for isBlank's constant-false
+
+
 def test_filter_numeric_functions(spark):
     """ABS/CEIL/FLOOR/ROUND compile to native numeric Column ops over
     try_cast doubles; ROUND is spec-exact fn:round (half rounds toward
