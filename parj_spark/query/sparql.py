@@ -19,7 +19,7 @@ rejects non-StatementPattern nodes and variable predicates outright
 parity: ``allow_var_predicates=True`` enables the engine's OSP-backed
 variable predicates; ``allow_filter=True`` enables FILTER expressions
 (comparisons =, !=, <, <=, >, >=; && / || / !; regex(?v, "re" [, "i"]);
-bound(?v); STRSTARTS/STRENDS/CONTAINS string tests; STRLEN/UCASE/LCASE/STR
+bound(?v); sameTerm(a, b) (= on this term model); STRSTARTS/STRENDS/CONTAINS string tests; STRLEN/UCASE/LCASE/STR
 and ABS/CEIL/FLOOR/ROUND term functions usable as operands (ROUND is
 spec-exact fn:round — half rounds toward positive infinity); MD5/SHA256
 hash builtins (lowercase hex); YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS
@@ -1803,6 +1803,17 @@ class _Parser:
                 raise ValueError("bound(): argument must be a variable")
             self.expect(")")
             return Bound(var[1])
+        if t is not None and t.upper() == "SAMETERM":
+            # sameTerm(a, b): on the plain-string term model every term IS
+            # its lexical form, so sameTerm coincides with = (and rides
+            # the same encoded-id lowering in the engine path)
+            self.next()
+            self.expect("(")
+            lhs = self._bind_expr()
+            self.expect(",")
+            rhs = self._bind_expr()
+            self.expect(")")
+            return Comparison("=", lhs, rhs)
         if t is not None and t.upper() in (
             "ISIRI", "ISURI", "ISLITERAL", "ISBLANK", "ISNUMERIC",
         ):

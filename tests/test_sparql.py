@@ -1114,6 +1114,27 @@ def test_filter_builtin_str_functions(spark):
     assert run('STRSTARTS(UCASE(?v), "B")') == ["b"]
 
 
+def test_filter_sameterm(spark):
+    """sameTerm(a, b) lowers onto the = comparison (terms ARE their
+    lexical forms on this model), composing with ! and constants."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("a", "u:p", "x"), ("a", "u:q", "x"), ("b", "u:p", "x"),
+         ("b", "u:q", "y")],
+        ["s", "p", "o"],
+    )
+    base = "SELECT ?s WHERE { ?s <u:p> ?v . ?s <u:q> ?w . FILTER(%s) }"
+
+    def run(cond):
+        got = execute_on_triples(t, base % cond, allow_filter=True)
+        return sorted(r["s"] for r in got.collect())
+
+    assert run("sameTerm(?v, ?w)") == ["a"]
+    assert run("!sameTerm(?v, ?w)") == ["b"]
+    assert run('sameTerm(?w, "y")') == ["b"]
+
+
 def test_filter_isnumeric(spark):
     """isNumeric(?x) is true exactly when the numeric paths can use the
     term (try_cast double succeeds) — spec §17.4.2.4 on the string-term
