@@ -547,6 +547,22 @@ def _strfn_column(name: str, args: tuple, comp):
 
 #: unary term functions yielding NUMERIC columns (drives the numeric-
 #: comparison cast rule the same way a bare number literal does)
+#: the unary builtin names, single source for the operand parser, the
+#: bare-ORDER-BY lookahead, and _unary_fn_column's dispatch
+_UNARY_FN_NAMES = (
+    "STRLEN", "UCASE", "LCASE", "STR",
+    "ABS", "CEIL", "FLOOR", "ROUND",
+    "MD5", "SHA256",
+    "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
+)
+
+#: names that can open a BIND-grammar function expression (drives the
+#: bare-expression ORDER BY condition lookahead)
+_FN_START_NAMES = _UNARY_FN_NAMES + (
+    "SUBSTR", "REPLACE", "STRBEFORE", "STRAFTER",
+    "CONCAT", "COALESCE", "IF",
+)
+
 _NUMERIC_FNS = frozenset({
     "strlen", "abs", "ceil", "floor", "round",
     "year", "month", "day", "hours", "minutes", "seconds",
@@ -567,8 +583,14 @@ def _unary_fn_column(name: str, inner):
     if name in ("year", "month", "day", "hours", "minutes", "seconds"):
         # SPARQL 1.1 dateTime accessors over the term's timestamp parse
         # (ISO or Spark "yyyy-MM-dd HH:mm:ss[.f]" forms; a non-timestamp
-        # term errors -> null). Deviation, documented: SECONDS returns the
-        # INTEGER second (F.second), not the spec's fractional xs:decimal.
+        # term errors -> null). Deviations, documented: SECONDS returns
+        # the INTEGER second (F.second), not the spec's fractional
+        # xs:decimal; and components are extracted in the SESSION timezone
+        # (parj_spark.session.get_spark pins UTC), so an offset-bearing
+        # literal ("...T12:00:00+02:00") is normalized to that zone first
+        # where the spec extracts in the literal's own timezone — run a
+        # UTC session (the engine default) for spec-equal results on
+        # offset-free and Z-suffixed terms.
         t = inner.try_cast("timestamp")
         return {
             "year": F.year, "month": F.month, "day": F.dayofmonth,
@@ -626,12 +648,8 @@ def filter_vars(e: FilterExpr) -> set[str]:
     """Variable names referenced by a FILTER expression."""
     if isinstance(e, Comparison):
         # operands may be BIND-grammar expressions (Arith/Concat/If/
-        # Coalesce), not just term tuples
-        return {
-            v
-            for t in (e.lhs, e.rhs)
-            for v in (_operand_vars(t) if isinstance(t, tuple) else bind_vars(t))
-        }
+        # Coalesce), not just term tuples — _operand_vars dispatches
+        return _operand_vars(e.lhs) | _operand_vars(e.rhs)
     if isinstance(e, (Regex, Bound)):
         return {e.var}
     if isinstance(e, StrTest):
@@ -674,19 +692,31 @@ def filter_to_column(e: FilterExpr, colref):
             return _strfn_column(t[1], t[2], operand)
         return F.lit(t[1])
 
-    def is_numeric(t) -> bool:
-        if isinstance(t, Arith):
-            return True
-        return isinstance(t, tuple) and (
-            t[0] == "num" or (t[0] == "func" and t[1] in _NUMERIC_FNS)
+    def _typed_numeric(t) -> bool:
+        # the COMPILED column is already numeric-typed — no cast needed
+        return isinstance(t, Arith) or (
+            isinstance(t, tuple)
+            and (t[0] == "num" or (t[0] == "func" and t[1] in _NUMERIC_FNS))
         )
 
+    def is_numeric(t) -> bool:
+        # does this operand make the comparison numeric? IF/COALESCE count
+        # when any branch does (COALESCE(?a, 0) > ?b must compare numbers,
+        # not strings — the compiled coalesce column is string-typed, so
+        # _typed_numeric stays False and the try_cast still applies)
+        if isinstance(t, If):
+            return is_numeric(t.then) or is_numeric(t.els)
+        if isinstance(t, Coalesce):
+            return any(is_numeric(p) for p in t.parts)
+        return _typed_numeric(t)
+
     if isinstance(e, Comparison):
-        # try_cast only the STRING operands of a numeric comparison
-        # (STRLEN is already int; casting it again would be wasted work)
+        # try_cast only the not-already-numeric operands of a numeric
+        # comparison (STRLEN is already int; casting it again would be
+        # wasted work)
         numeric = is_numeric(e.lhs) or is_numeric(e.rhs)
-        l = operand(e.lhs, numeric and not is_numeric(e.lhs))
-        r = operand(e.rhs, numeric and not is_numeric(e.rhs))
+        l = operand(e.lhs, numeric and not _typed_numeric(e.lhs))
+        r = operand(e.rhs, numeric and not _typed_numeric(e.rhs))
         return {
             "=": l == r, "!=": l != r,
             "<": l < r, "<=": l <= r, ">": l > r, ">=": l >= r,
@@ -1531,13 +1561,7 @@ class _Parser:
             if self._kw(t, "ORDER"):
                 self.next()
                 self.expect("BY")
-                fn_starts = (
-                    "STRLEN", "UCASE", "LCASE", "STR", "ABS", "CEIL",
-                    "FLOOR", "ROUND", "MD5", "SHA256", "YEAR", "MONTH",
-                    "DAY", "HOURS", "MINUTES", "SECONDS", "SUBSTR",
-                    "REPLACE", "STRBEFORE", "STRAFTER", "CONCAT",
-                    "COALESCE", "IF",
-                )
+                fn_starts = _FN_START_NAMES
                 while self.peek() is not None and (
                     self.peek().startswith(("?", "$"))
                     or self.peek().upper() in ("ASC", "DESC")
@@ -1804,14 +1828,18 @@ class _Parser:
             self.expect(")")
             return Bound(var[1])
         if t is not None and t.upper() == "SAMETERM":
-            # sameTerm(a, b): on the plain-string term model every term IS
-            # its lexical form, so sameTerm coincides with = (and rides
-            # the same encoded-id lowering in the engine path)
+            # sameTerm(a, b): term IDENTITY — on the plain-string term
+            # model, string equality of the lexical forms, lowered onto a
+            # STRING = comparison (which keeps the encoded-id lowering).
+            # Numeric literal arguments keep their WRITTEN lexical form:
+            # sameTerm(?v, 3) matches the term "3" only, where `= 3`
+            # would value-match "3.0" too. (Function operands — STRLEN
+            # etc. — still compare by their computed value.)
             self.next()
             self.expect("(")
-            lhs = self._bind_expr()
+            lhs = self._sameterm_arg()
             self.expect(",")
-            rhs = self._bind_expr()
+            rhs = self._sameterm_arg()
             self.expect(")")
             return Comparison("=", lhs, rhs)
         if t is not None and t.upper() in (
@@ -1874,14 +1902,19 @@ class _Parser:
         "strbefore": (2, 2), "strafter": (2, 2),
     }
 
+    _NUM_TOKEN_RE = re.compile(r"-?[0-9]+(?:\.[0-9]+)?")
+
+    def _sameterm_arg(self) -> tuple:
+        t = self.peek()
+        if t is not None and self._NUM_TOKEN_RE.fullmatch(t):
+            # keep the lexical form: sameTerm is identity, not value
+            self.next()
+            return ("lit", t)
+        return self._filter_operand()
+
     def _filter_operand(self) -> tuple:
         t = self.next()
-        if t.upper() in (
-            "STRLEN", "UCASE", "LCASE", "STR",
-            "ABS", "CEIL", "FLOOR", "ROUND",
-            "MD5", "SHA256",
-            "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
-        ) and self.peek() == "(":
+        if t.upper() in _UNARY_FN_NAMES and self.peek() == "(":
             # unary term-function operand, usable anywhere a var/constant
             # is; the argument is a full BIND-grammar expression, so
             # arithmetic composes inside (ABS(?x - 5))

@@ -1135,6 +1135,49 @@ def test_filter_sameterm(spark):
     assert run('sameTerm(?w, "y")') == ["b"]
 
 
+def test_sameterm_is_identity_not_value(spark):
+    """sameTerm(?v, 3) matches the term "3" only — numeric literal
+    arguments keep their written lexical form, where `= 3` value-matches
+    "3.0" and "03" too (term identity vs value equality)."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("a", "u:v", "3"), ("b", "u:v", "3.0"), ("c", "u:v", "03")],
+        ["s", "p", "o"],
+    )
+    base = "SELECT ?s WHERE { ?s <u:v> ?v . FILTER(%s) }"
+
+    def run(cond):
+        got = execute_on_triples(t, base % cond, allow_filter=True)
+        return sorted(r["s"] for r in got.collect())
+
+    assert run("sameTerm(?v, 3)") == ["a"]
+    assert run("sameTerm(?v, 3.0)") == ["b"]
+    assert run("?v = 3") == ["a", "b", "c"]  # value equality, for contrast
+
+
+def test_filter_coalesce_numeric_comparison(spark):
+    """A numeric literal nested in COALESCE/IF makes the comparison
+    numeric: COALESCE(?m, 0) > ?v compares values, not strings, and the
+    unbound branch takes the fallback."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("a", "u:v", "100"), ("a", "u:m", "5"),
+         ("b", "u:v", "20")],
+        ["s", "p", "o"],
+    )
+    got = execute_on_triples(
+        t,
+        "SELECT ?s WHERE { ?s <u:v> ?v . OPTIONAL { ?s <u:m> ?m . } "
+        "FILTER(COALESCE(?m, 0) < ?v) }",
+        allow_filter=True,
+    )
+    # a: 5 < 100 (numeric; "5" < "100" would be FALSE lexicographically);
+    # b: unbound ?m -> fallback 0 < 20
+    assert sorted(r["s"] for r in got.collect()) == ["a", "b"]
+
+
 def test_filter_isnumeric(spark):
     """isNumeric(?x) is true exactly when the numeric paths can use the
     term (try_cast double succeeds) — spec §17.4.2.4 on the string-term
