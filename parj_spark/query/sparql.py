@@ -677,12 +677,21 @@ def filter_to_column(e: FilterExpr, colref):
         if not isinstance(t, tuple):
             # BIND-grammar operand (Arith/Concat/If/Coalesce): compile
             # through the shared BIND compiler; Arith already yields
-            # doubles, the others cast when the comparison is numeric
+            # doubles, the others cast when the comparison is numeric —
+            # and string-render in non-numeric contexts (same ANSI-cast
+            # guard as the var branch)
             c = bind_to_column(t, colref)
-            return c.try_cast("double") if numeric else c
+            return c.try_cast("double") if numeric else c.cast("string")
         if t[0] == "var":
+            # non-numeric contexts compare the term's STRING form: a plain
+            # term column passes through (cast(string) is a no-op Catalyst
+            # elides), while a numeric-typed BIND output column renders to
+            # its string form instead of tripping ANSI's implicit plain
+            # cast against a non-numeric literal (`?u != "t:nope"` with
+            # ?u = BIND(ABS(...)) must drop/keep rows, not throw
+            # CAST_INVALID_INPUT)
             c = colref(t[1])
-            return c.try_cast("double") if numeric else c
+            return c.try_cast("double") if numeric else c.cast("string")
         if t[0] == "func":
             # unary term functions: STRLEN/ABS/CEIL/FLOOR/ROUND yield
             # numeric columns; UCASE/LCASE rewrap the string; STR is the
@@ -723,7 +732,9 @@ def filter_to_column(e: FilterExpr, colref):
         }[e.op]
     if isinstance(e, Regex):
         pat = f"(?{e.flags})" + e.pattern if e.flags else e.pattern
-        return colref(e.var).rlike(pat)
+        # cast as in the var operand: regex over a numeric-typed BIND
+        # column matches its string rendering instead of failing analysis
+        return colref(e.var).cast("string").rlike(pat)
     if isinstance(e, Bound):
         return colref(e.var).isNotNull()
     if isinstance(e, StrTest):

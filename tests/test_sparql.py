@@ -1156,6 +1156,32 @@ def test_sameterm_is_identity_not_value(spark):
     assert run("?v = 3") == ["a", "b", "c"]  # value equality, for contrast
 
 
+def test_filter_string_compare_over_numeric_bind(spark):
+    """Comparing a numeric-typed BIND output against a non-numeric
+    literal string-renders the column (ANSI would otherwise throw
+    CAST_INVALID_INPUT on the implicit plain cast); regex likewise
+    matches the string rendering."""
+    from parj_spark.query.sparql import execute_on_triples
+
+    t = spark.createDataFrame(
+        [("a", "u:v", "abcd"), ("b", "u:v", "xy")], ["s", "p", "o"]
+    )
+    got = execute_on_triples(
+        t,
+        "SELECT ?s WHERE { ?s <u:v> ?v . BIND(ABS(STRLEN(?v) / 2) AS ?u) "
+        'FILTER(?u != "t:nope") }',
+        allow_filter=True, allow_bind=True,
+    )
+    assert sorted(r["s"] for r in got.collect()) == ["a", "b"]
+    got = execute_on_triples(
+        t,
+        "SELECT ?s WHERE { ?s <u:v> ?v . BIND(STRLEN(?v) AS ?u) "
+        'FILTER(regex(?u, "^4$")) }',
+        allow_filter=True, allow_bind=True,
+    )
+    assert sorted(r["s"] for r in got.collect()) == ["a"]
+
+
 def test_filter_coalesce_numeric_comparison(spark):
     """A numeric literal nested in COALESCE/IF makes the comparison
     numeric: COALESCE(?m, 0) > ?v compares values, not strings, and the
