@@ -64,18 +64,48 @@ def with_shingles(
     return toked.select(id_col, _shingles_from(F.col("__toks"), n).alias("shingles"))
 
 
+def _combos(arr):
+    """All unordered {x, y} element combinations of an array column as
+    struct(a, b) with a = least(x, y), b = greatest(x, y) — the in-task
+    equivalent of a self-equi-join + (x < y) filter, at half the rows and
+    zero join. Struct elements order by their leading field."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+                ),
+            ),
+        )
+    )
+
+
 def minhash_signature(df: DataFrame, id_col: str, shingles_col: str, n_hashes: int) -> DataFrame:
     """(id, h0..h{n-1}): min over shingles of md5(j || '|' || shingle).
 
     min-over-md5-hex is a valid minhash family (each salted md5 induces an
     independent pseudo-random total order on the shingle universe).
+
+    Computed per-document with array higher-order functions (transform +
+    array_min fold over the shingle array), so the signature needs NO
+    explode and NO corpus-wide shuffle — the former explode+groupBy shape
+    shuffled one row per shingle occurrence just to take per-doc minima.
+    array_min's string ordering is the binary UTF8 ordering F.min uses, so
+    the signatures are bit-identical; docs with an empty shingle array are
+    dropped, exactly as explode dropped them.
     """
-    ex = df.select(id_col, F.explode(shingles_col).alias("sh"))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("sh")))).alias(f"h{j}")
+    cols = [
+        F.array_min(
+            F.transform(
+                F.col(shingles_col),
+                lambda s: F.md5(F.concat(F.lit(f"{j}|"), s)),
+            )
+        ).alias(f"h{j}")
         for j in range(n_hashes)
     ]
-    return ex.groupBy(id_col).agg(*aggs)
+    return df.filter(F.size(shingles_col) > 0).select(id_col, *cols)
 
 
 def minhash_lsh_pairs(
@@ -114,17 +144,19 @@ def minhash_lsh_pairs(
         id_col,
         F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
     )
-    if max_bucket is not None:
-        sizes = stacked.groupBy("bucket").agg(F.count("*").alias("bsz"))
-        stacked = (
-            stacked.join(sizes, "bucket").filter(F.col("bsz") <= max_bucket).drop("bsz")
-        )
-    a = stacked.select(F.col(id_col).alias("id_a"), "bucket")
-    b = stacked.select(F.col(id_col).alias("id_b"), "bucket")
+    # per-bucket posting lists: the bucket-size guard becomes a length
+    # filter on the list, and the i<j candidate pairs are generated
+    # in-task from each list — no bucket-size join, no self-join, and each
+    # unordered pair is emitted once per colliding band instead of twice
+    gate = F.size("ids") <= max_bucket if max_bucket is not None else F.lit(True)
+    buckets = (
+        stacked.groupBy("bucket")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter((F.size("ids") >= 2) & gate)
+    )
     cand = (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(_combos(F.col("ids"))).alias("pr"))
+        .select(F.col("pr.a").alias("id_a"), F.col("pr.b").alias("id_b"))
         .distinct()
     )
     sh_a = with_sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
@@ -167,50 +199,63 @@ def ngram_jaccard_pairs(
     materializes per-doc sets on the join path.
 
     ``max_df``: document-frequency cap on the inverted index (prefix
-    filtering) — a shingle shared by m docs contributes m²/2 join rows, so
+    filtering) — a shingle shared by m docs contributes m²/2 pair rows, so
     one stop-bigram at corpus scale is O(n²); shingles with df > max_df are
     dropped from the index as non-discriminative (same skew guard as
     minhash's ``max_bucket``). Intersections then undercount by the dropped
     shingles, making the reported jaccard a lower bound — pairs whose
     overlap is *only* stopword shingles are (intentionally) not candidates.
     Denominators keep the full set sizes. None = exact (oracle mode).
+
+    Shuffle shape (one order less than the naive index self-join): the
+    exploded index is grouped ONCE by shingle into per-shingle posting
+    lists (the df cap is then a length filter on the list — no separate
+    doc-frequency aggregation or join), and the i<j pair combinations are
+    generated in-task from each list, so each unordered pair crosses the
+    wire once, not twice, and no corpus-sized join output exists. Each
+    posting entry carries its doc's full set size, so the jaccard
+    denominator needs no join back to a per-doc size table — one corpus
+    scan, one posting-list shuffle, one pair aggregation, nothing else.
     """
-    # persist the exploded inverted index: it feeds the per-doc sizes, the
-    # df cap and both self-join sides — uncached, one action's plan
-    # re-evaluated the shingle transform+explode 6x over the full corpus
-    # (same lifecycle tradeoff as minhash_lsh_pairs's persisted shingles)
-    idx = with_shingles(df, id_col, text_col, shingle_n).select(
-        id_col, F.explode("shingles").alias("sh")
-    ).persist()
-    sh = idx
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    if max_df is not None:
-        dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
-        sh = sh.join(dfreq, "sh").filter(F.col("df") <= max_df).drop("df")
-    a = sh.select(F.col(id_col).alias("id_a"), "sh")
-    b = sh.select(F.col(id_col).alias("id_b"), "sh")
-    inter = (
-        a.join(b, "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("i"))
+    docs_sh = with_shingles(df, id_col, text_col, shingle_n)
+    posting = (
+        docs_sh.select(
+            F.struct(
+                F.col(id_col).alias("id"), F.size("shingles").alias("sz")
+            ).alias("e"),
+            F.explode("shingles").alias("sh"),
+        )
+        .groupBy("sh")
+        .agg(F.collect_list("e").alias("es"))
     )
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    cap = F.size("es") <= max_df if max_df is not None else F.lit(True)
+    posting = posting.filter((F.size("es") >= 2) & cap)
+    # every unordered {a, b} combination of a posting list, normalized so
+    # id_a < id_b (one row per shared shingle per pair — the distributive
+    # |intersection| count, exactly as the former self-join produced)
+    inter = (
+        posting.select(F.explode(_combos(F.col("es"))).alias("pr"))
+        .select(
+            F.col("pr.a.id").alias("id_a"),
+            F.col("pr.b.id").alias("id_b"),
+            F.col("pr.a.sz").alias("sz_a"),
+            F.col("pr.b.sz").alias("sz_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("i"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
+        )
+    )
     verified = (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard", F.round(F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i")), 6)
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    # pin the pair set, release the corpus-sized inverted index (see
-    # minhash_lsh_pairs — identical cache lifecycle)
-    out = verified.localCheckpoint()
-    idx.unpersist()
-    return out
+    return verified
 
 
 def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

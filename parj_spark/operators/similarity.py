@@ -182,47 +182,73 @@ def cosine_lsh_neardup_pairs(
                 {id_col: ids, "band": bands.astype(np.int32), "bucket": bucket.astype(np.int64)}
             )
 
-    # persist the (id, band, bucket) assignment: it feeds the bucket-size
-    # guard and BOTH sides of the self-join, and without the cache Catalyst
-    # re-evaluates the whole Arrow sign stage per occurrence (measured: 8
-    # MapInPandas nodes / 12 scans of the embeddings in one action's plan).
-    # The cached relation is 3 longs per (vector, band) — at 10^9 vectors x
-    # 8 bands ~200 GB cluster-wide, MEMORY_AND_DISK territory — vs signing
-    # the full embedding corpus 8x. Same lifecycle tradeoff as
-    # dedup.minhash_lsh_pairs's persisted shingles.
-    assignment = emb.select(id_col, vec_col).mapInPandas(
+    # the (id, band, bucket) assignment feeds exactly one consumer now (the
+    # posting-list aggregation below), so the Arrow sign stage runs once per
+    # action with no cache: per-(band, bucket) posting lists make the
+    # bucket-size guard a length filter and generate the i<j candidate
+    # pairs in-task — no bucket-size join, no self-join, each unordered
+    # pair emitted once per colliding band instead of twice
+    stacked = emb.select(id_col, vec_col).mapInPandas(
         assign, f"{id_col} long, band int, bucket long"
-    ).persist()
-    stacked = assignment
-    if max_bucket is not None:
-        sizes = stacked.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
-        stacked = (
-            stacked.join(sizes, ["band", "bucket"])
-            .filter(F.col("bsz") <= max_bucket)
-            .drop("bsz")
+    )
+    # the vector RIDES the posting list (with its norm, computed once per
+    # vector by the exact fold expression cosine_sim would evaluate per
+    # pair), so verification needs no join against the corpus at all —
+    # joins from a Generate output have no usable size estimate and the
+    # planner was measured broadcasting the 30M-row candidate side
+    pre = emb.select(
+        F.col(id_col).alias("__pid"),
+        F.col(vec_col).alias("__pvec"),
+        _norm(F.col(vec_col)).alias("__pnrm"),
+    )
+    entry = F.struct(
+        F.col("__pid").alias("id"),
+        F.col("__pvec").alias("vec"),
+        F.col("__pnrm").alias("nrm"),
+    )
+    gate = F.size("es") <= max_bucket if max_bucket is not None else F.lit(True)
+    # repartition the (few, list-valued) posting rows across the cluster
+    # before exploding them: AQE's byte-based coalescing sees ~2k rows and
+    # would collapse the pair-generation + verification stage to one task
+    # (measured: a near-serial 70s verify at 30M candidates)
+    par = emb.sparkSession.sparkContext.defaultParallelism * 2
+    buckets = (
+        stacked.join(pre, stacked[id_col] == pre["__pid"])
+        .groupBy("band", "bucket")
+        .agg(F.collect_list(entry).alias("es"))
+        .filter((F.size("es") >= 2) & gate)
+        .repartition(par, "band", "bucket")
+    )
+    # two-level i<j pair generation (anchor posexplode, then a slice of the
+    # tail partners): per generated row only one O(bucket) slice is ever
+    # materialized, never the O(bucket^2) flat pair array
+    anch = buckets.select(F.posexplode("es").alias("i", "x"), "es")
+    pairs = anch.select(
+        "x",
+        F.explode(
+            F.slice(F.col("es"), F.col("i") + F.lit(2), F.size("es"))
+        ).alias("y"),
+    )
+    # a pair colliding in several bands is verified once per band (dup
+    # factor <= n_bands; ~1.03 measured on random vectors) and deduplicated
+    # after the threshold filter, where the surviving set is orders of
+    # magnitude smaller than the candidate set — no corpus-scale distinct.
+    # dot is elementwise-commutative, so the orientation of (x, y) cannot
+    # change the double; norms are per-side values.
+    cos = F.round(
+        _dot(F.col("x.vec"), F.col("y.vec")) / (F.col("x.nrm") * F.col("y.nrm")),
+        6,
+    )
+    verified = (
+        pairs.select(
+            F.least("x.id", "y.id").alias("id_a"),
+            F.greatest("x.id", "y.id").alias("id_b"),
+            cos.alias("cosine"),
         )
-    a = stacked.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = stacked.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .filter(F.col("cosine") >= threshold)
         .distinct()
     )
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    verified = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cosine", F.round(cosine_sim("va", "vb"), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
-    # pin the verified pair set, release the corpus-sized band assignment
-    # (semantic_dedup's lifecycle; see dedup.minhash_lsh_pairs)
-    out = verified.localCheckpoint()
-    assignment.unpersist()
-    return out
+    return verified
 
 
 def cosine_lsh_topk(
