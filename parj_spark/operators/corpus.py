@@ -21,6 +21,20 @@ def _tokens(text_col: str):
     return F.split(F.lower(F.col(text_col)), " ")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the input across the cluster when the scan arrives in
+    fewer partitions than there are task slots. A small corpus lands as ONE
+    file -> ONE scan partition, and every token/gram-building map stage
+    downstream then runs serially (measured: the whole 8-gram build of
+    dup_ngram_spans on one core). At real scale the scan already has more
+    splits than slots and this is a no-op — the repartition only fires on
+    under-split inputs, so no full-corpus shuffle is added at 100 TB."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def _gram_array(toks_col: str, n_col: str, n: int):
     """Array of space-joined n-grams over a token array (1-based slice);
     empty when the doc has fewer than n tokens (sequence(1,0) would count
@@ -53,7 +67,7 @@ def repetition_stats(
     shuffle carries one row per distinct gram per doc, not per token.
     """
     toks = _tokens(text_col)
-    base = df.select(
+    base = _spread(df).select(
         id_col, toks.alias("toks"), F.size(toks).alias("n_tokens")
     )
 
@@ -117,13 +131,23 @@ def dup_ngram_spans(
     exact gram string, so the contract gate would catch one.
     """
     toks = _tokens(text_col)
-    base = df.select(
+    base = _spread(df).select(
         id_col, toks.alias("toks"), F.size(toks).alias("n_tokens")
     )
-    w = base.select(
-        id_col,
-        F.posexplode(_gram_array("toks", "n_tokens", k)).alias("pos", "g"),
-    ).select(id_col, "pos", F.xxhash64("g").alias("gk"))
+    # hash-partition the window relation by the gram key ONCE: the
+    # frequency aggregate and the qualifying-key join both need exactly
+    # this partitioning, so Catalyst reuses the single exchange and the
+    # gram strings are built + hashed once — the previous shape evaluated
+    # the whole posexplode/concat_ws/xxhash64 pipeline twice, once per
+    # consumer (plan showed two Scan+Generate subtrees, no ReusedExchange)
+    w = (
+        base.select(
+            id_col,
+            F.posexplode(_gram_array("toks", "n_tokens", k)).alias("pos", "g"),
+        )
+        .select(id_col, "pos", F.xxhash64("g").alias("gk"))
+        .repartition("gk")
+    )
     freq = (
         w.groupBy("gk")
         .agg(F.countDistinct(id_col).alias("n_docs"))
@@ -268,16 +292,22 @@ def remove_dup_spans(
     (doc_id)-keyed aggregation. No Python in any path.
     """
     toks = _tokens(text_col)
-    base = df.select(
+    base = _spread(df).select(
         id_col, toks.alias("toks"), F.size(toks).alias("n_tokens")
     )
     tok_rows = base.select(
         id_col, F.posexplode("toks").alias("tpos", "tok")
     )
-    w = base.select(
-        id_col,
-        F.posexplode(_gram_array("toks", "n_tokens", k)).alias("pos", "g"),
-    ).select(id_col, "pos", F.xxhash64("g").alias("gk"))
+    # one exchange by gram key shared by the dup-key aggregate and the
+    # covered-position join (see dup_ngram_spans)
+    w = (
+        base.select(
+            id_col,
+            F.posexplode(_gram_array("toks", "n_tokens", k)).alias("pos", "g"),
+        )
+        .select(id_col, "pos", F.xxhash64("g").alias("gk"))
+        .repartition("gk")
+    )
     dup_keys = (
         w.groupBy("gk")
         .agg(F.countDistinct(id_col).alias("n_docs"))

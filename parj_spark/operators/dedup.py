@@ -59,8 +59,15 @@ def _shingles_from(toks, n: int):
 def with_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, shingles): tokenize once into a column, then window over it."""
-    toked = df.select(id_col, tokens_col(text_col).alias("__toks"))
+    """(id, shingles): tokenize once into a column, then window over it.
+
+    The input is spread across task slots first (corpus._spread): shingle
+    construction is the CPU-heavy map stage of every consumer, and an
+    under-split input (one small file -> one scan partition) would run it
+    serially."""
+    from parj_spark.operators.corpus import _spread
+
+    toked = _spread(df).select(id_col, tokens_col(text_col).alias("__toks"))
     return toked.select(id_col, _shingles_from(F.col("__toks"), n).alias("shingles"))
 
 
@@ -264,7 +271,9 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     token hash = first 8 hex chars of md5 as uint32; per bit, vote +1/-1
     over tokens; fingerprint bit b set iff vote > 0.
     """
-    toks = df.select(id_col, F.explode(tokens_col(text_col)).alias("tok"))
+    from parj_spark.operators.corpus import _spread
+
+    toks = _spread(df).select(id_col, F.explode(tokens_col(text_col)).alias("tok"))
     h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
     toks = toks.select(id_col, h.alias("h"))
     votes = [
