@@ -93,8 +93,18 @@ def write_bucketed_tables(
             w = w.option("path", os.path.join(path_root, sub))
         w.saveAsTable(name)
 
-    _write("s", ["s", "o"], spo_name, "spo")
-    _write("o", ["o", "s"], pos_name, "pos")
+    # the two permutation writes are independent jobs over the same input —
+    # run them concurrently so the second's stages back-fill the first's
+    # task tail (guide-standard overlap; same pattern as write_graph)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fs = [
+            pool.submit(_write, "s", ["s", "o"], spo_name, "spo"),
+            pool.submit(_write, "o", ["o", "s"], pos_name, "pos"),
+        ]
+        for f in fs:
+            f.result()
     if path_root:
         with open(os.path.join(path_root, BUCKETED_META), "w") as f:
             json.dump({"prefix": prefix, "n_buckets": n_buckets}, f)

@@ -360,11 +360,13 @@ def transitive_materialize(
     is one self-join shuffle on the closing slice only — the full graph is
     never re-shuffled. Convergence is checked with one count per round.
     """
+    # lazy checkpoints: the count() right after is the materializing action,
+    # so each round costs ONE job, not a checkpoint job plus a count job
     edges = (
         triples.filter(F.col("p") == pred)
         .select("s", "o")
         .dropDuplicates(["s", "o"])
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = edges.count()
     for _ in range(max_iter):
@@ -373,7 +375,11 @@ def transitive_materialize(
             .join(edges.alias("r"), F.col("l.o") == F.col("r.s"))
             .select(F.col("l.s").alias("s"), F.col("r.o").alias("o"))
         )
-        nxt = edges.union(hop).dropDuplicates(["s", "o"]).localCheckpoint()
+        nxt = (
+            edges.union(hop)
+            .dropDuplicates(["s", "o"])
+            .localCheckpoint(eager=False)
+        )
         n_nxt = nxt.count()
         if n_nxt == n:
             break

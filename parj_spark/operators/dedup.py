@@ -236,18 +236,45 @@ def ngram_jaccard_pairs(
         .agg(F.collect_list("e").alias("es"))
     )
     cap = F.size("es") <= max_df if max_df is not None else F.lit(True)
-    posting = posting.filter((F.size("es") >= 2) & cap)
+    # spread the (byte-light, compute-heavy) posting lists across the
+    # cluster before pair generation: AQE's byte-based coalescing would
+    # otherwise collapse the generation + partial-aggregation stage to a
+    # couple of tasks whose hash maps then spill (measured: 3x run-to-run
+    # swings at ~1e8 generated pairs)
+    par = df.sparkSession.sparkContext.defaultParallelism * 2
+    posting = posting.filter((F.size("es") >= 2) & cap).repartition(par, "sh")
     # every unordered {a, b} combination of a posting list, normalized so
     # id_a < id_b (one row per shared shingle per pair — the distributive
-    # |intersection| count, exactly as the former self-join produced)
+    # |intersection| count, exactly as the former self-join produced).
+    # Length filter (PPJoin family): jaccard <= min_sz/max_sz regardless of
+    # the intersection, and round(j, 6) can lift j by at most 5e-7, so a
+    # pair with min_sz < (threshold - 1e-6) * max_sz can never survive the
+    # final filter — drop it before it enters the pair aggregation.
+    ratio_ok = F.least("sz_a", "sz_b") >= (
+        F.lit(threshold - 1e-6) * F.greatest("sz_a", "sz_b")
+    )
+    # two-level generation (anchor posexplode, then a slice of the tail
+    # partners) instead of one flatten(transform(transform(...))) array:
+    # the nested-lambda form runs interpreted inside Generate (measured 3x
+    # the wall cold), while posexplode/explode+slice generate with codegen
+    # and never materialize the O(list^2) flat pair array per input row
+    anch = posting.select(F.posexplode("es").alias("i", "x"), "es")
+    pair_rows = anch.select(
+        "x",
+        F.explode(
+            F.slice(F.col("es"), F.col("i") + F.lit(2), F.size("es"))
+        ).alias("y"),
+    ).select(
+        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+    )
     inter = (
-        posting.select(F.explode(_combos(F.col("es"))).alias("pr"))
-        .select(
-            F.col("pr.a.id").alias("id_a"),
-            F.col("pr.b.id").alias("id_b"),
-            F.col("pr.a.sz").alias("sz_a"),
-            F.col("pr.b.sz").alias("sz_b"),
+        pair_rows.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
         )
+        .filter(ratio_ok)
         .groupBy("id_a", "id_b")
         .agg(
             F.count("*").alias("i"),
