@@ -53,17 +53,28 @@ def q02_filter_scan(spark, sf_dir):
 
 
 def q03_top_revenue_orders(spark, sf_dir):
-    """Multi-way join + agg + order/limit (J1, O1/O2)."""
+    """Multi-way join + agg + order/limit (J1, O1/O2).
+
+    Aggregate-before-join: o_orderkey is the orders key (unique), so
+    grouping the lineitem side first and semi-joining orders afterwards is
+    set-identical to joining raw lineitems and grouping the join output —
+    but the map-side partial aggregation now fires BEFORE the shuffle, so
+    the exchange carries one row per order instead of one per lineitem."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     rev = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey")
+        li.groupBy("l_orderkey")
         .agg(
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
+        .join(
+            o.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .select(F.col("l_orderkey").alias("o_orderkey"), "revenue")
     )
     return rev.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
 
@@ -96,13 +107,21 @@ def q06_antijoin(spark, sf_dir):
 
 
 def q07_left_join_agg(spark, sf_dir):
-    """LEFT OUTER JOIN (J5) + grouped count."""
+    """LEFT OUTER JOIN (J5) + grouped count.
+
+    Aggregate-before-join: counting matches per unique orders key commutes
+    with the left join (integer-exact — unmatched orders coalesce to 0), so
+    the per-key counts partial-aggregate map-side and the join carries one
+    row per qualifying order instead of one per qualifying lineitem."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40)
+    cnt = li.groupBy("l_orderkey").agg(F.count("*").alias("__n"))
     return (
-        o.join(li, o.o_orderkey == li.l_orderkey, "left")
-        .groupBy("o_orderkey")
-        .agg(F.count("l_orderkey").alias("n_big_items"))
+        o.join(cnt, o.o_orderkey == cnt.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("__n", F.lit(0)).alias("n_big_items"),
+        )
     )
 
 

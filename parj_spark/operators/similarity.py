@@ -18,6 +18,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from parj_spark.operators.corpus import _spread
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -59,7 +61,7 @@ def cosine_topk(
         F.col(vec_col).alias("qvec")
     )
     scored = (
-        emb.filter(F.col(id_col) != query_id)
+        _spread(emb.filter(F.col(id_col) != query_id))
         .crossJoin(F.broadcast(q))
         .select(
             id_col,
@@ -112,7 +114,7 @@ def ivf_topk(
     # the vector rides through the Arrow stage, so the probe filter reads
     # (id, vec, cell) directly — no shuffle join to re-attach the embedding
     vtype = emb.schema[vec_col].dataType.simpleString()
-    with_cell = emb.select(id_col, vec_col).mapInPandas(
+    with_cell = _spread(emb.select(id_col, vec_col)).mapInPandas(
         assign, f"{id_col} long, {vec_col} {vtype}, cell int"
     )
 
@@ -188,7 +190,7 @@ def cosine_lsh_neardup_pairs(
     # bucket-size guard a length filter and generate the i<j candidate
     # pairs in-task — no bucket-size join, no self-join, each unordered
     # pair emitted once per colliding band instead of twice
-    stacked = emb.select(id_col, vec_col).mapInPandas(
+    stacked = _spread(emb.select(id_col, vec_col)).mapInPandas(
         assign, f"{id_col} long, band int, bucket long"
     )
     # the vector RIDES the posting list (with its norm, computed once per
@@ -293,7 +295,7 @@ def cosine_lsh_topk(
             out["bucket"] = bucket.astype(np.int64)
             yield out
 
-    with_b = emb.select(id_col, vec_col).mapInPandas(assign, sig_schema)
+    with_b = _spread(emb.select(id_col, vec_col)).mapInPandas(assign, sig_schema)
 
     # The query's signature is computed driver-side (one first() for the
     # vector + the same numpy sign as `assign`, mirroring ivf_topk's
@@ -382,7 +384,7 @@ def semantic_dedup(
             yield out
 
     vtype = emb.schema[vec_col].dataType.simpleString()
-    with_cell = emb.select(id_col, vec_col).mapInPandas(
+    with_cell = _spread(emb.select(id_col, vec_col)).mapInPandas(
         assign, f"{id_col} long, {vec_col} {vtype}, cell int"
     )
 
