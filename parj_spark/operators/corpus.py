@@ -262,10 +262,15 @@ def tfidf_topterms(
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf_cnt"))
     )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
     total = df.agg(F.count("*").alias("n_total"))
+    # per-term document frequency as a window count over the (doc, term)
+    # aggregate — one row per (doc, term) means count-over-term IS
+    # countDistinct(doc): same number as the former dfreq aggregate + join
+    # back, with the tf subtree evaluated once instead of twice
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn(
+            "df_docs", F.count("*").over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(total))
         .withColumn(
             "tfidf",
@@ -276,8 +281,6 @@ def tfidf_topterms(
             ),
         )
     )
-    from pyspark.sql.window import Window
-
     win = Window.partitionBy(id_col).orderBy(
         F.desc("tfidf"), F.asc("term")
     )
