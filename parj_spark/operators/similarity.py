@@ -184,69 +184,101 @@ def cosine_lsh_neardup_pairs(
                 {id_col: ids, "band": bands.astype(np.int32), "bucket": bucket.astype(np.int64)}
             )
 
-    # the (id, band, bucket) assignment feeds exactly one consumer now (the
-    # posting-list aggregation below), so the Arrow sign stage runs once per
-    # action with no cache: per-(band, bucket) posting lists make the
-    # bucket-size guard a length filter and generate the i<j candidate
-    # pairs in-task — no bucket-size join, no self-join, each unordered
-    # pair emitted once per colliding band instead of twice
+    # the (id, band, bucket) assignment feeds exactly one consumer (the
+    # per-bucket prefilter below), so the Arrow sign stage runs once per
+    # action with no cache
     stacked = _spread(emb.select(id_col, vec_col)).mapInPandas(
         assign, f"{id_col} long, band int, bucket long"
     )
-    # the vector RIDES the posting list (with its norm, computed once per
-    # vector by the exact fold expression cosine_sim would evaluate per
-    # pair), so verification needs no join against the corpus at all —
-    # joins from a Generate output have no usable size estimate and the
-    # planner was measured broadcasting the 30M-row candidate side
+    # the vector RIDES the bucket rows, so candidate generation needs no
+    # join against the corpus at all — joins from a Generate output have no
+    # usable size estimate and the planner was measured broadcasting the
+    # 30M-row candidate side
     pre = emb.select(
-        F.col(id_col).alias("__pid"),
-        F.col(vec_col).alias("__pvec"),
-        _norm(F.col(vec_col)).alias("__pnrm"),
+        F.col(id_col).alias("__pid"), F.col(vec_col).alias("__pvec")
     )
-    entry = F.struct(
-        F.col("__pid").alias("id"),
-        F.col("__pvec").alias("vec"),
-        F.col("__pnrm").alias("nrm"),
-    )
-    gate = F.size("es") <= max_bucket if max_bucket is not None else F.lit(True)
-    # repartition the (few, list-valued) posting rows across the cluster
-    # before exploding them: AQE's byte-based coalescing sees ~2k rows and
-    # would collapse the pair-generation + verification stage to one task
-    # (measured: a near-serial 70s verify at 30M candidates)
+    # Candidate pruning runs as one numpy GEMM per (band, bucket) group —
+    # the O(bucket^2) candidate cosines never exist as rows, and the JVM
+    # exact verification below only sees pairs the GEMM scores within
+    # PREFILTER_MARGIN of the threshold. Output-preserving by error bound:
+    # both sides compute in float64 from the same float32 inputs, so the
+    # GEMM and the sequential JVM fold differ only by summation order —
+    # |err| <= ~d * eps (~1e-13 for d <= 2^20, unit-scale values), while a
+    # final-filter survivor needs exact cosine >= threshold - 5.1e-7 (the
+    # round(.,6) lift), far inside the 1e-4 margin. The margin also absorbs
+    # the prefilter's norm clamp (max(norm, 1e-12)): a zero-norm side makes
+    # the exact cosine NaN, which fails the final filter just as the
+    # clamped ~0 score fails the prefilter.
+    vtype = emb.schema[vec_col].dataType.simpleString()
+    margin = 1e-4
+
+    def bucket_prefilter(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "va": pd.Series(dtype="object"),
+                "vb": pd.Series(dtype="object"),
+            }
+        )
+        c = len(pdf)
+        # bucket-size guard (same semantics as the former length filter on
+        # the posting list: degenerate buckets are skipped outright)
+        if c < 2 or (max_bucket is not None and c > max_bucket):
+            return empty
+        M = np.stack(pdf["__pvec"].apply(lambda v: np.asarray(v, dtype=np.float64)))
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        S = Mn @ Mn.T
+        iu, ju = np.triu_indices(c, 1)
+        keep = S[iu, ju] >= threshold - margin
+        if not keep.any():
+            return empty
+        ids = pdf["__pid"].to_numpy()
+        vecs = pdf["__pvec"].to_numpy()
+        ki, kj = iu[keep], ju[keep]
+        ia, ib = ids[ki], ids[kj]
+        swap = ia > ib
+        # normalize orientation id_a < id_b; dot is elementwise-commutative
+        # so the orientation cannot change the exact double downstream
+        va = np.where(swap, vecs[kj], vecs[ki])
+        vb = np.where(swap, vecs[ki], vecs[kj])
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "va": va,
+                "vb": vb,
+            }
+        )
+
+    # spread the bucket groups across the cluster before the grouped
+    # prefilter: the explicit repartition hash-partitions by the group key
+    # (reused by the groupBy — no second exchange) and, being user-
+    # specified, is exempt from AQE's byte-based coalescing, which would
+    # otherwise collapse the ~40 MB of bucket rows to a couple of tasks
+    # (measured on the former shape: a near-serial verify)
     par = emb.sparkSession.sparkContext.defaultParallelism * 2
-    buckets = (
+    cands = (
         stacked.join(pre, stacked[id_col] == pre["__pid"])
-        .groupBy("band", "bucket")
-        .agg(F.collect_list(entry).alias("es"))
-        .filter((F.size("es") >= 2) & gate)
         .repartition(par, "band", "bucket")
+        .groupBy("band", "bucket")
+        .applyInPandas(
+            bucket_prefilter, f"id_a long, id_b long, va {vtype}, vb {vtype}"
+        )
     )
-    # two-level i<j pair generation (anchor posexplode, then a slice of the
-    # tail partners): per generated row only one O(bucket) slice is ever
-    # materialized, never the O(bucket^2) flat pair array
-    anch = buckets.select(F.posexplode("es").alias("i", "x"), "es")
-    pairs = anch.select(
-        "x",
-        F.explode(
-            F.slice(F.col("es"), F.col("i") + F.lit(2), F.size("es"))
-        ).alias("y"),
-    )
-    # a pair colliding in several bands is verified once per band (dup
-    # factor <= n_bands; ~1.03 measured on random vectors) and deduplicated
-    # after the threshold filter, where the surviving set is orders of
-    # magnitude smaller than the candidate set — no corpus-scale distinct.
-    # dot is elementwise-commutative, so the orientation of (x, y) cannot
-    # change the double; norms are per-side values.
+    # exact verification of the (few) margin survivors with the SAME fold
+    # expressions the former per-pair verify evaluated — bit-identical
+    # doubles over the same float32 values, so the reported cosine and the
+    # surviving set are unchanged. A pair colliding in several bands is
+    # verified once per band (dup factor <= n_bands; ~1.03 measured on
+    # random vectors) and deduplicated after the threshold filter, where
+    # survivors are orders of magnitude fewer than candidates.
     cos = F.round(
-        _dot(F.col("x.vec"), F.col("y.vec")) / (F.col("x.nrm") * F.col("y.nrm")),
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
         6,
     )
     verified = (
-        pairs.select(
-            F.least("x.id", "y.id").alias("id_a"),
-            F.greatest("x.id", "y.id").alias("id_b"),
-            cos.alias("cosine"),
-        )
+        cands.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )
