@@ -22,16 +22,77 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _local_components(spark, pdf, node_type) -> tuple[DataFrame, int]:
+    """Driver-local connected components over a collected edge set.
+
+    Same contract as the distributed loop: (node, component) with component
+    = the minimum member by the node type's ordering (UTF-8 byte order for
+    strings equals Python's code-point comparison, so string components are
+    bit-identical to the Spark ``min``). Vectorized min-label propagation
+    with pointer doubling over factorized integer codes — O((E+N) log d)
+    numpy work, no Python-level loop over edges.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("node", node_type), StructField("component", node_type)]
+    )
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema), 0
+    codes, nodes = pd.factorize(
+        pd.concat([pdf["src"], pdf["dst"]], ignore_index=True), sort=False
+    )
+    n = len(nodes)
+    src = codes[: len(pdf)]
+    dst = codes[len(pdf):]
+    lab = np.arange(n, dtype=np.int64)
+    rounds = 0
+    while True:
+        rounds += 1
+        old = lab.copy()
+        # relax every edge both ways (unordered min is order-independent),
+        # then one pointer-doubling hop — O(log diameter) rounds total
+        np.minimum.at(lab, src, lab[dst])
+        np.minimum.at(lab, dst, lab[src])
+        lab = np.minimum(lab, lab[lab])
+        if np.array_equal(lab, old):
+            break
+    # the converged label is the min CODE per component (first-appearance
+    # order); map it to the min NODE VALUE per component, which is what the
+    # distributed min-aggregation returns
+    out = pd.DataFrame({"root": lab, "node": nodes})
+    rep = out.groupby("root")["node"].min()
+    out["component"] = out["root"].map(rep)
+    return spark.createDataFrame(out[["node", "component"]], schema), rounds
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
     broadcast_labels_below: int = 1_000_000,
     shortcut_after: int = 3,
+    collect_below: int = 1_000_000,
 ) -> tuple[DataFrame, int]:
     """(node, component) for every node in ``edges``; component = min member label.
 
     ``edges`` must have columns (src, dst); undirected semantics.
     Returns (labels_df, iterations_run).
+
+    Size-adaptive execution (the same gate philosophy as the dictionary
+    decode and the broadcast-mode label loop): below ``collect_below``
+    edges the whole edge set is collected once and solved driver-side
+    (:func:`_local_components`) — the distributed loop in broadcast mode
+    already ships every label to the driver per iteration via
+    ``F.broadcast(labels)``, so the memory class is unchanged while 5+
+    scheduled actions collapse into one bounded collect (measured: the
+    construct pipeline's 29k-edge CC dropped ~4s of pure local-mode
+    scheduling latency). The probe is ``limit(collect_below + 1)``: if at
+    most ``collect_below`` rows come back, that IS the complete edge set;
+    otherwise the partial read is discarded and the distributed loop below
+    handles the corpus-scale graph. ``collect_below=0`` forces the
+    distributed path (the convergence-contract tests pin it).
 
     Engineered for minimum job count: the loop runs exactly ONE Spark action
     per iteration (the changed-count, which also materializes the new label
@@ -49,6 +110,13 @@ def connected_components(
     (measured at 3.6M labels / 2.2M edges: 29s -> 10s warm, and the win
     grows with the edge/label ratio).
     """
+    if collect_below and collect_below > 0:
+        head = edges.select("src", "dst").limit(collect_below + 1).toPandas()
+        if len(head) <= collect_below:
+            return _local_components(
+                edges.sparkSession, head, edges.schema["src"].dataType
+            )
+
     # duplicates in sym are harmless under min-aggregation -> skip distinct
     # (saves a full shuffle of the edge set)
     sym = edges.select("src", "dst").union(
