@@ -57,19 +57,42 @@ def assemble_triples(mentions: DataFrame, canon: DataFrame) -> DataFrame:
     )
 
 
-def _dense_ids(terms: DataFrame, col: str) -> DataFrame:
-    """(id, uri) with dense deterministic ids, fully JVM-side + distributed.
+def _dense_ids(terms: DataFrame, col: str, local_below: int = 1_000_000) -> DataFrame:
+    """(id, uri) with dense deterministic ids: rank in the global uri sort.
 
-    Range-partition the sorted distinct terms, rank locally per partition,
-    then add the (tiny, broadcast) per-partition cumulative offsets — the
-    classic distributed zipWithIndex, with no Python row path and no
+    Size-adaptive (same gate philosophy as the broadcast decode and the
+    union-find): below ``local_below`` distinct terms the set is collected
+    once and ranked driver-side — pandas' string sort is code-point order,
+    which equals Spark's UTF-8 byte ordering, so the (id, uri) assignment
+    is bit-identical to the distributed rank — collapsing the checkpoint +
+    offset-collect + window + join chain into one bounded collect (the
+    whole dictionary is later broadcast by encode_triples under a gate 8x
+    larger anyway, so the memory class is unchanged). The probe is
+    ``limit(N + 1)``: an over-gate term set costs one partial read and
+    falls through to the distributed assignment below — range-partition
+    the sorted distinct terms, rank locally per partition, then add the
+    (tiny, broadcast) per-partition cumulative offsets: the classic
+    distributed zipWithIndex, with no Python row path and no
     single-partition window bottleneck.
     """
     from pyspark.sql import Window
 
+    dedup = terms.select(F.col(col).alias("uri")).distinct()
+    if local_below and local_below > 0:
+        head = dedup.limit(local_below + 1).toPandas()
+        if len(head) <= local_below:
+            pdf = head.sort_values("uri", ignore_index=True)
+            pdf.insert(0, "id", pdf.index.astype("int64"))
+            schema = T.StructType(
+                [
+                    T.StructField("id", T.LongType(), False),
+                    T.StructField("uri", terms.schema[col].dataType, False),
+                ]
+            )
+            return terms.sparkSession.createDataFrame(pdf, schema)
+
     distinct = (
-        terms.select(F.col(col).alias("uri"))
-        .distinct()
+        dedup
         .repartitionByRange(F.col("uri"))
         .sortWithinPartitions("uri")
         .withColumn("pid", F.spark_partition_id())
