@@ -68,12 +68,17 @@ def _local_components(spark, pdf, node_type) -> tuple[DataFrame, int]:
     return spark.createDataFrame(out[["node", "component"]], schema), rounds
 
 
+# default edge-count gate for the driver-local solver; callers that already
+# know the edge count pass collect_below=0 past it to skip the probe read
+LOCAL_CC_EDGES = 1_000_000
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
     broadcast_labels_below: int = 1_000_000,
     shortcut_after: int = 3,
-    collect_below: int = 1_000_000,
+    collect_below: int = LOCAL_CC_EDGES,
 ) -> tuple[DataFrame, int]:
     """(node, component) for every node in ``edges``; component = min member label.
 
