@@ -65,12 +65,26 @@ def _local_components(spark, pdf, node_type) -> tuple[DataFrame, int]:
     out = pd.DataFrame({"root": lab, "node": nodes})
     rep = out.groupby("root")["node"].min()
     out["component"] = out["root"].map(rep)
-    return spark.createDataFrame(out[["node", "component"]], schema), rounds
+    labels = spark.createDataFrame(out[["node", "component"]], schema)
+    if n >= 100_000:
+        # a large driver-local label table would be re-shipped from the
+        # driver by EVERY downstream consumer (fold_entities broadcasts it
+        # twice into the rewrite joins — measured 12s vs 2s at 1.2M labels
+        # on the 8.35M-triple fold); a lazy localCheckpoint distributes it
+        # into block storage on first use instead. Small label sets skip
+        # the checkpoint job — a tiny LocalTableScan broadcast is free.
+        labels = labels.localCheckpoint(eager=False)
+    return labels, rounds
 
 
 # default edge-count gate for the driver-local solver; callers that already
-# know the edge count pass collect_below=0 past it to skip the probe read
-LOCAL_CC_EDGES = 1_000_000
+# know the edge count pass collect_below=0 past it to skip the probe read.
+# 250k (not the broadcast loop's 1M label gate): the local path's cost is
+# dominated by shipping the result labels driver->executors, measured ~7-10s
+# at 1.2M labels vs ~4.5s for the broadcast-mode distributed loop on the
+# same (star-shaped, diameter-2) 900k-edge relation — while at <=100k edges
+# the local path wins 5-30x (pure action-latency elimination)
+LOCAL_CC_EDGES = 250_000
 
 
 def connected_components(
