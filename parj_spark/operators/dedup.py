@@ -267,20 +267,36 @@ def ngram_jaccard_pairs(
     ).select(
         F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
     )
-    inter = (
-        pair_rows.select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sz").alias("sz_a"),
-            F.col("b.sz").alias("sz_b"),
+    pairs_flat = pair_rows.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.sz").alias("sz_a"),
+        F.col("b.sz").alias("sz_b"),
+    ).filter(ratio_ok)
+    if df.count() >= 50_000:
+        # large-corpus regime: explicit pair-key repartition (4x
+        # parallelism, scale-adaptive) before the aggregation. The groupBy
+        # reuses this partitioning — still exactly ONE exchange — but the
+        # final aggregation runs on 4x more partitions than
+        # spark.sql.shuffle.partitions, keeping the per-task hash map out
+        # of spill at the operator's worst-case density (the max_df knee,
+        # ~6e8 pair rows: measured 77-128s -> ~50s at 100k docs, flat at
+        # 50k). The trade is the map-side partial aggregation, which
+        # caught almost nothing here: a pair repeats once per SHARED
+        # shingle, and posting lists are hash-spread by shingle, so a
+        # pair's duplicates land in different tasks anyway. Below the
+        # gate, the partial-agg plan wins (128 near-empty reduce tasks
+        # cost ~1s of pure task launch at local scale) — the one cheap
+        # count() action decides.
+        pairs_flat = pairs_flat.repartition(
+            df.sparkSession.sparkContext.defaultParallelism * 4,
+            "id_a",
+            "id_b",
         )
-        .filter(ratio_ok)
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count("*").alias("i"),
-            F.first("sz_a").alias("sz_a"),
-            F.first("sz_b").alias("sz_b"),
-        )
+    inter = pairs_flat.groupBy("id_a", "id_b").agg(
+        F.count("*").alias("i"),
+        F.first("sz_a").alias("sz_a"),
+        F.first("sz_b").alias("sz_b"),
     )
     verified = (
         inter.withColumn(
